@@ -1,0 +1,193 @@
+"""Table catalog: schema contracts + parquet loading.
+
+The reference ingests CSVs with hand-written explicit StructType schemas
+(/root/reference/spark_transform.py:96-208) to avoid inferSchema drift.
+We keep that contract idea: each table has a declared schema, loads are
+validated against it, and readers select only declared columns so column
+pruning reaches the parquet scan.
+
+Scale notes (100 TB): parquet scans here are plain ``spark.read.parquet``
+so Catalyst handles predicate pushdown / column pruning / partition
+pruning for free. On a real lake the fact tables (orders, lineitem,
+events) would be written partitioned by date (see ``write_partitioned``)
+and bucketed by join key to make the fact-fact join shuffle-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (region/nation are bounded by geography; supplier/part grow but stay
+# orders of magnitude below the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def _enable_nanos_read(spark: SparkSession) -> None:
+    """The testdata parquet stores TIMESTAMP(NANOS); Spark needs this
+    legacy flag to accept it (runtime-settable, so it also works under a
+    driver-owned SparkSession)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf may be static in some builds
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, projecting to its declared schema columns."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}")
+    _enable_nanos_read(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # Explicit projection keeps the read schema pinned to the contract so
+    # downstream column pruning is exact even if the files gain columns.
+    # Nano timestamps arrive as TIMESTAMP_NTZ; cast to the contract's
+    # TimestampType (session tz is UTC, so this is a pure reinterpret).
+    cols = []
+    actual = dict(df.dtypes)
+    for f in SCHEMAS[name].fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.TimestampType):
+            if actual.get(f.name) == "bigint":
+                # TIMESTAMP(NANOS) read as raw nanos under nanosAsLong:
+                # integer-divide to micros (floor, matching DuckDB's
+                # ns→us truncation) and rebuild the timestamp.
+                c = F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            elif actual.get(f.name) != "timestamp":
+                c = c.cast("timestamp")
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load every catalog table; optionally register temp views for SQL."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Write a fact table date-partitioned, the layout the reference's lake
+    uses (raw/<dataset>/<date>/file) re-expressed as hive-style partitions
+    so partition pruning works at 100 TB."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -1,0 +1,309 @@
+"""Dashboard analytics queries.
+
+Each function re-expresses one metric family from the reference's
+analytics surface (/root/reference/run_analytics.py,
+/root/reference/streamlit/utils.py) as a declarative DataFrame plan on
+the testdata star schema. All computed columns are aliased and rounded
+identically to the DuckDB oracle SQL in ``__spark_entry__.py``.
+
+Scale notes (100 TB):
+- Aggregations are hash aggregates with map-side partial combine — the
+  shuffle moves only (group key, partial state), never raw rows.
+- Leaderboards (top-N) aggregate first, then take a global N: the sort
+  input is |distinct keys|, not |fact rows|.
+- RFM's quartile scoring uses NTILE over per-customer aggregates — the
+  window input is |customers|, already 3 orders below |lineitem|. The
+  single unbounded-window total for percentage distributions is computed
+  on an already-aggregated handful of rows, never on facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kpi_overview(t: dict[str, DataFrame]) -> DataFrame:
+    """Headline KPIs (run_analytics.py:84-93): revenue, orders, customers."""
+    return t["orders"].agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.count_distinct("o_orderkey").alias("total_orders"),
+        F.count_distinct("o_custkey").alias("unique_customers"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+    )
+
+
+def daily_sales(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily revenue trend with status filter (utils.py:208-230).
+
+    The reference excludes 'unavailable'/'canceled' statuses; the analog
+    here excludes in-process ('P') orders.
+    """
+    return (
+        t["orders"]
+        .filter(F.col("o_orderstatus") != "P")
+        .groupBy(F.to_date("o_orderdate").alias("sales_date"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.count_distinct("o_orderkey").alias("number_of_orders"),
+        )
+    )
+
+
+def sales_by_geography(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue rollup by customer nation+region (utils.py:233-265)."""
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.count_distinct("o_orderkey").alias("num_orders"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM segmentation (utils.py:446-504, run_analytics.py:119-158).
+
+    Recency/Frequency/Monetary per customer, quartile-scored with NTILE
+    (deterministic (metric, custkey) ordering replaces pandas
+    rank(method='first')), CASE-mapped to the reference's segment names,
+    then summarized per segment.
+    """
+    snapshot = t["orders"].agg(
+        F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
+    )
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.to_date(F.max("o_orderdate")).alias("last_order"),
+            F.count_distinct("o_orderkey").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(snapshot))
+        .withColumn("recency", F.datediff("snap", "last_order"))
+    )
+    w_r = Window.orderBy(F.col("recency").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())
+    scored = (
+        per_cust.withColumn("r_score", F.lit(5) - F.ntile(4).over(w_r))
+        .withColumn("f_score", F.ntile(4).over(w_f))
+        .withColumn("m_score", F.ntile(4).over(w_m))
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "Champions")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "Loyal Customers")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") < 3), "Potential Loyalists")
+        .when((F.col("r_score") < 3) & (F.col("f_score") >= 4), "Cannot Lose")
+        .when((F.col("r_score") >= 2) & (F.col("f_score") >= 2), "At Risk")
+        .when((F.col("r_score") < 2) & (F.col("f_score") < 2), "Hibernating")
+        .otherwise("Needs Attention")
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.round(F.avg("recency"), 1).alias("avg_recency"),
+            F.round(F.avg("frequency"), 1).alias("avg_frequency"),
+            F.round(F.avg("monetary"), 1).alias("avg_monetary"),
+        )
+    )
+
+
+def seller_performance(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-supplier scorecard (utils.py:509-525): revenue, orders, delay."""
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            ),
+            F.count_distinct("l_orderkey").alias("total_orders"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 2).alias(
+                "avg_ship_delay_days"
+            ),
+        )
+    )
+
+
+def delivery_performance(t: dict[str, DataFrame], on_time_days: int = 30) -> DataFrame:
+    """On-time vs late shipping buckets (utils.py:427-442).
+
+    The reference derives 'On-Time'/'Late' from delivered-vs-estimated
+    dates; the analog is ship delay (l_shipdate - o_orderdate) against a
+    fixed SLA window.
+    """
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "delivery_status",
+            F.when(delay <= on_time_days, "On-Time").otherwise("Late"),
+        )
+        .withColumn("ship_delay_days", delay)
+        .groupBy("delivery_status")
+        .agg(
+            F.count("*").alias("num_items"),
+            F.round(F.avg("ship_delay_days"), 2).alias("avg_delay_days"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_item_price"),
+        )
+    )
+
+
+def _pct_distribution(df: DataFrame, key: str, alias: str) -> DataFrame:
+    """Shared value_counts(normalize=True)*100 shape (run_analytics.py:203-213).
+
+    The unbounded window runs over the already-aggregated per-key rows
+    (a handful), not over the fact table.
+    """
+    counts = df.groupBy(F.col(key).alias(alias)).agg(F.count("*").alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        alias,
+        "cnt",
+        F.round(F.lit(100.0) * F.col("cnt") / F.sum("cnt").over(total), 2).alias("pct"),
+    )
+
+
+def order_status_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    return _pct_distribution(t["orders"], "o_orderstatus", "order_status")
+
+
+def event_type_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Payment-method-popularity analog on the event stream."""
+    return _pct_distribution(t["events"], "event_type", "event_type")
+
+
+def quantity_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Installments-distribution analog (run_analytics.py:211-213)."""
+    return _pct_distribution(
+        t["lineitem"].withColumn("quantity", F.col("l_quantity").cast("int")),
+        "quantity",
+        "quantity",
+    )
+
+
+def top_categories_by_revenue(t: dict[str, DataFrame], n: int = 10) -> DataFrame:
+    """Category revenue leaderboard (run_analytics.py:195-197).
+
+    Aggregate-then-topN: the global sort sees |categories| rows.
+    Deterministic (revenue, name) tiebreak keeps the cut stable.
+    """
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("category").asc())
+        .limit(n)
+    )
+
+
+def top_seller_nations(t: dict[str, DataFrame], n: int = 10) -> DataFrame:
+    """Seller-state revenue leaderboard analog (run_analytics.py:199-201)."""
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("seller_nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("seller_nation").asc())
+        .limit(n)
+    )
+
+
+def category_avg_discount(t: dict[str, DataFrame]) -> DataFrame:
+    """Category score table (review-score-by-category analog,
+    run_analytics.py:183-190)."""
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.count("*").alias("num_items"),
+        )
+    )
+
+
+def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """Flagship lineitem aggregate (engine headline, TPC-H Q1 shape).
+
+    Pure scan → filter (pushed to parquet) → hash agg on a 2-value key.
+    This is the whole-stage-codegen showcase: no joins, no UDFs.
+    """
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def top_revenue_orders(t: dict[str, DataFrame], n: int = 10) -> DataFrame:
+    """Top unshipped-revenue orders (TPC-H Q3 shape) for one segment."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"), "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(n)
+    )
+
+
+def revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Full-star revenue rollup by customer nation (TPC-H Q5 shape)."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

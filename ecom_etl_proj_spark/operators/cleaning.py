@@ -1,0 +1,105 @@
+"""ETL-layer cleaning operators.
+
+Re-expresses the reference's warehouse-layer transforms
+(/root/reference/staging_layer.py, /root/reference/spark_transform.py)
+as composable DataFrame functions. Each is a pure logical-plan builder:
+no actions, no collect, so Catalyst can fuse them with downstream plans.
+
+Scale notes (100 TB):
+- ``dedup_keep_first`` is a window over the dedup key — one shuffle on the
+  key, map-side partial sort. AQE splits skewed keys.
+- ``impute_mean`` computes the scalar means once and broadcast-joins them
+  (the reference's ``CROSS JOIN product_means``, staging_layer.py:203-225)
+  instead of a whole-table window, which would funnel into one partition.
+- ``sentinel_timestamps`` and ``normalize_strings`` are pure row-local
+  projections — stay inside WholeStageCodegen, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """Keep one row per key, deterministically.
+
+    Mirrors the staging layer's ``QUALIFY ROW_NUMBER() OVER (PARTITION BY
+    ... ORDER BY ...) = 1`` dedup (staging_layer.py:181-198) and the
+    ingestion script's dropDuplicates (spark_transform.py:548-555), but
+    with an explicit deterministic tiebreak instead of arbitrary pick.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def impute_mean(df: DataFrame, cols: list[str], ndigits: int = 2) -> DataFrame:
+    """Replace NULLs in numeric columns with the column's global mean.
+
+    The reference imputes product dims with table-wide AVGs via a
+    cross-joined one-row means table (staging_layer.py:203-225). We do the
+    same: a scalar aggregate (map-side partial, tiny shuffle) broadcast
+    back onto the data — O(1) extra state per executor at any scale.
+    """
+    means = df.agg(
+        *[F.avg(F.col(c)).alias(f"__mean_{c}") for c in cols]
+    )
+    out = df.crossJoin(F.broadcast(means))
+    for c in cols:
+        out = out.withColumn(
+            c, F.round(F.coalesce(F.col(c), F.col(f"__mean_{c}")), ndigits)
+        )
+    return out.drop(*[f"__mean_{c}" for c in cols])
+
+
+def sentinel_timestamps(
+    df: DataFrame, cols: list[str], sentinel: str = "1900-01-01 00:00:00"
+) -> DataFrame:
+    """NULL timestamps → fixed sentinel (staging_layer.py:288-316)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.lit(sentinel).cast("timestamp"))
+        )
+    return out
+
+
+def normalize_strings(df: DataFrame, cols: list[str]) -> DataFrame:
+    """lower+trim string normalization (spark_transform.py:534-546)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.lower(F.trim(F.col(c))))
+    return out
+
+
+def dim_key_map(
+    df: DataFrame, key: str, value: str, order_by: list[str]
+) -> DataFrame:
+    """Deterministic key → single representative value mapping.
+
+    Mirrors the zip→geolocation_id map with min-latitude tiebreak
+    (staging_layer.py:228-233, spark_transform.py:359-392). Output is one
+    row per key — small enough to broadcast into downstream joins.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key, value)
+    )
+
+
+def audit_columns(df: DataFrame, snapshot_date: str) -> DataFrame:
+    """Append warehouse audit columns (target_layer.py:36-154).
+
+    The reference uses CURRENT_DATE() defaults; we take an explicit
+    snapshot date so loads are reproducible/idempotent.
+    """
+    d = F.lit(snapshot_date).cast("date")
+    return df.withColumn("insertion_date", d).withColumn("modification_date", d)

@@ -1,0 +1,223 @@
+"""Deduplication operators for the documents table.
+
+LLM-training-data dedup family: exact, n-gram Jaccard, MinHash+LSH,
+SimHash. Designed scale-first:
+
+- Exact dedup is a hash groupBy on the fingerprint — one shuffle whose
+  key is 32 bytes regardless of document size.
+- Jaccard candidates come from an inverted shingle index (explode +
+  self-join on shingle), NEVER a document cross join. Hot shingles are
+  the skew risk at 100 TB — ``max_shingle_freq`` drops shingles shared by
+  too many docs (they contribute candidates, not discrimination), which
+  is both a perf guard and the standard LSH-banding trick's cousin.
+- MinHash signatures compress each doc to k ints; banding buckets are
+  the only join key. Pairs are verified with exact Jaccard afterwards,
+  so LSH only affects recall, never precision.
+- SimHash packs a doc into one 64-bit int; near-dup candidates come from
+  4x16-bit chunk equality (pigeonhole: hamming<=3 ⇒ some chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.functions import text as X
+
+# MinHash parameters: k = BANDS * ROWS_PER_BAND universal-hash
+# permutations h_i(x) = (a_i*x + b_i) mod P over crc32 shingle hashes.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+MINHASH_BANDS = 16
+MINHASH_ROWS = 4
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs from a fixed LCG (seed constant)."""
+    coeffs = []
+    state = 42
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        # a bounded by 2^29 so crc32(2^32) * a stays < 2^61: no long
+        # overflow under ANSI arithmetic.
+        a = state % (2**29) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % (2**30)
+        coeffs.append((a, b))
+    return coeffs
+
+
+def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup: group by canonical fingerprint, keep min doc_id."""
+    d = t["documents"].select("doc_id", X.fingerprint().alias("fingerprint"))
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def _doc_shingles(
+    t: dict[str, DataFrame], n: int = 3, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle) exploded inverted index, optionally de-skewed."""
+    sh = (
+        t["documents"]
+        .select("doc_id", F.explode(X.word_shingles(n)).alias("shingle"))
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def dedup_ngram_jaccard(
+    t: dict[str, DataFrame], n: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above a threshold.
+
+    Inverted-index pair generation: docs only meet if they share at least
+    one shingle, so the join fan-out is bounded by shingle co-occurrence
+    instead of |docs|^2.
+    """
+    sh = _doc_shingles(t, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
+    """(doc_id, signature array<long>) MinHash signatures."""
+    k = MINHASH_BANDS * MINHASH_ROWS
+    coeffs = _minhash_coeffs(k)
+    sh = _doc_shingles(t, n).withColumn("h", F.crc32(F.col("shingle")))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("signature")
+    )
+
+
+def dedup_minhash_lsh(
+    t: dict[str, DataFrame], n: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+
+    Bands of the signature are hashed to buckets; only same-bucket docs
+    become candidates (the 100 TB path — candidate count scales with true
+    near-dup density, not |docs|^2). Candidates are then re-scored with
+    exact Jaccard so output precision is exact.
+    """
+    sig = minhash_signatures(t, n)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_BANDS - 1}),"
+                f" b -> named_struct('band', b, 'bh',"
+                f" xxhash64(concat_ws(',', slice(signature, b * {MINHASH_ROWS} + 1, {MINHASH_ROWS})))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = dedup_ngram_jaccard(t, n, threshold=0.0)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_64(t: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, simhash long): sign-aggregated 64-bit token fingerprint."""
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.array_distinct(X.tokens())).alias("tok")
+    )
+    toks = toks.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select("doc_id", packed.alias("simhash"))
+
+
+def dedup_simhash(t: dict[str, DataFrame], max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Candidates via 4x16-bit chunk equality (pigeonhole guarantees recall
+    for hamming<=3), verified with exact bit_count(xor).
+    """
+    sh = simhash_64(t)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> named_struct('chunk', c,"
+                " 'ch', (simhash >> (c * 16)) & 65535))"
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,124 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths, as a 100 TB pipeline needs:
+
+- ``embedding_knn``: brute-force cosine top-k for a bounded query set.
+  The query side is broadcast; the corpus side streams through, so cost
+  is one corpus scan per batch of queries — correct baseline, exact.
+- ``embedding_near_dup``: all-pairs above a cosine threshold. Exact and
+  quadratic; at scale it is the *verification* stage fed by
+  ``ann_lsh_buckets`` candidates, mirroring MinHash→Jaccard in dedup.py.
+- ``ann_lsh``: random-hyperplane LSH — each vector gets a sign-bit
+  bucket; only same-bucket pairs are scored. The scale path: shuffle key
+  is the bucket id, fan-out scales with bucket density.
+
+All vector math is Catalyst higher-order functions (functions/vectors.py)
+— JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.functions import vectors as V
+
+N_PLANES = 8
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed LCG."""
+    planes = []
+    state = 1234567
+    for _ in range(N_PLANES):
+        row = []
+        for _ in range(DIM):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append((state % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def embedding_knn(
+    t: dict[str, DataFrame], n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors."""
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine("q_emb", "embedding"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup(t: dict[str, DataFrame], threshold: float = 0.95) -> DataFrame:
+    """Exact cosine near-duplicate pairs (verification-stage operator)."""
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(V.cosine("e_a", "e_b"), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ann_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """(vec_id, bucket) sign-bit LSH bucket assignment."""
+    planes = _hyperplanes()
+    emb = t["embeddings"]
+    bucket = None
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(V.dot(arr, "embedding") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), j)
+        bucket = term if bucket is None else bucket + term
+    return emb.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+def ann_lsh(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """Approximate top-k neighbors: brute force within LSH buckets only."""
+    b = ann_lsh_buckets(t)
+    a = b.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    pairs = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine("q_emb", "n_emb"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

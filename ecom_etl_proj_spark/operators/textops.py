@@ -1,0 +1,83 @@
+"""Text-analysis operators for the documents table.
+
+Part of the LLM-training-data pipeline surface (beyond the reference's
+own operators): language ID, quality scoring, token counting, content
+fingerprinting. All pure column expressions — no UDFs, no shuffles
+except the final projection; these run at scan speed at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.functions import text as X
+
+
+def lang_id(t: dict[str, DataFrame]) -> DataFrame:
+    """Stopword-profile language heuristic.
+
+    Scores each language by its stopword hit-ratio; argmax with a
+    deterministic priority order, 'unknown' when nothing scores.
+    """
+    d = t["documents"]
+    scored = d.select(
+        "doc_id",
+        F.round(X.stopword_ratio("en"), 4).alias("en_score"),
+        F.round(X.stopword_ratio("de"), 4).alias("de_score"),
+        F.round(X.stopword_ratio("fr"), 4).alias("fr_score"),
+        F.round(X.stopword_ratio("es"), 4).alias("es_score"),
+    )
+    best = F.greatest("en_score", "de_score", "fr_score", "es_score")
+    pred = (
+        F.when(best <= 0, "unknown")
+        .when(F.col("en_score") == best, "en")
+        .when(F.col("de_score") == best, "de")
+        .when(F.col("fr_score") == best, "fr")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"), "en_score")
+
+
+def text_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score."""
+    d = t["documents"]
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        X.token_count().alias("n_tokens"),
+        F.round(X.punct_ratio(), 4).alias("punct_ratio"),
+        F.round(X.stopword_ratio("en"), 4).alias("stop_ratio"),
+    )
+    # Heuristic quality in [0,1]: long enough, low punctuation noise,
+    # some natural-language glue words.
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+        + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.3
+    )
+    # round-6: score terms are exact multiples of 1e-5, so 6-digit
+    # rounding never lands on a half boundary (4-digit rounding does,
+    # and Spark/DuckDB disagree on tie behavior there).
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def token_count(t: dict[str, DataFrame]) -> DataFrame:
+    """Whitespace + alphanumeric-regex token counts (BPE-ish proxy)."""
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        X.token_count().alias("ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+")).alias("alnum_tokens"),
+        X.distinct_token_count().alias("distinct_tokens"),
+    )
+
+
+def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
+    """Canonical-form md5 fingerprint per document."""
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        X.fingerprint().alias("fingerprint"),
+        F.length("text").alias("n_chars_actual"),
+    )

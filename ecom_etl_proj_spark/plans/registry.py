@@ -1,0 +1,745 @@
+"""Query registry: name → (Spark plan builder, DuckDB oracle SQL).
+
+Single source of truth consumed by ``__spark_entry__.py`` (driver
+contract), ``bench.py`` and the test suite. Every Spark plan and its
+oracle alias computed columns identically and round floats identically,
+so order-insensitive value hashing matches across engines.
+
+Oracle SQL is ANSI-ish DuckDB dialect over the same parquet tables
+(pre-registered views). Queries whose Spark implementation is not
+SQL-expressible (LSH families with engine-specific hash functions) carry
+``None`` and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.catalog import load_tables
+from ecom_etl_proj_spark.operators import (
+    analytics,
+    cleaning,
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    star,
+    textops,
+)
+
+Tables = dict[str, DataFrame]
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[Callable[[Tables], DataFrame], str | None]] = {}
+
+
+def register(name: str, fn: Callable[[Tables], DataFrame], oracle: str | None) -> None:
+    _REGISTRY[name] = (fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for name, (fn, _) in _REGISTRY.items():
+        def make(f: Callable[[Tables], DataFrame]) -> QueryFn:
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return f(load_tables(spark, sf_dir, register=False))
+
+            return run
+
+        out[name] = make(fn)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# --------------------------------------------------------------------------
+# ETL-layer operators (ref staging_layer.py / spark_transform.py semantics)
+# --------------------------------------------------------------------------
+
+register(
+    "ods_typed_load",
+    lambda t: t["customer"].select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name_norm"),
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.upper("c_mktsegment").alias("mktsegment"),
+    ),
+    """
+    SELECT c_custkey,
+           lower(trim(c_name)) AS name_norm,
+           c_nationkey,
+           round(c_acctbal, 2) AS acctbal,
+           upper(c_mktsegment) AS mktsegment
+    FROM customer
+    """,
+)
+
+register(
+    "stg_dedup_rownumber",
+    lambda t: cleaning.dedup_keep_first(
+        t["lineitem"],
+        ["l_orderkey"],
+        ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"],
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_extendedprice", 2).alias("extprice"),
+    ),
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           round(l_extendedprice, 2) AS extprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_orderkey
+            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+
+
+def _mean_imputation(t: Tables) -> DataFrame:
+    base = t["part"].select(
+        "p_partkey",
+        F.when(F.col("p_size") < 5, None)
+        .otherwise(F.col("p_retailprice"))
+        .alias("price_n"),
+    )
+    imputed = cleaning.impute_mean(base, ["price_n"])
+    return base.select("p_partkey", F.col("price_n").isNull().alias("was_null")).join(
+        imputed.select("p_partkey", F.col("price_n").alias("price_imputed")),
+        "p_partkey",
+    )
+
+
+register(
+    "stg_mean_imputation",
+    _mean_imputation,
+    """
+    WITH base AS (
+        SELECT p_partkey,
+               CASE WHEN p_size < 5 THEN NULL ELSE p_retailprice END AS price_n
+        FROM part
+    ), m AS (SELECT avg(price_n) AS mean_p FROM base)
+    SELECT p_partkey,
+           (price_n IS NULL) AS was_null,
+           round(coalesce(price_n, mean_p), 2) AS price_imputed
+    FROM base CROSS JOIN m
+    """,
+)
+
+register(
+    "stg_dim_key_map",
+    lambda t: cleaning.dim_key_map(
+        t["customer"], "c_nationkey", "c_custkey", ["c_acctbal", "c_custkey"]
+    ).withColumnRenamed("c_custkey", "dim_custkey"),
+    """
+    SELECT c_nationkey, c_custkey AS dim_custkey
+    FROM (
+        SELECT c_nationkey, c_custkey, ROW_NUMBER() OVER (
+            PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+)
+
+
+def _sentinel_ts(t: Tables) -> DataFrame:
+    base = t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderdate"))
+        .alias("ts_n"),
+    )
+    filled = cleaning.sentinel_timestamps(base, ["ts_n"])
+    return base.select(
+        "o_orderkey", F.col("ts_n").isNull().alias("was_null")
+    ).join(
+        filled.select("o_orderkey", F.col("ts_n").alias("orderdate_filled")),
+        "o_orderkey",
+    )
+
+
+register(
+    "stg_sentinel_timestamps",
+    _sentinel_ts,
+    """
+    SELECT o_orderkey,
+           (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderdate END IS NULL)
+               AS was_null,
+           coalesce(
+               CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderdate END,
+               TIMESTAMP '1900-01-01 00:00:00') AS orderdate_filled
+    FROM orders
+    """,
+)
+
+register(
+    "dwh_audit_load",
+    lambda t: cleaning.audit_columns(
+        t["customer"].select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"), "c_mktsegment",
+        ),
+        "2026-01-01",
+    ),
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal, 2) AS acctbal, c_mktsegment,
+           DATE '2026-01-01' AS insertion_date,
+           DATE '2026-01-01' AS modification_date
+    FROM customer
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Analytics (ref run_analytics.py / streamlit utils.py semantics)
+# --------------------------------------------------------------------------
+
+register(
+    "sales_master_join",
+    lambda t: star.sales_master(t).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        F.round("l_extendedprice", 2).alias("extprice"),
+        F.round("l_discount", 4).alias("discount"),
+        "c_mktsegment",
+        "cust_nation",
+        "cust_region",
+        "category",
+        "supp_nation",
+    ),
+    """
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderstatus,
+           round(l.l_extendedprice, 2) AS extprice,
+           round(l.l_discount, 4) AS discount,
+           c.c_mktsegment,
+           cn.n_name AS cust_nation,
+           cr.r_name AS cust_region,
+           p.p_type AS category,
+           sn.n_name AS supp_nation
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    LEFT JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    """,
+)
+
+register(
+    "kpi_overview",
+    analytics.kpi_overview,
+    """
+    SELECT round(sum(o_totalprice), 2) AS total_revenue,
+           count(DISTINCT o_orderkey) AS total_orders,
+           count(DISTINCT o_custkey) AS unique_customers,
+           round(avg(o_totalprice), 2) AS avg_order_value
+    FROM orders
+    """,
+)
+
+register(
+    "daily_sales",
+    analytics.daily_sales,
+    """
+    SELECT CAST(o_orderdate AS DATE) AS sales_date,
+           round(sum(o_totalprice), 2) AS total_sales,
+           count(DISTINCT o_orderkey) AS number_of_orders
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY 1
+    """,
+)
+
+register(
+    "sales_by_geography",
+    analytics.sales_by_geography,
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(o.o_totalprice), 2) AS total_sales,
+           count(DISTINCT o.o_orderkey) AS num_orders,
+           round(avg(c.c_acctbal), 2) AS avg_acctbal
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "rfm_segments",
+    analytics.rfm_segments,
+    """
+    WITH snap AS (
+        SELECT CAST(max(o_orderdate) AS DATE) + INTERVAL 1 DAY AS snap_date
+        FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         CAST((SELECT snap_date FROM snap) AS DATE)) AS recency,
+               count(DISTINCT o_orderkey) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               5 - NTILE(4) OVER (ORDER BY recency, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM per_cust
+    ),
+    seg AS (
+        SELECT *,
+               CASE
+                   WHEN r_score >= 4 AND f_score >= 4 THEN 'Champions'
+                   WHEN r_score >= 3 AND f_score >= 3 THEN 'Loyal Customers'
+                   WHEN r_score >= 3 AND f_score < 3 THEN 'Potential Loyalists'
+                   WHEN r_score < 3 AND f_score >= 4 THEN 'Cannot Lose'
+                   WHEN r_score >= 2 AND f_score >= 2 THEN 'At Risk'
+                   WHEN r_score < 2 AND f_score < 2 THEN 'Hibernating'
+                   ELSE 'Needs Attention'
+               END AS segment
+        FROM scored
+    )
+    SELECT segment,
+           count(*) AS customer_count,
+           round(avg(recency), 1) AS avg_recency,
+           round(avg(frequency), 1) AS avg_frequency,
+           round(avg(monetary), 1) AS avg_monetary
+    FROM seg
+    GROUP BY segment
+    """,
+)
+
+register(
+    "seller_performance",
+    analytics.seller_performance,
+    """
+    SELECT s.s_suppkey, s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+           count(DISTINCT l.l_orderkey) AS total_orders,
+           round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))), 2)
+               AS avg_ship_delay_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "delivery_performance",
+    analytics.delivery_performance,
+    """
+    WITH d AS (
+        SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS ship_delay_days,
+               l.l_extendedprice
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN ship_delay_days <= 30 THEN 'On-Time' ELSE 'Late' END
+               AS delivery_status,
+           count(*) AS num_items,
+           round(avg(ship_delay_days), 2) AS avg_delay_days,
+           round(avg(l_extendedprice), 2) AS avg_item_price
+    FROM d
+    GROUP BY 1
+    """,
+)
+
+_PCT_SQL = """
+    SELECT {key_expr} AS {alias},
+           count(*) AS cnt,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct
+    FROM {table}
+    GROUP BY 1
+"""
+
+register(
+    "order_status_distribution",
+    analytics.order_status_distribution,
+    _PCT_SQL.format(key_expr="o_orderstatus", alias="order_status", table="orders"),
+)
+
+register(
+    "event_type_distribution",
+    analytics.event_type_distribution,
+    _PCT_SQL.format(key_expr="event_type", alias="event_type", table="events"),
+)
+
+register(
+    "quantity_distribution",
+    analytics.quantity_distribution,
+    _PCT_SQL.format(
+        key_expr="CAST(l_quantity AS INTEGER)", alias="quantity", table="lineitem"
+    ),
+)
+
+register(
+    "top_categories_by_revenue",
+    analytics.top_categories_by_revenue,
+    """
+    SELECT p.p_type AS category,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    ORDER BY revenue DESC, category ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "top_seller_nations",
+    analytics.top_seller_nations,
+    """
+    SELECT n.n_name AS seller_nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY revenue DESC, seller_nation ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "category_avg_discount",
+    analytics.category_avg_discount,
+    """
+    SELECT p.p_type AS category,
+           round(avg(l.l_discount), 4) AS avg_discount,
+           count(*) AS num_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+
+register(
+    "pricing_summary",
+    analytics.pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "top_revenue_orders",
+    analytics.top_revenue_orders,
+    """
+    SELECT l.l_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "revenue_by_nation",
+    analytics.revenue_by_nation,
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Event-stream (batch-checkable; ref kafka_scripts/consumer.py semantics)
+# --------------------------------------------------------------------------
+
+register(
+    "events_minutely",
+    events.events_minutely,
+    """
+    SELECT date_trunc('minute', ts) AS minute,
+           event_type,
+           count(*) AS num_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "user_activity",
+    events.user_activity,
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+
+register(
+    "running_totals",
+    events.running_totals,
+    """
+    WITH per_min AS (
+        SELECT date_trunc('minute', ts) AS minute,
+               round(sum(value), 2) AS minute_revenue
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT minute, minute_revenue,
+           round(sum(minute_revenue) OVER (
+               ORDER BY minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS cumulative_revenue
+    FROM per_min
+    """,
+)
+
+register(
+    "recent_events",
+    events.recent_events,
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+register(
+    "dedup_exact",
+    dedup.dedup_exact,
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
+_SHINGLE_SQL = """
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, greatest(len(w) - 1, 1))]) AS s
+        FROM words
+    )
+"""
+
+register(
+    "dedup_ngram_jaccard",
+    lambda t: dedup.dedup_ngram_jaccard(t, n=3, threshold=0.1),
+    _SHINGLE_SQL
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.1
+    """,
+)
+
+# Engine-specific hash functions (crc32/xxhash64) are not reproducible in
+# DuckDB SQL → rows-only checks for the LSH family.
+register("dedup_minhash_lsh", lambda t: dedup.dedup_minhash_lsh(t, threshold=0.1), None)
+register("dedup_simhash", lambda t: dedup.dedup_simhash(t, max_hamming=6), None)
+register("ann_lsh", lambda t: similarity.ann_lsh(t, k=5), None)
+
+_COSINE_SQL = """
+    list_sum(list_transform(range(1, len({a}) + 1),
+                            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                                    i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                                      i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+register(
+    "embedding_knn",
+    lambda t: similarity.embedding_knn(t, n_queries=10, k=5),
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+    sims AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_COSINE_SQL.format(a='q.q_emb', b='e.embedding')}, 6)
+                   AS cosine_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+register(
+    "embedding_near_dup",
+    lambda t: similarity.embedding_near_dup(t, threshold=0.95),
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+               AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.95
+    """,
+)
+
+_EN = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+_DE = "'der', 'die', 'das', 'und', 'ist', 'nicht'"
+_FR = "'le', 'la', 'les', 'et', 'est', 'une'"
+_ES = "'el', 'la', 'los', 'y', 'es', 'una'"
+
+
+def _stop_sql(words: str) -> str:
+    return (
+        f"round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),"
+        f" x -> x IN ({words}))) AS DOUBLE)"
+        f" / len(string_split(lower(trim(text)), ' ')), 4)"
+    )
+
+
+register(
+    "lang_id",
+    textops.lang_id,
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_stop_sql(_EN)} AS en_score,
+               {_stop_sql(_DE)} AS de_score,
+               {_stop_sql(_FR)} AS fr_score,
+               {_stop_sql(_ES)} AS es_score
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE
+               WHEN greatest(en_score, de_score, fr_score, es_score) <= 0
+                   THEN 'unknown'
+               WHEN en_score = greatest(en_score, de_score, fr_score, es_score)
+                   THEN 'en'
+               WHEN de_score = greatest(en_score, de_score, fr_score, es_score)
+                   THEN 'de'
+               WHEN fr_score = greatest(en_score, de_score, fr_score, es_score)
+                   THEN 'fr'
+               ELSE 'es'
+           END AS pred_lang,
+           en_score
+    FROM scored
+    """,
+)
+
+register(
+    "text_quality",
+    textops.text_quality,
+    f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+               round((length(lower(text))
+                      - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                     / CAST(length(lower(text)) AS DOUBLE), 4) AS punct_ratio,
+               {_stop_sql(_EN)} AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens, punct_ratio, stop_ratio,
+           round(least(n_tokens / 50.0, 1.0) * 0.4
+                 + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                 + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+    FROM feats
+    """,
+)
+
+register(
+    "token_count",
+    textops.token_count,
+    """
+    SELECT doc_id,
+           len(string_split(lower(trim(text)), ' ')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS alnum_tokens,
+           len(list_distinct(string_split(lower(trim(text)), ' ')))
+               AS distinct_tokens
+    FROM documents
+    """,
+)
+
+register(
+    "doc_fingerprint",
+    textops.doc_fingerprint,
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+
+register(
+    "multimodal_meta",
+    multimodal.multimodal_meta,
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
