@@ -1,0 +1,98 @@
+"""Ingestion: raw files → typed, cleaned, partitioned lake tables.
+
+Re-expresses the reference's ingestion surface
+(/root/reference/spark_transform.py):
+
+- CSV reads with explicit StructType schemas (never inferSchema),
+  header/quote/multiLine options matching the reference's reader
+  (spark_transform.py:491-511).
+- lowercase column normalization (spark_transform.py:517).
+- per-table cleaning (dedup, zip/city normalization) via operators/cleaning.
+- "latest date folder" selection (spark_transform.py:232-328): the
+  reference walks S3 prefixes for the newest date; on a hive-partitioned
+  lake the same thing is a max() over the partition column, resolved by
+  partition pruning without listing data files.
+- warehouse write: JDBC when a driver is available (the reference's
+  postgres load, spark_transform.py:331-355), else partitioned parquet.
+
+Scale notes: CSV parsing is the classic ingest bottleneck — it
+parallelizes per-file/per-split automatically; explicit schemas avoid
+the full pre-scan inferSchema costs. Writes go through
+``partitionBy(date)`` so downstream reads prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ecom_etl_proj_spark.operators import cleaning
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Typed CSV read with the reference's parse options."""
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return lowercase_columns(df)
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def latest_snapshot(df: DataFrame, snapshot_col: str) -> DataFrame:
+    """Keep only the newest snapshot partition (the reference's
+    latest-date-folder logic). The scalar max is resolved against
+    partition metadata when ``snapshot_col`` is a partition column, so
+    no fact data is read to find it."""
+    latest = df.agg(F.max(snapshot_col).alias("__latest"))
+    return (
+        df.join(F.broadcast(latest), F.col(snapshot_col) == F.col("__latest"))
+        .drop("__latest")
+    )
+
+
+def clean_table(df: DataFrame, dedup_keys: list[str] | None = None,
+                order_by: list[str] | None = None,
+                string_cols: list[str] | None = None) -> DataFrame:
+    """The reference's standard cleaning pass: normalize strings, then
+    deterministic dedup (spark_transform.py:517-555)."""
+    out = df
+    if string_cols:
+        out = cleaning.normalize_strings(out, string_cols)
+    if dedup_keys:
+        out = cleaning.dedup_keep_first(out, dedup_keys, order_by or dedup_keys)
+    return out
+
+
+def write_lake(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Date-partitioned parquet write — the processed/ zone."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_warehouse(
+    df: DataFrame,
+    table: str,
+    jdbc_url: str | None = None,
+    properties: dict[str, str] | None = None,
+    fallback_path: str | None = None,
+) -> str:
+    """Warehouse load: JDBC append like the reference's postgres load
+    when a URL+driver is configured, else parquet fallback (this
+    container has no database)."""
+    if jdbc_url:
+        df.write.jdbc(url=jdbc_url, table=table, mode="append",
+                      properties=properties or {})
+        return f"jdbc:{table}"
+    if fallback_path is None:
+        raise ValueError("no jdbc_url and no fallback_path")
+    df.write.mode("overwrite").parquet(fallback_path)
+    return f"parquet:{fallback_path}"

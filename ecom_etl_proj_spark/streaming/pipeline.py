@@ -1,0 +1,114 @@
+"""Real-time metrics as Structured Streaming.
+
+The reference's Kafka consumer (/root/reference/kafka_scripts/consumer.py)
+maintains Redis counters row-at-a-time in Python: minutely counts and
+revenue per topic, per-product/per-user counters, running totals,
+recent-N lists. Here the same metric surface is declarative Structured
+Streaming over an event stream:
+
+- minutely counters  → watermarked tumbling-window aggregation
+- running totals     → stateful aggregation (complete/update mode)
+- per-user counters  → keyed aggregation
+- recent-N feed      → append stream; the sink keeps the tail
+
+Scale notes (100 TB/day of events):
+- The watermark bounds state: windows older than the lateness horizon
+  are finalized and evicted, so state size is O(active windows x keys),
+  not O(stream length). The reference's Redis consumer has exactly this
+  shape (86400s expiry) — expressed here as `withWatermark`.
+- Aggregations are keyed by (window, event_type) / user_id: partial
+  aggregation happens per micro-batch task before the state-store
+  shuffle, identical to the batch plans.
+- Sources: any Spark streaming source plugs in (kafka/file/rate/socket).
+  ``file_stream_source`` mirrors the reference's Kafka-topic JSON events
+  with a directory source so the pipeline is testable offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.catalog import SCHEMAS
+
+
+def file_stream_source(spark: SparkSession, directory: str) -> DataFrame:
+    """Stream the events table schema from a parquet directory source."""
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(directory)
+
+
+def kafka_json_source(
+    spark: SparkSession, bootstrap: str, topics: str
+) -> DataFrame:
+    """Kafka source parsed to the events schema (production path).
+
+    Mirrors the reference consumer's topic subscription + JSON decode
+    (consumer.py:80-97); not exercisable in this container (no broker),
+    kept as the documented production wiring.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), SCHEMAS["events"]).alias("e")
+    ).select("e.*")
+
+
+def minutely_metrics(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling 1-minute counters per event type
+    (consumer.py:199-213 hincrby minutely keys)."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("num_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("minute"),
+            "event_type",
+            "num_events",
+            "total_value",
+        )
+    )
+
+
+def user_counters(events: DataFrame) -> DataFrame:
+    """Running per-user activity counters (consumer.py:214-216)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("num_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def global_totals(events: DataFrame) -> DataFrame:
+    """The consumer's metrics:totals hash (consumer.py:346-357)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("total_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def recent_feed(events: DataFrame) -> DataFrame:
+    """Append-mode activity feed (recent:views lpush, consumer.py:219-226).
+
+    The stream stays append-only; the serving layer keeps the tail-N,
+    exactly like Redis LTRIM did in the reference.
+    """
+    return events.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def run_to_memory(
+    df: DataFrame, name: str, mode: str = "update"
+):
+    """Start a memory-sink query (test/debug harness)."""
+    return (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )

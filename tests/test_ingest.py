@@ -1,0 +1,72 @@
+"""Ingestion round-trip tests: CSV → typed frame → cleaned → lake → read back."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.sources import ingest
+
+
+@pytest.fixture(scope="module")
+def workdir():
+    d = tempfile.mkdtemp(prefix="ingest_t_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip_with_schema(spark, tables, workdir):
+    csv_dir = os.path.join(workdir, "customer_csv")
+    tables["customer"].write.mode("overwrite").option("header", "true").csv(csv_dir)
+    back = ingest.read_csv(spark, csv_dir, tables["customer"].schema)
+    assert back.count() == tables["customer"].count()
+    assert back.schema == tables["customer"].schema
+    # typed read: acctbal survives as double
+    assert dict(back.dtypes)["c_acctbal"] == "double"
+
+
+def test_latest_snapshot(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        ["id", "snap"],
+    )
+    out = ingest.latest_snapshot(df, "snap").collect()
+    assert sorted(r["id"] for r in out) == [2, 3]
+
+
+def test_clean_table_normalizes_and_dedups(spark):
+    df = spark.createDataFrame(
+        [(1, "  SAo Paulo "), (1, "sao paulo"), (2, "Rio")],
+        ["k", "city"],
+    )
+    out = ingest.clean_table(
+        df, dedup_keys=["k"], order_by=["city"], string_cols=["city"]
+    ).collect()
+    got = {r["k"]: r["city"] for r in out}
+    assert got[2] == "rio"
+    assert got[1] in ("sao paulo",)  # normalized + deduped deterministically
+
+
+def test_write_lake_partition_pruning(spark, tables, workdir):
+    lake = os.path.join(workdir, "orders_lake")
+    df = tables["orders"].withColumn("order_date", F.to_date("o_orderdate"))
+    ingest.write_lake(df, lake, ["order_date"])
+    one_day = df.select("order_date").distinct().limit(1).collect()[0][0]
+    back = spark.read.parquet(lake).filter(F.col("order_date") == F.lit(one_day))
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert back.count() == df.filter(F.col("order_date") == F.lit(one_day)).count()
+
+
+def test_write_warehouse_fallback(spark, tables, workdir):
+    out = ingest.write_warehouse(
+        tables["nation"], "nation", fallback_path=os.path.join(workdir, "wh_nation")
+    )
+    assert out.startswith("parquet:")
+    assert spark.read.parquet(os.path.join(workdir, "wh_nation")).count() == 25

@@ -1,0 +1,103 @@
+"""Structured Streaming pipeline tests: memory-sink micro-batches must
+reproduce the batch aggregation semantics."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.streaming import pipeline
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tables):
+    """Materialize the events table as a clean (µs-timestamp) parquet
+    directory that a streaming file source can watch."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    tables["events"].repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_minutely_metrics_match_batch(spark, tables, events_dir):
+    stream = pipeline.file_stream_source(spark, events_dir)
+    # complete mode: append would hold back windows newer than the
+    # watermark horizon at end-of-stream, so totals wouldn't match batch.
+    q = pipeline.run_to_memory(
+        pipeline.minutely_metrics(stream), "minutely_t", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT sum(num_events) AS n, count(*) AS rows FROM minutely_t"
+    ).collect()[0]
+    assert got["n"] == tables["events"].count()
+    # one output row per (minute, type) — same key space as the batch agg
+    batch_rows = (
+        tables["events"]
+        .groupBy(F.date_trunc("minute", "ts"), "event_type")
+        .count()
+        .count()
+    )
+    assert got["rows"] == batch_rows
+
+
+def test_global_totals_match_batch(spark, tables, events_dir):
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.run_to_memory(
+        pipeline.global_totals(stream), "totals_t", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["total_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM totals_t").collect()
+    }
+    expect = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_incremental_foreachbatch(spark, tables, events_dir):
+    """Two-batch incremental run through a checkpoint: the second run
+    must only process newly arrived files."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="events_inc_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    half1 = tables["events"].filter(F.col("event_id") % 2 == 0)
+    half2 = tables["events"].filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(os.path.join(src, "batch1"))
+
+    seen: list[int] = []
+
+    def run_once():
+        stream = spark.readStream.schema(half1.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            pipeline.recent_feed(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _eid: seen.append(df.count()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = sum(seen)
+    half2.write.mode("overwrite").parquet(os.path.join(src, "batch2"))
+    run_once()
+    n2 = sum(seen)
+
+    assert n1 == half1.count()
+    assert n2 == tables["events"].count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
