@@ -307,3 +307,158 @@ def revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
             )
         )
     )
+
+
+def revenue_forecast(t: dict[str, DataFrame]) -> DataFrame:
+    """Promotion-revenue what-if (TPC-H Q6 shape): pure scan+filter+agg.
+
+    Every predicate is pushable; at 100 TB this reads only the shipdate
+    partitions and the three referenced columns.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "forecast_revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def order_priority_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Priority counts for orders with late-shipped items (TPC-H Q4
+    shape). The EXISTS becomes a left-semi join: no fan-out, the fact
+    table is only probed."""
+    late = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .select(F.col("l_orderkey").alias("late_orderkey"))
+        .distinct()
+    )
+    return (
+        t["orders"]
+        .join(late, F.col("o_orderkey") == F.col("late_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def monthly_sales(t: dict[str, DataFrame]) -> DataFrame:
+    """Monthly revenue trend (the dashboard's daily trend, coarser)."""
+    return (
+        t["orders"]
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.count_distinct("o_orderkey").alias("number_of_orders"),
+            F.count_distinct("o_custkey").alias("active_customers"),
+        )
+    )
+
+
+def market_segment_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue share per market segment (status-distribution shape on
+    the customer dimension)."""
+    seg = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    total = Window.partitionBy()
+    return seg.select(
+        "mktsegment",
+        "revenue",
+        F.round(F.lit(100.0) * F.col("revenue") / F.sum("revenue").over(total), 2).alias(
+            "revenue_pct"
+        ),
+    )
+
+
+def top_customers(t: dict[str, DataFrame], n: int = 20) -> DataFrame:
+    """Customer lifetime-value leaderboard."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+            F.count_distinct("o_orderkey").alias("num_orders"),
+        )
+        .orderBy(F.col("lifetime_value").desc(), F.col("o_custkey").asc())
+        .limit(n)
+    )
+
+
+def part_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Size histogram with fixed-width buckets (pure int arithmetic)."""
+    return (
+        t["part"]
+        .groupBy((F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_bucket"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# Partial category → english translation dim, mirroring the reference's
+# product_category_name_translation table (staging_layer.py:193-224):
+# COALESCE(translated, original) with untranslated categories passing
+# through.
+CATEGORY_TRANSLATION = {
+    "ECONOMY": "economy_class",
+    "LARGE": "large_format",
+    "PROMO": "promotional",
+}
+
+
+def category_translation(t: dict[str, DataFrame]) -> DataFrame:
+    """Translation-dim left join + COALESCE fallback chain."""
+    spark = t["part"].sparkSession
+    trans = spark.createDataFrame(
+        list(CATEGORY_TRANSLATION.items()), ["cat", "cat_english"]
+    )
+    return (
+        t["part"]
+        .join(F.broadcast(trans), F.col("p_type") == F.col("cat"), "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("cat_english"), F.col("p_type"), F.lit("others")).alias(
+                "category_final"
+            ),
+            F.col("cat_english").isNotNull().alias("was_translated"),
+        )
+    )
+
+
+def geo_fallback_join(t: dict[str, DataFrame]) -> DataFrame:
+    """Dimension join with an explicit fallback record.
+
+    Mirrors the staging layer's unknown-geolocation handling
+    (staging_layer.py:237-269): keys missing from the dim map get the
+    sentinel -1 "Unknown" record instead of NULL, keeping the DWH
+    NOT NULL contract. Here the partial dim map covers only regions 0-2.
+    """
+    partial_map = (
+        t["nation"]
+        .filter(F.col("n_regionkey") < 3)
+        .select(F.col("n_nationkey").alias("map_key"), F.col("n_name").alias("geo_name"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(partial_map), F.col("c_nationkey") == F.col("map_key"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("map_key"), F.lit(-1)).cast("int").alias("geo_key"),
+            F.coalesce(F.col("geo_name"), F.lit("Unknown")).alias("geo_name"),
+        )
+    )

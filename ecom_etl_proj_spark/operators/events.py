@@ -75,3 +75,55 @@ def recent_events(t: dict[str, DataFrame], n: int = 100) -> DataFrame:
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(n)
     )
+
+
+def sessionization(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a quiet gap.
+
+    The standard streaming-session operator expressed as two windows
+    over (user_id, ts): a lag marks session starts, a running sum
+    assigns session indexes. Both windows partition by user_id, so the
+    shuffle key is the user — state per task is one user's history, and
+    skewed users are split by AQE. (In streaming form this is
+    ``session_window``/``applyInPandasWithState``; the batch form here
+    is the oracle-checkable equivalent.)
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epoch on both engines (second-truncation vs fractional
+    # epoch() disagrees at gap boundaries)
+    us = F.unix_micros(F.col("ts"))
+    marked = t["events"].withColumn(
+        "new_session",
+        F.when(
+            (us - F.lag(us).over(w_user)) > gap_minutes * 60 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_idx", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000").alias(
+            "duration_secs"
+        ),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def event_value_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type value statistics incl. exact median (dashboard KPI tiles)."""
+    return t["events"].groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("median_value"),
+        F.round(F.stddev_samp("value"), 2).alias("stddev_value"),
+    )

@@ -122,3 +122,16 @@ def ann_lsh(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-label embedding magnitude statistics (corpus health check)."""
+    emb = t["embeddings"].select(
+        "label", F.round(V.norm("embedding"), 6).alias("nrm")
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+    )

@@ -81,3 +81,36 @@ def doc_fingerprint(t: dict[str, DataFrame]) -> DataFrame:
         X.fingerprint().alias("fingerprint"),
         F.length("text").alias("n_chars_actual"),
     )
+
+
+def top_terms(t: dict[str, DataFrame], n: int = 50) -> DataFrame:
+    """Corpus term frequency leaderboard.
+
+    Explode → hash agg → global top-N on the aggregated term space. At
+    100 TB the explode fan-out is the cost; partial aggregation happens
+    map-side so the shuffle carries (term, count) pairs only.
+    """
+    return (
+        t["documents"]
+        .select(F.explode(X.tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def doc_length_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-language corpus shape statistics."""
+    d = t["documents"]
+    return (
+        d.select("lang", X.token_count().alias("n_tok"), F.length("text").alias("n_ch"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.round(F.avg("n_ch"), 2).alias("avg_chars"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )

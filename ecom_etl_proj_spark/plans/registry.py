@@ -743,3 +743,225 @@ register(
     FROM documents
     """,
 )
+
+# --------------------------------------------------------------------------
+# Round-1 widening: more analytics shapes, sessionization, corpus stats
+# --------------------------------------------------------------------------
+
+register(
+    "revenue_forecast",
+    analytics.revenue_forecast,
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+register(
+    "order_priority_counts",
+    analytics.order_priority_counts,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 60
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+
+register(
+    "monthly_sales",
+    analytics.monthly_sales,
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           round(sum(o_totalprice), 2) AS total_sales,
+           count(DISTINCT o_orderkey) AS number_of_orders,
+           count(DISTINCT o_custkey) AS active_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+
+register(
+    "market_segment_share",
+    analytics.market_segment_share,
+    """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS mktsegment,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT mktsegment, revenue,
+           round(100.0 * revenue / sum(revenue) OVER (), 2) AS revenue_pct
+    FROM seg
+    """,
+)
+
+register(
+    "top_customers",
+    analytics.top_customers,
+    """
+    SELECT o_custkey,
+           round(sum(o_totalprice), 2) AS lifetime_value,
+           count(DISTINCT o_orderkey) AS num_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY lifetime_value DESC, o_custkey ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "part_size_histogram",
+    analytics.part_size_histogram,
+    """
+    SELECT CAST(floor(p_size / 10) * 10 AS INTEGER) AS size_bucket,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+
+register(
+    "category_translation",
+    analytics.category_translation,
+    """
+    WITH trans(cat, cat_english) AS (VALUES
+        ('ECONOMY', 'economy_class'),
+        ('LARGE', 'large_format'),
+        ('PROMO', 'promotional'))
+    SELECT p.p_partkey,
+           coalesce(t.cat_english, p.p_type, 'others') AS category_final,
+           (t.cat_english IS NOT NULL) AS was_translated
+    FROM part p LEFT JOIN trans t ON p.p_type = t.cat
+    """,
+)
+
+register(
+    "geo_fallback_join",
+    analytics.geo_fallback_join,
+    """
+    WITH pm AS (
+        SELECT n_nationkey AS map_key, n_name AS geo_name
+        FROM nation WHERE n_regionkey < 3
+    )
+    SELECT c.c_custkey,
+           CAST(coalesce(pm.map_key, -1) AS INTEGER) AS geo_key,
+           coalesce(pm.geo_name, 'Unknown') AS geo_name
+    FROM customer c LEFT JOIN pm ON c.c_nationkey = pm.map_key
+    """,
+)
+
+register(
+    "sessionization",
+    events.sessionization,
+    """
+    WITH marked AS (
+        SELECT *,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_secs,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "event_value_stats",
+    events.event_value_stats,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(avg(value), 2) AS avg_value,
+           round(quantile_cont(value, 0.5), 2) AS median_value,
+           round(stddev_samp(value), 2) AS stddev_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+register(
+    "top_terms",
+    textops.top_terms,
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    )
+    SELECT term, count(*) AS freq
+    FROM toks
+    GROUP BY term
+    ORDER BY freq DESC, term ASC
+    LIMIT 50
+    """,
+)
+
+register(
+    "doc_length_stats",
+    textops.doc_length_stats,
+    """
+    WITH d AS (
+        SELECT lang,
+               len(string_split(lower(trim(text)), ' ')) AS n_tok,
+               length(text) AS n_ch
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_tok), 2) AS avg_tokens,
+           round(avg(n_ch), 2) AS avg_chars,
+           min(n_tok) AS min_tokens,
+           max(n_tok) AS max_tokens
+    FROM d
+    GROUP BY lang
+    """,
+)
+
+_NORM_SQL = """sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"""
+
+register(
+    "embedding_norms",
+    similarity.embedding_norms,
+    f"""
+    WITH e AS (
+        SELECT label, round({_NORM_SQL}, 6) AS nrm FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM e
+    GROUP BY label
+    """,
+)
