@@ -16,6 +16,7 @@ and bucketed by join key to make the fact-fact join shuffle-free.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +41,22 @@ TABLES = (
 # (region/nation are bounded by geography; supplier/part grow but stay
 # orders of magnitude below the fact tables).
 BROADCAST_DIMS = ("region", "nation", "supplier")
+
+# Tables whose downstream operators do heavy per-row fan-out work
+# (shingle/token explodes) + the partitioning key those operators
+# reuse. A parquet file with a single row group cannot be split, so a
+# single-file table runs its scan stage — including any explode fused
+# into it — on one task; when that happens we hash-repartition on the
+# natural key so the explode+aggregate work spreads across cores, and
+# the doc_id key makes the per-doc aggregations shuffle-free on top.
+# Everything else is deliberately NOT listed (measured, not guessed):
+# window/groupBy queries already get parallelism from their own
+# shuffle, and for light scan+agg tables the parse cost dominates, so
+# an extra exchange only adds latency. On a real lake files are
+# many/bucketed and this path never triggers.
+SPLIT_KEYS = {
+    "documents": "doc_id",
+}
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(
@@ -146,6 +163,22 @@ def _enable_nanos_read(spark: SparkSession) -> None:
         pass
 
 
+@lru_cache(maxsize=256)
+def _few_splits(path: str) -> bool:
+    """True if the parquet path can't parallelize a scan (fewer than 8
+    row groups / files). Checked from file metadata (milliseconds,
+    cached) — never by resolving the Spark plan."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).num_row_groups < 8
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        return len(files) < 8
+    except Exception:  # pragma: no cover - remote/odd layouts: assume fine
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, projecting to its declared schema columns."""
     if name not in SCHEMAS:
@@ -170,7 +203,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             elif actual.get(f.name) != "timestamp":
                 c = c.cast("timestamp")
         cols.append(c.alias(f.name))
-    return df.select(*cols)
+    out = df.select(*cols)
+    key = SPLIT_KEYS.get(name)
+    if key is not None and _few_splits(path):
+        out = out.repartition(spark.sparkContext.defaultParallelism, key)
+    return out
 
 
 def load_tables(

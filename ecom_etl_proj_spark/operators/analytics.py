@@ -462,3 +462,169 @@ def geo_fallback_join(t: dict[str, DataFrame]) -> DataFrame:
             F.coalesce(F.col("geo_name"), F.lit("Unknown")).alias("geo_name"),
         )
     )
+
+
+def daily_sales_7d_ma(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily sales with a 7-day trailing moving average.
+
+    The dashboard's daily trend (utils.py:208-230) smoothed the way every
+    sales chart is. Two-level plan: daily hash-agg first (shuffle carries
+    one row per day), then a range window over days — the window input is
+    already tiny, so the single-partition window is safe at any scale.
+    """
+    daily = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("daily_sales"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "daily_sales",
+        "n_orders",
+        F.round(F.avg("daily_sales").over(w), 6).alias("sales_7d_ma"),
+    )
+
+
+def top_parts_per_category(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
+    """Top-N revenue parts within each category (rank window per group).
+
+    The reference's top/bottom category leaderboards (run_analytics.py:
+    183-197) at part grain. Rank is over the ROUNDED revenue with the
+    part key as tiebreak so ordering is engine-independent.
+    """
+    rev = (
+        t["lineitem"]
+        .join(t["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("category"), "p_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("category").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n)
+        .select("category", "p_partkey", "revenue", "rnk")
+    )
+
+
+def status_month_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """Order counts per month pivoted on status (P/O/F columns).
+
+    Spark's pivot with an explicit value list — no extra pass to discover
+    pivot values, and deterministic output columns.
+    """
+    p = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .count()
+    )
+    return p.select(
+        "month",
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+    )
+
+
+def repeat_customer_rate(t: dict[str, DataFrame]) -> DataFrame:
+    """Share of customers with more than one order (retention KPI)."""
+    per_cust = t["orders"].groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_repeat"),
+        F.round(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("repeat_rate"),
+    )
+
+
+def delivery_delay_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """p50/p90/p99 ship delay per customer nation.
+
+    The reference's delivery-performance analysis (utils.py:427-442) as
+    percentiles instead of buckets. Exact percentile: the per-nation
+    value lists fit an aggregation buffer fine at bench SF; the 100 TB
+    variant swaps in approx_percentile (same plan shape, bounded state —
+    noted here because exact percentile state grows with group size).
+    """
+    d = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"),
+                F.datediff("l_shipdate", "o_orderdate").alias("delay_days"))
+    )
+    return d.groupBy("nation").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.expr("percentile(delay_days, 0.5)"), 4).alias("p50_delay"),
+        F.round(F.expr("percentile(delay_days, 0.9)"), 4).alias("p90_delay"),
+        F.round(F.expr("percentile(delay_days, 0.99)"), 4).alias("p99_delay"),
+    )
+
+
+def revenue_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue at nation, region, and grand-total levels in one pass
+    (ROLLUP — the geography drilldown's three dashboard tiles computed
+    as one partial-agg tree instead of three scans)."""
+    geo = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    joined = t["orders"].join(
+        geo.select("c_custkey", "n_name", "r_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer lifetime value cut into deciles (NTILE) — the RFM
+    monetary axis at finer grain. NTILE total-orders over (rounded
+    value, custkey) so the cut points are engine-independent."""
+    ltv = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("ltv"))
+    )
+    w = Window.orderBy(F.col("ltv").asc(), F.col("o_custkey").asc())
+    return (
+        ltv.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("ltv"), 2).alias("min_ltv"),
+            F.round(F.max("ltv"), 2).alias("max_ltv"),
+            F.round(F.avg("ltv"), 2).alias("avg_ltv"),
+        )
+    )
+
+
+def inactive_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Customers with no orders at all (anti join — probe-only, the
+    orders side is reduced to its distinct keys before the join)."""
+    return (
+        t["customer"]
+        .join(
+            t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    )

@@ -127,3 +127,116 @@ def event_value_stats(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 2).alias("median_value"),
         F.round(F.stddev_samp("value"), 2).alias("stddev_value"),
     )
+
+
+def event_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest prior view.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the
+    union-and-carry trick: tag views and purchases, sort within user by
+    (ts, kind), and carry the last seen view forward with an
+    ignore-nulls last() window. One shuffle on user_id (which the
+    catalog's event partitioning already satisfies), no range-join
+    fan-out, no per-row lookup — this is how as-of joins stay linear at
+    100 TB. Purchases sort BEFORE views at equal ts so the match is
+    strictly earlier (v.ts < p.ts), matching ASOF JOIN semantics.
+    """
+    ev = t["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.lit(1).alias("is_view")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value")
+    )
+    unioned = views.select(
+        "user_id", "ts", "is_view", "view_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("view_ts"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(0).alias("is_view"),
+            F.lit(None).cast("long").alias("view_id"),
+            "purchase_id", "value",
+            F.lit(None).cast("timestamp").alias("view_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_view", "view_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.select(
+        "user_id", "ts", "purchase_id", "value",
+        F.last("view_id", ignorenulls=True).over(w).alias("attr_view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("attr_view_ts"),
+    )
+    return (
+        carried.filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+            "attr_view_id",
+            F.expr(
+                "(unix_micros(ts) - unix_micros(attr_view_ts)) div 1000000"
+            ).alias("secs_since_view"),
+        )
+    )
+
+
+def event_funnel(t: dict[str, DataFrame]) -> DataFrame:
+    """view → click → purchase funnel: users reaching each stage.
+
+    One conditional-aggregation pass per user (bool_or flags), then one
+    scalar rollup — two tiny shuffles, no self-joins per stage.
+    """
+    flags = t["events"].groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
+    )
+    return flags.agg(
+        F.sum("has_view").alias("n_view_users"),
+        F.sum(F.col("has_view") * F.col("has_click")).alias("n_view_click_users"),
+        F.sum(F.col("has_view") * F.col("has_click") * F.col("has_purchase")).alias(
+            "n_full_funnel_users"
+        ),
+    )
+
+
+def hourly_activity(t: dict[str, DataFrame]) -> DataFrame:
+    """Weekday × hour activity heatmap (0=Monday, hours 0-23)."""
+    return (
+        t["events"]
+        .groupBy(
+            F.weekday("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def event_props_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type stats over a JSON payload field (props.k).
+
+    JSON extraction stays JVM-side (get_json_object) — the standard
+    semi-structured-column pattern; at scale the extraction cost is the
+    scan itself, no shuffle added beyond the final tiny agg.
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -135,3 +135,70 @@ def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
     )
+
+
+def ann_ivf(
+    t: dict[str, DataFrame], n_centroids: int = 16, n_probe: int = 2,
+    n_queries: int = 10, k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    The classic IVF index re-expressed relationally:
+
+    1. centroids: a deterministic sample of the corpus (first
+       ``n_centroids`` vectors) stands in for trained k-means centers —
+       the Spark plumbing (broadcast centroids, argmin assignment,
+       cell-bucketed search) is identical either way.
+    2. assignment: every vector → nearest centroid (broadcast join +
+       argmin; one corpus scan, no shuffle).
+    3. probe: each query searches only its ``n_probe`` nearest cells —
+       the join key is the cell id, so work scales with cell population,
+       not corpus size. That is the 100 TB path; brute-force
+       ``embedding_knn`` is the recall baseline it is measured against.
+    """
+    emb = t["embeddings"]
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    # nearest cell per corpus vector
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("dist", -V.cosine("embedding", "c_emb"))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    # each query probes its n_probe nearest cells
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("dist", -V.cosine("q_emb", "c_emb"))
+        .withColumn("rnk", F.row_number().over(probe_w))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    # search within probed cells only
+    cand = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sim = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine("q_emb", "embedding"), 6).alias("cosine_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

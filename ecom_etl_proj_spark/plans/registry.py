@@ -965,3 +965,261 @@ register(
     GROUP BY label
     """,
 )
+
+# --------------------------------------------------------------------------
+# Round-1 widening #2: window/rollup/pivot/asof/funnel shapes, CDC, IVF ANN
+# --------------------------------------------------------------------------
+
+register(
+    "daily_sales_7d_ma",
+    analytics.daily_sales_7d_ma,
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               round(sum(o_totalprice), 2) AS daily_sales,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT day, daily_sales, n_orders,
+           round(avg(daily_sales) OVER (
+               ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+               AND CURRENT ROW), 6) AS sales_7d_ma
+    FROM daily
+    """,
+)
+
+register(
+    "top_parts_per_category",
+    analytics.top_parts_per_category,
+    """
+    WITH rev AS (
+        SELECT p.p_type AS category, l.l_partkey AS p_partkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT category, p_partkey, revenue,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY category ORDER BY revenue DESC, p_partkey ASC) AS rnk
+        FROM rev
+    )
+    WHERE rnk <= 3
+    """,
+)
+
+register(
+    "status_month_pivot",
+    analytics.status_month_pivot,
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f
+    FROM orders
+    GROUP BY 1
+    """,
+)
+
+register(
+    "repeat_customer_rate",
+    analytics.repeat_customer_rate,
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT count(*) AS n_customers,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+           round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+               AS repeat_rate
+    FROM per_cust
+    """,
+)
+
+register(
+    "delivery_delay_percentiles",
+    analytics.delivery_delay_percentiles,
+    """
+    WITH d AS (
+        SELECT n.n_name AS nation,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay_days
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nation, count(*) AS n_items,
+           round(quantile_cont(delay_days, 0.5), 4) AS p50_delay,
+           round(quantile_cont(delay_days, 0.9), 4) AS p90_delay,
+           round(quantile_cont(delay_days, 0.99), 4) AS p99_delay
+    FROM d
+    GROUP BY nation
+    """,
+)
+
+register(
+    "revenue_rollup",
+    analytics.revenue_rollup,
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (region_name, nation_name)
+    """,
+)
+
+register(
+    "customer_value_deciles",
+    analytics.customer_value_deciles,
+    """
+    WITH ltv AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS ltv
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           count(*) AS n_customers,
+           round(min(ltv), 2) AS min_ltv,
+           round(max(ltv), 2) AS max_ltv,
+           round(avg(ltv), 2) AS avg_ltv
+    FROM (
+        SELECT ltv, ntile(10) OVER (ORDER BY ltv ASC, o_custkey ASC) AS decile
+        FROM ltv
+    )
+    GROUP BY 1
+    """,
+)
+
+register(
+    "inactive_customers",
+    analytics.inactive_customers,
+    """
+    SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+register(
+    "event_attribution",
+    events.event_attribution,
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           p.value,
+           v.event_id AS attr_view_id,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS secs_since_view
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND v.ts < p.ts
+    """,
+)
+
+register(
+    "event_funnel",
+    events.event_funnel,
+    """
+    WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(has_view) AS BIGINT) AS n_view_users,
+           CAST(sum(has_view * has_click) AS BIGINT) AS n_view_click_users,
+           CAST(sum(has_view * has_click * has_purchase) AS BIGINT)
+               AS n_full_funnel_users
+    FROM flags
+    """,
+)
+
+register(
+    "hourly_activity",
+    events.hourly_activity,
+    """
+    SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "event_props_stats",
+    events.event_props_stats,
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+
+def _customer_snapshot_diff(t: Tables) -> DataFrame:
+    """CDC demo: diff the customer table against a deterministically
+    perturbed next snapshot (10% deleted, ~8% balance-updated, inserts
+    at shifted keys)."""
+    old = t["customer"]
+    base = old.filter(F.col("c_custkey") % 10 != 7)
+    modified = base.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 13 == 0, F.round(F.col("c_acctbal") + 100, 2))
+        .otherwise(F.col("c_acctbal")),
+    )
+    inserts = (
+        old.filter(F.col("c_custkey") % 17 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+    )
+    new = modified.unionByName(inserts)
+    return cleaning.snapshot_diff(
+        old, new, keys=["c_custkey"], compare_cols=["c_name", "c_acctbal"]
+    )
+
+
+register(
+    "customer_snapshot_diff",
+    _customer_snapshot_diff,
+    """
+    WITH old AS (SELECT * FROM customer),
+    base AS (SELECT * FROM customer WHERE c_custkey % 10 != 7),
+    modified AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_custkey % 13 = 0 THEN round(c_acctbal + 100, 2)
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM base
+    ),
+    inserts AS (
+        SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 0
+    ),
+    new AS (SELECT * FROM modified UNION ALL SELECT * FROM inserts)
+    SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_name != n.c_name OR o.c_acctbal != n.c_acctbal
+                    THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    """,
+)
+
+# IVF ANN: engine-specific cell assignment → rows-only check (like the
+# LSH family); recall is tested against embedding_knn in tests.
+register("ann_ivf", similarity.ann_ivf, None)

@@ -112,3 +112,95 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_metrics(
+    events: DataFrame, gap: str = "30 minutes", lateness: str = "10 minutes"
+) -> DataFrame:
+    """Gap-based user sessions as a native streaming session window.
+
+    The declarative streaming twin of operators/events.sessionization:
+    ``session_window`` merges events into per-user sessions that close
+    after ``gap`` of silence; the watermark finalizes and evicts closed
+    sessions, so state is O(open sessions), not O(history).
+    """
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def running_user_stats(events: DataFrame):
+    """Custom stateful operator: per-user running count/sum/max via
+    ``applyInPandasWithState``.
+
+    The escape hatch for stateful logic no built-in aggregation
+    expresses (the reference consumer's arbitrary Redis updates,
+    consumer.py:214-357). State is one tiny tuple per user_id; the
+    stream shuffles once on user_id and each task owns its users' state
+    — the same partitioning contract as every keyed stage here.
+    """
+    import pandas as pd  # local import: only the streaming path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -86,3 +86,62 @@ def test_minhash_agrees_with_exact_jaccard(spark, tables):
         for r in dedup.dedup_minhash_lsh(tables, threshold=0.2).collect()
     }
     assert lsh.issubset(exact)
+
+
+def test_ann_ivf_recall_vs_exact(spark, tables):
+    """IVF with n_probe=2/16 cells must still recover a decent fraction
+    of the exact top-5 neighbors, and never invent similarities."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.embedding_knn(tables).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.ann_ivf(tables).collect()
+    }
+    # similarities for shared pairs must agree exactly
+    for pair, sim in ivf.items():
+        if pair in exact:
+            assert abs(sim - exact[pair]) < 1e-9
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_snapshot_diff_semantics(spark):
+    """insert/delete/update/unchanged classification on literal frames."""
+    from ecom_etl_proj_spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "bal"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)], ["id", "name", "bal"]
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["id"], ["name", "bal"]).collect()
+    }
+    assert got == {1: "delete", 2: "update", 3: "unchanged", 4: "insert"}
+
+
+def test_event_attribution_matches_window_semantics(spark, tables):
+    """Every attributed view must be the strictly-latest view before the
+    purchase for that user (spot-check via collected pandas)."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    res = ev.event_attribution(tables).toPandas()
+    raw = tables["events"].select("user_id", "ts", "event_type", "event_id").toPandas()
+    views = raw[raw.event_type == "view"]
+    import random
+
+    rng = random.Random(7)
+    sample = res.sample(n=min(20, len(res)), random_state=7)
+    for _, row in sample.iterrows():
+        uv = views[(views.user_id == row.user_id) & (views.ts < row.purchase_ts)]
+        if len(uv) == 0:
+            assert row.attr_view_id is None or row.attr_view_id != row.attr_view_id
+        else:
+            latest = uv.sort_values(["ts", "event_id"]).iloc[-1]
+            assert row.attr_view_id == latest.event_id, (row.purchase_id, row.user_id)

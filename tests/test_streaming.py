@@ -101,3 +101,54 @@ def test_incremental_foreachbatch(spark, tables, events_dir):
     assert n2 == tables["events"].count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_metrics_match_batch_sessionization(spark, tables, events_dir):
+    """Streaming session windows must produce the same session count and
+    event totals as the batch gap-sessionization operator."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.run_to_memory(
+        pipeline.session_metrics(stream), "sessions_t", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n_sessions, sum(n_events) AS n_events FROM sessions_t"
+    ).collect()[0]
+    batch = ev.sessionization(tables).agg(
+        F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+    ).collect()[0]
+    assert got["n_events"] == batch["n_events"]
+    assert got["n_sessions"] == batch["n_sessions"]
+
+
+def test_running_user_stats_stateful(spark, tables, events_dir):
+    """applyInPandasWithState: final per-user state must equal the batch
+    per-user aggregate."""
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.run_to_memory(
+        pipeline.running_user_stats(stream), "ustats_t", mode="update"
+    )
+    q.awaitTermination(120)
+    # update mode may emit several rows per user across micro-batches;
+    # the LAST row per user is the final state.
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM ustats_t) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in tables["events"]
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert got == expect
