@@ -8,7 +8,7 @@ except the final projection; these run at scan speed at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecom_etl_proj_spark.functions import text as X
@@ -113,4 +113,79 @@ def doc_length_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.min("n_tok").alias("min_tokens"),
             F.max("n_tok").alias("max_tokens"),
         )
+    )
+
+
+# GPT-2-style pre-tokenizer pattern (simplified to constructs both Java
+# regex and RE2 support): contraction suffixes, letter runs, digit runs,
+# punctuation runs. Counted on lowercased text.
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9'\\s]+"
+
+
+def token_count_bpe(t: dict[str, DataFrame]) -> DataFrame:
+    """BPE-ish token counting via the GPT-2 pre-tokenizer regex.
+
+    The standard LLM-pipeline cost estimator: a regex segmentation that
+    approximates BPE merge boundaries (contractions split, letter/digit
+    runs separate, punctuation isolated). Pure scan-speed projection —
+    regexp_count is a codegen expression, no shuffle at any scale.
+    """
+    d = t["documents"]
+    low = F.lower("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        X.token_count().alias("ws_tokens"),
+        F.round(
+            F.regexp_count(low, F.lit(BPE_PATTERN))
+            / F.greatest(X.token_count(), F.lit(1)),
+            4,
+        ).alias("bpe_per_word"),
+    )
+
+
+def doc_winnowing(t: dict[str, DataFrame], k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + window min).
+
+    The classic local fingerprinting scheme (Schleimer et al., MOSS):
+    hash every k-token gram, slide a w-wide window, keep each window's
+    minimum hash — guarantees any shared run of >= k+w-1 tokens shares a
+    fingerprint, with ~2/(w+1) of hashes retained. Expressed as
+    posexplode + lead/min windows partitioned by doc_id — codegen
+    expressions end-to-end, shuffle key is the doc (already the catalog
+    partitioning), so this scales with corpus size, not document count
+    squared.
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", F.posexplode(X.tokens()).alias("pos", "tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # concat_ws skips NULLs, so null out incomplete tail grams explicitly
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wdoc) for i in range(1, k)]
+    complete = parts[-1].isNotNull()
+    kg = toks.select(
+        "doc_id",
+        "pos",
+        F.when(complete, F.concat_ws(" ", *parts)).alias("kgram"),
+    ).filter(F.col("kgram").isNotNull())
+    hashed = kg.select(
+        "doc_id", "pos", F.substring(F.md5("kgram"), 1, 16).alias("h")
+    )
+    wfp = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    wcnt = Window.partitionBy("doc_id")
+    fps = (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wfp).alias("fp"),
+            F.max("pos").over(wcnt).alias("max_pos"),
+        )
+        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
     )

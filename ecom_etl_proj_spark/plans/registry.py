@@ -1223,3 +1223,61 @@ register(
 # IVF ANN: engine-specific cell assignment → rows-only check (like the
 # LSH family); recall is tested against embedding_knn in tests.
 register("ann_ivf", similarity.ann_ivf, None)
+
+register(
+    "token_count_bpe",
+    textops.token_count_bpe,
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+               $$'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9'\s]+$$))
+               AS INTEGER) AS bpe_tokens,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS INTEGER)
+               AS ws_tokens,
+           round(len(regexp_extract_all(lower(text),
+               $$'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9'\s]+$$))
+               / CAST(greatest(len(string_split(lower(trim(text)), ' ')), 1)
+                      AS DOUBLE), 4) AS bpe_per_word
+    FROM documents
+    """,
+)
+
+register(
+    "doc_winnowing",
+    textops.doc_winnowing,
+    """
+    WITH toks AS (
+        SELECT doc_id, u.tok, CAST(u.pos AS INTEGER) AS pos FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(lower(trim(text)), ' ')) + 1),
+                       i -> {'pos': i - 1,
+                             'tok': string_split(lower(trim(text)), ' ')[i]}))
+                       AS u
+            FROM documents)
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               CASE WHEN lead(tok, 2) OVER w IS NOT NULL THEN
+                   concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w)
+               END AS kgram
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, substring(md5(kgram), 1, 16) AS h
+        FROM grams WHERE kgram IS NOT NULL
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                   max(pos) OVER (PARTITION BY doc_id) AS max_pos
+            FROM hashed
+        ) WHERE pos <= max_pos - 3
+    )
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+    FROM fps GROUP BY doc_id
+    """,
+)

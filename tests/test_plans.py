@@ -58,3 +58,31 @@ def test_no_python_udfs_in_analytics(tables):
         plan = plan_of(fn(tables))
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_revenue_forecast_pushdown(tables):
+    from ecom_etl_proj_spark.operators import analytics as an
+
+    plan = plan_of(an.revenue_forecast(tables))
+    assert "PushedFilters" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # only the three referenced columns + shipdate should be read
+    assert read and "l_orderkey" not in read[0] and "l_returnflag" not in read[0]
+
+
+def test_event_attribution_no_cartesian(tables):
+    from ecom_etl_proj_spark.operators import events as ev
+
+    plan = plan_of(ev.event_attribution(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union-and-carry: exactly window exchanges, no join at all
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_bounded_by_cells(tables):
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    plan = plan_of(sim.ann_ivf(tables))
+    # centroid joins broadcast; the only non-broadcast join key is the cell
+    assert "CartesianProduct" not in plan
