@@ -140,3 +140,16 @@ def snapshot_diff(
         F.coalesce(F.col(f"new_{k}"), F.col(f"old_{k}")).alias(k) for k in keys
     ]
     return joined.select(*key_out, change.alias("change_type"))
+
+
+def try_parse_timestamps(
+    df: DataFrame, col: str, fmt: str = "yyyy-MM-dd HH:mm:ss"
+) -> DataFrame:
+    """Permissive timestamp parse: bad strings → NULL, never a job abort.
+
+    The reference loads every raw timestamp through TRY_TO_TIMESTAMP
+    (ods_layer.py:328-355) so one malformed row can't fail a COPY. The
+    Spark twin is ``try_to_timestamp`` — same contract under ANSI mode,
+    where a plain cast would throw. Row-local, stays in codegen.
+    """
+    return df.withColumn(col + "_ts", F.try_to_timestamp(F.col(col), F.lit(fmt)))

@@ -189,3 +189,36 @@ def doc_winnowing(t: dict[str, DataFrame], k: int = 3, w: int = 4) -> DataFrame:
         F.count("*").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
     )
+
+
+def train_val_split(t: dict[str, DataFrame], train_pct: int = 90) -> DataFrame:
+    """Deterministic hash-based train/validation split assignment.
+
+    The standard training-data discipline: membership must be a pure
+    function of the example id — stable across runs, machines, and
+    engines, never random(). The first two hex digits of md5(doc_id)
+    give a uniform 0-255 draw compared lexicographically against the
+    cut — identical in any engine with md5. Row-local projection: the
+    split of a 100 TB corpus is a scan, not a shuffle.
+    """
+    cut = format(int(256 * train_pct / 100), "02x")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        bucket.alias("hash_bucket"),
+        F.when(bucket < F.lit(cut), "train").otherwise("val").alias("split"),
+    )
+
+
+def stratified_sample(t: dict[str, DataFrame], pct_by_lang: int = 20) -> DataFrame:
+    """Deterministic per-language stratified sample (same md5-bucket
+    trick as train_val_split, filtered to the stratum fraction)."""
+    cut = format(int(256 * pct_by_lang / 100), "02x")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        t["documents"]
+        .filter(bucket < F.lit(cut))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )

@@ -1281,3 +1281,59 @@ register(
     FROM fps GROUP BY doc_id
     """,
 )
+
+
+def _try_parse_ts(t: Tables) -> DataFrame:
+    """Exercise try_parse_timestamps over deliberately dirty strings."""
+    base = t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("raw_ts"),
+    )
+    out = cleaning.try_parse_timestamps(base, "raw_ts")
+    return out.select(
+        "o_orderkey", F.col("raw_ts_ts").alias("parsed_ts"),
+        F.col("raw_ts_ts").isNull().alias("failed"),
+    )
+
+
+register(
+    "try_timestamp_parse",
+    _try_parse_ts,
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw_ts
+        FROM orders
+    )
+    SELECT o_orderkey,
+           try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+           (try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S') IS NULL) AS failed
+    FROM base
+    """,
+)
+
+register(
+    "train_val_split",
+    textops.train_val_split,
+    """
+    SELECT doc_id, lang,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+
+register(
+    "stratified_sample",
+    textops.stratified_sample,
+    """
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+    GROUP BY lang
+    """,
+)
