@@ -1337,3 +1337,38 @@ register(
     GROUP BY lang
     """,
 )
+
+
+def _skewed_user_join(t: Tables) -> DataFrame:
+    """Salted join of the (hot-keyed) event stream against the customer
+    dim — result identical to a plain join, physical distribution isn't.
+    The events table has ~15 distinct user_ids across every row: the
+    textbook hot-key shape."""
+    from ecom_etl_proj_spark.operators import skew
+
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("dim_user"), "c_mktsegment"
+    )
+    joined = skew.salted_join(
+        t["events"].select("event_id", "user_id", "value"),
+        dim,
+        "user_id",
+        "dim_user",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+register(
+    "skew_salted_join",
+    _skewed_user_join,
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)

@@ -86,3 +86,63 @@ def test_ivf_bounded_by_cells(tables):
     plan = plan_of(sim.ann_ivf(tables))
     # centroid joins broadcast; the only non-broadcast join key is the cell
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import skew
+
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("dim_user"), "c_mktsegment"
+    )
+    fact = tables["events"].select("event_id", "user_id", "value")
+    salted = skew.salted_join(fact, dim, "user_id", "dim_user")
+    plain = fact.join(dim, fact.user_id == dim.dim_user)
+    assert salted.count() == plain.count()
+    # per-key counts identical
+    a = {r["user_id"]: r["n"] for r in salted.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    b = {r["user_id"]: r["n"] for r in plain.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert a == b
+
+
+def test_bucketed_join_no_exchange(spark, tables, tmp_path):
+    """Both sides bucketed on the join key: the join plan must contain
+    no Exchange (the 100 TB fact-fact co-location story)."""
+    import shutil
+
+    from ecom_etl_proj_spark.operators import skew
+
+    # DROP alone can leave orphan directories behind when a previous
+    # session owned the table — clear both metadata and location.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    skew.write_bucketed(
+        tables["orders"].select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8
+    )
+    skew.write_bucketed(
+        tables["lineitem"].select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8
+    )
+    # disable auto-broadcast so the sort-merge path is visible (at real
+    # scale neither fact side would broadcast anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey
+            == spark.table("b_lineitem").l_orderkey,
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
