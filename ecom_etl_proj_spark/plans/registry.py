@@ -1372,3 +1372,14 @@ register(
     GROUP BY c.c_mktsegment
     """,
 )
+
+# --------------------------------------------------------------------------
+# Sketch twins (HLL / KLL / frequent-items): approximate algorithms are
+# engine-specific → rows-only driver check; error bounds vs the exact
+# operators are asserted in tests/test_operators.py.
+# --------------------------------------------------------------------------
+from ecom_etl_proj_spark.operators import sketches  # noqa: E402
+
+register("kpi_overview_approx", sketches.kpi_overview_approx, None)
+register("delay_quantiles_approx", sketches.delay_quantiles_approx, None)
+register("term_heavy_hitters", sketches.term_heavy_hitters, None)

@@ -96,3 +96,20 @@ def write_warehouse(
         raise ValueError("no jdbc_url and no fallback_path")
     df.write.mode("overwrite").parquet(fallback_path)
     return f"parquet:{fallback_path}"
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Typed JSON-lines read (the Kafka-payload shape, batch-side).
+
+    Same explicit-schema contract as read_csv: no inferSchema scan, bad
+    records land in the permissive-mode corrupt column instead of
+    failing the load.
+    """
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    return lowercase_columns(df)

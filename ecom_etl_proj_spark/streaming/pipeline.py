@@ -204,3 +204,57 @@ def running_user_stats(events: DataFrame):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def view_purchase_join(
+    events: DataFrame, horizon: str = "1 hour", lateness: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream join: purchases matched to same-user views within
+    the preceding ``horizon``.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so each side's state store retains only ``horizon+lateness``
+    of history — the requirement for an unbounded stream-stream join to
+    run forever. Shuffle key is user_id on both sides (co-partitioned
+    state).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", lateness)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("p_ts", lateness)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", "p_user", "p_ts", "view_id", "v_ts", "value")
+
+
+def dedup_events_stream(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Streaming deduplication by event_id within the watermark horizon.
+
+    At-least-once sources (Kafka with producer retries — exactly the
+    reference's setup) deliver duplicates; this is the standard fix:
+    ``dropDuplicatesWithinWatermark`` keeps one row per event_id and
+    evicts dedup state older than the watermark, so state is bounded by
+    the lateness horizon, not the stream's lifetime.
+    """
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

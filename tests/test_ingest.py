@@ -70,3 +70,23 @@ def test_write_warehouse_fallback(spark, tables, workdir):
     )
     assert out.startswith("parquet:")
     assert spark.read.parquet(os.path.join(workdir, "wh_nation")).count() == 25
+
+
+def test_json_roundtrip_with_schema(spark, tables, workdir):
+    json_dir = os.path.join(workdir, "events_json")
+    tables["events"].write.mode("overwrite").json(json_dir)
+    back = ingest.read_json(spark, json_dir, tables["events"].schema)
+    assert back.count() == tables["events"].count()
+    assert dict(back.dtypes)["value"] == "double"
+
+
+def test_synthetic_generator_deterministic(spark):
+    from ecom_etl_proj_spark.sources import generator
+
+    a = generator.batch_events(spark, 1000).collect()
+    b = generator.batch_events(spark, 1000).collect()
+    assert a == b
+    types = {r["event_type"] for r in a}
+    assert types == set(generator.EVENT_TYPES)
+    assert all(0 <= r["user_id"] < 1000 for r in a)
+    assert all(0.0 <= r["value"] < 100.0 for r in a)

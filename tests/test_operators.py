@@ -145,3 +145,43 @@ def test_event_attribution_matches_window_semantics(spark, tables):
         else:
             latest = uv.sort_values(["ts", "event_id"]).iloc[-1]
             assert row.attr_view_id == latest.event_id, (row.purchase_id, row.user_id)
+
+
+def test_sketches_error_bounds(spark, tables):
+    """Sketch twins must land within their error bounds of the exact
+    operators — the meaningful contract for approximate operators."""
+    from ecom_etl_proj_spark.operators import analytics, sketches
+
+    exact = analytics.kpi_overview(tables).collect()[0]
+    approx = sketches.kpi_overview_approx(tables).collect()[0]
+    assert abs(approx["approx_orders"] - exact["total_orders"]) <= max(
+        3, 0.05 * exact["total_orders"]
+    )
+    assert abs(approx["approx_customers"] - exact["unique_customers"]) <= max(
+        3, 0.05 * exact["unique_customers"]
+    )
+
+    ex_delay = {
+        r["nation"]: r["p90_delay"]
+        for r in analytics.delivery_delay_percentiles(tables).collect()
+    }
+    ap_delay = {
+        r["nation"]: r["p90_delay"]
+        for r in sketches.delay_quantiles_approx(tables).collect()
+    }
+    for nation, p90 in ex_delay.items():
+        assert abs(ap_delay[nation] - p90) <= max(2, 0.05 * abs(p90)), nation
+
+
+def test_heavy_hitters_superset_of_top_terms(spark, tables):
+    from ecom_etl_proj_spark.operators import sketches, textops
+
+    exact_top = [r["term"] for r in textops.top_terms(tables, n=10).collect()]
+    hh = {r["term"]: r["freq"] for r in sketches.term_heavy_hitters(tables).collect()}
+    # every true heavy hitter must be found, with its exact count
+    exact_counts = {
+        r["term"]: r["freq"] for r in textops.top_terms(tables, n=10).collect()
+    }
+    for term in exact_top:
+        assert term in hh, term
+        assert hh[term] == exact_counts[term]

@@ -152,3 +152,51 @@ def test_running_user_stats_stateful(spark, tables, events_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tables, events_dir):
+    """Watermarked stream-stream join totals must equal the batch range
+    join over the same data."""
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.run_to_memory(
+        pipeline.view_purchase_join(stream), "vp_join_t", mode="append"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM vp_join_t").collect()[0]["n"]
+
+    ev = tables["events"]
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    expect = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+    ).count()
+    assert got == expect
+
+
+def test_streaming_dedup_within_watermark(spark, tables, events_dir):
+    """A duplicated source must come out exactly-once per event_id."""
+    import os
+    import tempfile
+
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    tables["events"].write.mode("overwrite").parquet(os.path.join(dup_dir, "a"))
+    tables["events"].write.mode("overwrite").parquet(os.path.join(dup_dir, "b"))
+    stream = spark.readStream.schema(tables["events"].schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(dup_dir)
+    q = pipeline.run_to_memory(
+        pipeline.dedup_events_stream(stream), "dedup_t", mode="append"
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_t"
+    ).collect()[0]
+    assert got["n"] == got["d"] == tables["events"].count()
+    shutil.rmtree(dup_dir, ignore_errors=True)
