@@ -88,13 +88,28 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         .crossJoin(F.broadcast(snapshot))
         .withColumn("recency", F.datediff("snap", "last_order"))
     )
-    w_r = Window.orderBy(F.col("recency").asc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("o_custkey").asc())
+    # Quartile BOUNDARIES (one scalar aggregate) broadcast back, score =
+    # 1 + number of boundaries exceeded. A global NTILE window would
+    # funnel every customer into a single task — unusable at 100 TB;
+    # the boundary form is one tiny reduce + a row-local comparison,
+    # and differs from rank-ntile only on boundary ties.
+    bounds = per_cust.agg(
+        F.expr("percentile(recency, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def score(col: str, q: str):
+        s = F.lit(1)
+        for i in range(3):
+            s = s + F.when(F.col(col) > F.col(q)[i], 1).otherwise(0)
+        return s
+
     scored = (
-        per_cust.withColumn("r_score", F.lit(5) - F.ntile(4).over(w_r))
-        .withColumn("f_score", F.ntile(4).over(w_f))
-        .withColumn("m_score", F.ntile(4).over(w_m))
+        per_cust.crossJoin(F.broadcast(bounds))
+        .withColumn("r_score", F.lit(5) - score("recency", "rq"))
+        .withColumn("f_score", score("frequency", "fq"))
+        .withColumn("m_score", score("monetary", "mq"))
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "Champions")
@@ -595,17 +610,29 @@ def revenue_rollup(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
-    """Customer lifetime value cut into deciles (NTILE) — the RFM
-    monetary axis at finer grain. NTILE total-orders over (rounded
-    value, custkey) so the cut points are engine-independent."""
+    """Customer lifetime value cut into deciles — the RFM monetary axis
+    at finer grain.
+
+    Decile BOUNDARIES from one percentile reduce, broadcast back,
+    bucket = 1 + boundaries exceeded. (A global NTILE window is the
+    rank-exact alternative but serializes all customers into one task —
+    the boundary form is the 100 TB shape and differs only on ties.)
+    """
     ltv = (
         t["orders"]
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("ltv"))
     )
-    w = Window.orderBy(F.col("ltv").asc(), F.col("o_custkey").asc())
+    qs = [round(i / 10, 1) for i in range(1, 10)]
+    bounds = ltv.agg(
+        F.expr(f"percentile(ltv, array({', '.join(str(q) for q in qs)}))").alias("b")
+    )
+    dec = F.lit(1)
+    for i in range(9):
+        dec = dec + F.when(F.col("ltv") > F.col("b")[i], 1).otherwise(0)
     return (
-        ltv.withColumn("decile", F.ntile(10).over(w))
+        ltv.crossJoin(F.broadcast(bounds))
+        .withColumn("decile", dec)
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

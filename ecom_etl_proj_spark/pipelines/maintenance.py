@@ -1,0 +1,55 @@
+"""Lake maintenance: small-file compaction.
+
+At 100 TB the silent killer is file count, not byte count: streaming
+sinks and per-batch appends leave thousands of KB-sized files per
+partition, and every downstream scan pays per-file open/footer cost.
+The fix is periodic rewrite at a target file size — this module is that
+op, kept deliberately simple (read → repartition to ceil(bytes/target)
+→ overwrite) so it composes with any table layout.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory tree."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    Returns (files_before, files_after). The rewrite stages through a
+    sibling directory then swaps, so a crash mid-compact never leaves
+    the table truncated.
+    """
+    before, total = dir_stats(path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # swap
+    import shutil
+
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after, _ = dir_stats(path)
+    return before, after

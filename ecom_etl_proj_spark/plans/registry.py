@@ -295,12 +295,24 @@ register(
         FROM orders
         GROUP BY o_custkey
     ),
-    scored AS (
-        SELECT *,
-               5 - NTILE(4) OVER (ORDER BY recency, o_custkey) AS r_score,
-               NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_score,
-               NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_score
+    bounds AS (
+        SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
         FROM per_cust
+    ),
+    scored AS (
+        SELECT p.*,
+               5 - (1 + CASE WHEN recency > rq[1] THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rq[2] THEN 1 ELSE 0 END
+                      + CASE WHEN recency > rq[3] THEN 1 ELSE 0 END) AS r_score,
+               1 + CASE WHEN frequency > fq[1] THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fq[2] THEN 1 ELSE 0 END
+                 + CASE WHEN frequency > fq[3] THEN 1 ELSE 0 END AS f_score,
+               1 + CASE WHEN monetary > mq[1] THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mq[2] THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mq[3] THEN 1 ELSE 0 END AS m_score
+        FROM per_cust p CROSS JOIN bounds
     ),
     seg AS (
         SELECT *,
@@ -1089,8 +1101,20 @@ register(
            round(max(ltv), 2) AS max_ltv,
            round(avg(ltv), 2) AS avg_ltv
     FROM (
-        SELECT ltv, ntile(10) OVER (ORDER BY ltv ASC, o_custkey ASC) AS decile
-        FROM ltv
+        SELECT ltv,
+               1 + CASE WHEN ltv > b[1] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[2] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[3] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[4] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[5] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[6] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[7] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[8] THEN 1 ELSE 0 END
+                 + CASE WHEN ltv > b[9] THEN 1 ELSE 0 END AS decile
+        FROM ltv CROSS JOIN (
+            SELECT quantile_cont(ltv,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+            FROM ltv)
     )
     GROUP BY 1
     """,

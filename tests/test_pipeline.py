@@ -77,3 +77,31 @@ def test_idempotent_rerun(report, spark):
     rep, out = report
     again = batch.run_dwh(spark, out, "2026-01-02")
     assert again == rep.dwh_counts
+
+
+def test_compaction_reduces_file_count(spark, tables, tmp_path):
+    from ecom_etl_proj_spark.pipelines import maintenance
+
+    path = str(tmp_path / "frag")
+    tables["orders"].repartition(64).write.mode("overwrite").parquet(path)
+    before, after = maintenance.compact(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert before >= 64
+    assert after <= 2
+    # contents survive byte-identical
+    assert spark.read.parquet(path).count() == tables["orders"].count()
+
+
+def test_fact_partition_pruning(report, spark):
+    """A ship_month filter on the DWH fact must prune partitions at plan
+    time (PartitionFilters in the scan, not a full-table read)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.test_plans import plan_of
+
+    _, out = report
+    fact = spark.read.parquet(os.path.join(out, "dwh", "fact_sales"))
+    one_month = fact.filter(F.col("ship_month") == "1995-06-01")
+    plan = plan_of(one_month.groupBy().agg(F.sum("l_quantity")))
+    assert "PartitionFilters" in plan and "ship_month" in plan
