@@ -11,10 +11,10 @@ Scale notes (100 TB):
   shuffle moves only (group key, partial state), never raw rows.
 - Leaderboards (top-N) aggregate first, then take a global N: the sort
   input is |distinct keys|, not |fact rows|.
-- RFM's quartile scoring uses NTILE over per-customer aggregates — the
-  window input is |customers|, already 3 orders below |lineitem|. The
-  single unbounded-window total for percentage distributions is computed
-  on an already-aggregated handful of rows, never on facts.
+- RFM/decile scoring uses broadcast quantile BOUNDARIES (one scalar
+  reduce), never a global NTILE window — no single-task sort at any
+  scale. The unbounded-window totals for percentage distributions are
+  computed on an already-aggregated handful of rows, never on facts.
 """
 
 from __future__ import annotations
@@ -69,10 +69,11 @@ def sales_by_geography(t: dict[str, DataFrame]) -> DataFrame:
 def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     """RFM segmentation (utils.py:446-504, run_analytics.py:119-158).
 
-    Recency/Frequency/Monetary per customer, quartile-scored with NTILE
-    (deterministic (metric, custkey) ordering replaces pandas
-    rank(method='first')), CASE-mapped to the reference's segment names,
-    then summarized per segment.
+    Recency/Frequency/Monetary per customer, quartile-scored against
+    broadcast percentile boundaries (the scalable replacement for the
+    reference's rank-then-qcut, identical except on boundary ties),
+    CASE-mapped to the reference's segment names, then summarized per
+    segment.
     """
     snapshot = t["orders"].agg(
         F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
@@ -654,4 +655,39 @@ def inactive_customers(t: dict[str, DataFrame]) -> DataFrame:
             "left_anti",
         )
         .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    )
+
+
+def satisfaction_by_delivery(t: dict[str, DataFrame], on_time_days: int = 30) -> DataFrame:
+    """Satisfaction vs delivery outcome (run_analytics.py:174-178).
+
+    The reference averages review_score per On-Time/Late bucket; the
+    testdata's satisfaction analog is the discount granted (SURVEY §4 —
+    higher discount ~ compensation ~ lower satisfaction) plus the share
+    of urgent-priority orders.
+    """
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "delivery_status",
+            F.when(delay <= on_time_days, "On-Time").otherwise("Late"),
+        )
+        .groupBy("delivery_status")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("urgent_share"),
+        )
     )

@@ -1407,3 +1407,19 @@ from ecom_etl_proj_spark.operators import sketches  # noqa: E402
 register("kpi_overview_approx", sketches.kpi_overview_approx, None)
 register("delay_quantiles_approx", sketches.delay_quantiles_approx, None)
 register("term_heavy_hitters", sketches.term_heavy_hitters, None)
+
+register(
+    "satisfaction_by_delivery",
+    analytics.satisfaction_by_delivery,
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 30
+                THEN 'On-Time' ELSE 'Late' END AS delivery_status,
+           count(*) AS n_items,
+           round(avg(l.l_discount), 6) AS avg_discount,
+           round(avg(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1.0 ELSE 0.0 END), 6) AS urgent_share
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)

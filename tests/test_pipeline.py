@@ -105,3 +105,41 @@ def test_fact_partition_pruning(report, spark):
     one_month = fact.filter(F.col("ship_month") == "1995-06-01")
     plan = plan_of(one_month.groupBy().agg(F.sum("l_quantity")))
     assert "PartitionFilters" in plan and "ship_month" in plan
+
+
+def test_orchestrated_dag_runs_layers(spark, tmp_path):
+    from ecom_etl_proj_spark.pipelines import orchestrate
+
+    out = str(tmp_path / "dag_lake")
+    results = orchestrate.run_dag(orchestrate.etl_dag(spark, SF_DIR, out))
+    assert [r.state for r in results.values()] == ["success"] * 4
+    assert results["validate"].result == {
+        t: 0 for t in ("dim_geo", "dim_customer", "dim_part", "dim_supplier", "fact_sales")
+    }
+    orchestrate.drop_all(out)
+    assert not os.path.exists(os.path.join(out, "dwh"))
+
+
+def test_dag_failure_skips_downstream():
+    from ecom_etl_proj_spark.pipelines import orchestrate
+
+    calls = []
+
+    def ok(name):
+        return lambda: calls.append(name)
+
+    def boom():
+        raise RuntimeError("nope")
+
+    tasks = [
+        orchestrate.Task("a", ok("a")),
+        orchestrate.Task("b", boom, upstream=["a"], retries=2),
+        orchestrate.Task("c", ok("c"), upstream=["b"]),
+        orchestrate.Task("d", ok("d"), upstream=["a"]),
+    ]
+    res = orchestrate.run_dag(tasks)
+    assert res["a"].state == "success"
+    assert res["b"].state == "failed" and res["b"].attempts == 3
+    assert res["c"].state == "skipped"
+    assert res["d"].state == "success"
+    assert "d" in calls and "c" not in calls
