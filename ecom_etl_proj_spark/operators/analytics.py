@@ -691,3 +691,30 @@ def satisfaction_by_delivery(t: dict[str, DataFrame], on_time_days: int = 30) ->
             ).alias("urgent_share"),
         )
     )
+
+
+def sales_grouping_sets(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue by region, by market segment, and grand total in ONE pass
+    (GROUPING SETS): three dashboard tiles share a single scan +
+    partial-agg tree instead of three queries."""
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "o_totalprice",
+        )
+    )
+    joined.createOrReplaceTempView("__gs_sales")
+    return joined.sparkSession.sql(
+        """
+        SELECT region_name, mktsegment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM __gs_sales
+        GROUP BY GROUPING SETS ((region_name), (mktsegment), ())
+        """
+    )

@@ -1423,3 +1423,18 @@ register(
     GROUP BY 1
     """,
 )
+
+register(
+    "sales_grouping_sets",
+    analytics.sales_grouping_sets,
+    """
+    SELECT r.r_name AS region_name, c.c_mktsegment AS mktsegment,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((region_name), (mktsegment), ())
+    """,
+)

@@ -258,3 +258,27 @@ def dedup_events_stream(events: DataFrame, lateness: str = "10 minutes") -> Data
     return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def serve_latest(df: DataFrame, path: str, checkpoint: str):
+    """Serving-layer sink: each micro-batch overwrites the latest
+    aggregate snapshot.
+
+    The reference serves metrics by overwriting Redis keys every message
+    (consumer.py hset/set); the Spark analog is foreachBatch writing the
+    current aggregate state to a serving location the dashboard reads.
+    Overwrite-per-batch gives last-write-wins semantics with atomic
+    directory swap; downstream readers always see one consistent
+    snapshot.
+    """
+
+    def write_batch(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    return (
+        df.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

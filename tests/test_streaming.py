@@ -200,3 +200,27 @@ def test_streaming_dedup_within_watermark(spark, tables, events_dir):
     ).collect()[0]
     assert got["n"] == got["d"] == tables["events"].count()
     shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_serve_latest_snapshot(spark, tables, events_dir):
+    """The serving sink must leave exactly the final aggregate state."""
+    import tempfile
+
+    serve = tempfile.mkdtemp(prefix="serve_")
+    ckpt = tempfile.mkdtemp(prefix="serve_ckpt_")
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.serve_latest(
+        pipeline.global_totals(stream), serve + "/totals", ckpt
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["total_events"]
+        for r in spark.read.parquet(serve + "/totals").collect()
+    }
+    expect = {
+        r["event_type"]: r["n"]
+        for r in tables["events"].groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expect
+    shutil.rmtree(serve, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
