@@ -1438,3 +1438,26 @@ register(
     GROUP BY GROUPING SETS ((region_name), (mktsegment), ())
     """,
 )
+
+register(
+    "quantize_embeddings",
+    similarity.quantize_embeddings,
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               round(list_max(list_transform(embedding,
+                   v -> abs(CAST(v AS DOUBLE)))), 6) AS abs_max,
+               list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) /
+                        (list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) / 127.0))
+                        AS INTEGER)) AS q8
+        FROM embeddings
+    )
+    SELECT vec_id, label, abs_max,
+           CAST(list_min(q8) AS INTEGER) AS q_min,
+           CAST(list_max(q8) AS INTEGER) AS q_max,
+           CAST(len(q8) AS INTEGER) AS dim
+    FROM q
+    """,
+)
