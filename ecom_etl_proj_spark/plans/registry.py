@@ -40,12 +40,25 @@ def register(name: str, fn: Callable[[Tables], DataFrame], oracle: str | None) -
     _REGISTRY[name] = (fn, oracle)
 
 
+# DataFrames are immutable logical plans, so the table handles for a
+# given (session, sf_dir) can be built once and shared by every query —
+# rebuilding 10 scan plans per query invocation is pure py4j overhead.
+_TABLE_CACHE: dict[tuple[int, str], Tables] = {}
+
+
+def tables_for(spark: SparkSession, sf_dir: str) -> Tables:
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_tables(spark, sf_dir, register=False)
+    return _TABLE_CACHE[key]
+
+
 def queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     for name, (fn, _) in _REGISTRY.items():
         def make(f: Callable[[Tables], DataFrame]) -> QueryFn:
             def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-                return f(load_tables(spark, sf_dir, register=False))
+                return f(tables_for(spark, sf_dir))
 
             return run
 
