@@ -1474,3 +1474,12 @@ register(
     FROM q
     """,
 )
+
+# mapInPandas decode plumbing (Arrow-batched Python): deterministic fake
+# decode in-container → rows-only driver check; batch shape + schema are
+# asserted in tests/test_operators.py.
+register(
+    "multimodal_decode",
+    lambda t: multimodal.decode_media(multimodal.with_payload(t)),
+    None,
+)
