@@ -146,3 +146,25 @@ def test_bucketed_join_no_exchange(spark, tables, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         if warehouse:
             shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
+def test_no_pathological_plans_registry_wide(spark, tables):
+    """Global scale contract: NO registered query may plan a cartesian
+    product or a row-at-a-time Python eval. Plans are built and checked
+    without executing anything, so this sweeps all queries cheaply.
+
+    Known, justified exceptions:
+    - broadcast nested-loop joins where one side is a bounded broadcast
+      (kNN/IVF query sets, scalar bound rows) — checked separately;
+    - ArrowEvalPython/mapInPandas for the multimodal decode path
+      (vectorized Arrow transfer, never BatchEvalPython).
+    """
+    from ecom_etl_proj_spark.plans import registry
+
+    for name, fn in registry.queries().items():
+        from tests.conftest import SF_DIR
+
+        df = fn(spark, SF_DIR)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
