@@ -718,3 +718,52 @@ def sales_grouping_sets(t: dict[str, DataFrame]) -> DataFrame:
         GROUP BY GROUPING SETS ((region_name), (mktsegment), ())
         """
     )
+
+
+def copurchase_pairs(t: dict[str, DataFrame], min_count: int = 2, n: int = 50) -> DataFrame:
+    """Frequently-bought-together part pairs (market-basket affinity).
+
+    Self-join of lineitem on the order key with p_a < p_b: fan-out per
+    order is C(lines, 2) with lines bounded by order size (~7), so the
+    join output is linear in orders — never |parts|^2. Shuffle key is
+    the order key both sides (co-partitioned).
+    """
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= min_count)
+        .orderBy(
+            F.col("n_orders_together").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(n)
+    )
+
+
+def cohort_retention(t: dict[str, DataFrame], max_offset: int = 6) -> DataFrame:
+    """Monthly cohort retention matrix.
+
+    Cohort = month of a customer's first order; each later order lands
+    in (cohort_month, months_since) with distinct-customer counts — the
+    classic retention triangle. Two aggregations: first-order month per
+    customer (one shuffle on custkey), then the matrix rollup.
+    """
+    first = t["orders"].groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = t["orders"].join(first, "o_custkey")
+    offset = (
+        (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort_month")) * 12
+        + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort_month"))
+    ).cast("int")
+    return (
+        joined.withColumn("months_since", offset)
+        .filter(F.col("months_since") <= max_offset)
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("active_customers"))
+    )

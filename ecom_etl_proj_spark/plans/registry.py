@@ -1483,3 +1483,39 @@ register(
     lambda t: multimodal.decode_media(multimodal.with_payload(t)),
     None,
 )
+
+register(
+    "copurchase_pairs",
+    analytics.copurchase_pairs,
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders_together
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY n_orders_together DESC, part_a ASC, part_b ASC
+    LIMIT 50
+    """,
+)
+
+register(
+    "cohort_retention",
+    analytics.cohort_retention,
+    """
+    WITH first_order AS (
+        SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_month,
+           CAST((year(date_trunc('month', o.o_orderdate)) - year(f.cohort_month)) * 12
+                + (month(date_trunc('month', o.o_orderdate)) - month(f.cohort_month))
+                AS INTEGER) AS months_since,
+           count(DISTINCT o.o_custkey) AS active_customers
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    WHERE (year(date_trunc('month', o.o_orderdate)) - year(f.cohort_month)) * 12
+          + (month(date_trunc('month', o.o_orderdate)) - month(f.cohort_month)) <= 6
+    GROUP BY 1, 2
+    """,
+)
