@@ -228,3 +228,30 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     uses (raw/<dataset>/<date>/file) re-expressed as hive-style partitions
     so partition pruning works at 100 TB."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def validate_catalog(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    """Schema-contract validation: missing tables / missing columns /
+    unexpected types per table (the reference's pre-dashboard
+    check_tables_exist, streamlit/utils.py:64-105, and check.py).
+
+    Metadata-only: reads parquet footers, never data.
+    """
+    problems: dict[str, list[str]] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            problems[name] = ["missing table"]
+            continue
+        issues: list[str] = []
+        actual = dict(load_table(spark, sf_dir, name).dtypes)
+        for f in SCHEMAS[name].fields:
+            if f.name not in actual:
+                issues.append(f"missing column {f.name}")
+            elif actual[f.name] != f.dataType.simpleString():
+                issues.append(
+                    f"column {f.name}: {actual[f.name]} != {f.dataType.simpleString()}"
+                )
+        if issues:
+            problems[name] = issues
+    return problems

@@ -90,3 +90,13 @@ def test_synthetic_generator_deterministic(spark):
     assert types == set(generator.EVENT_TYPES)
     assert all(0 <= r["user_id"] < 1000 for r in a)
     assert all(0.0 <= r["value"] < 100.0 for r in a)
+
+
+def test_validate_catalog_clean_and_detects_missing(spark, tmp_path):
+    from ecom_etl_proj_spark import catalog
+    from tests.conftest import SF_DIR
+
+    assert catalog.validate_catalog(spark, SF_DIR) == {}
+    missing = catalog.validate_catalog(spark, str(tmp_path))
+    assert all(v == ["missing table"] for v in missing.values())
+    assert set(missing) == set(catalog.TABLES)
