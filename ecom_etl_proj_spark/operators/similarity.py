@@ -222,11 +222,16 @@ def quantize_embeddings(t: dict[str, DataFrame]) -> DataFrame:
         "vec_id",
         "label",
         F.round(amax, 6).alias("abs_max"),
+        # A zero vector has scale 0: emit all-zero int8s instead of a
+        # division (which throws under ANSI mode).
         F.expr(
-            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) /"
-            " (aggregate(embedding, CAST(0.0 AS DOUBLE),"
-            "  (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0))"
-            " AS INT))"
+            "CASE WHEN aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            "  (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) = 0.0"
+            " THEN transform(embedding, v -> 0)"
+            " ELSE transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) /"
+            "  (aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            "   (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0))"
+            "  AS INT)) END"
         ).alias("q8"),
     )
     return q.select(

@@ -1460,11 +1460,14 @@ register(
         SELECT vec_id, label,
                round(list_max(list_transform(embedding,
                    v -> abs(CAST(v AS DOUBLE)))), 6) AS abs_max,
-               list_transform(embedding,
-                   v -> CAST(round(CAST(v AS DOUBLE) /
-                        (list_max(list_transform(embedding,
-                            x -> abs(CAST(x AS DOUBLE)))) / 127.0))
-                        AS INTEGER)) AS q8
+               CASE WHEN list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) = 0.0
+                    THEN list_transform(embedding, v -> 0)
+                    ELSE list_transform(embedding,
+                        v -> CAST(round(CAST(v AS DOUBLE) /
+                             (list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0))
+                             AS INTEGER)) END AS q8
         FROM embeddings
     )
     SELECT vec_id, label, abs_max,

@@ -185,3 +185,111 @@ def test_heavy_hitters_superset_of_top_terms(spark, tables):
     for term in exact_top:
         assert term in hh, term
         assert hh[term] == exact_counts[term]
+
+
+def test_quantize_zero_vector(spark):
+    """A zero embedding must quantize to zeros, not divide-by-zero."""
+    from pyspark.sql import types as T
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, [0.0] * 4, 0), (2, [1.0, -2.0], 1)], schema)
+    rows = {r["vec_id"]: r for r in similarity.quantize_embeddings({"embeddings": df}).collect()}
+    assert rows[1]["q_min"] == rows[1]["q_max"] == 0
+    assert rows[2]["q_min"] == -127
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's core property (Schleimer et al.): two documents that
+    share a token run of length >= k+w-1 (= 6 for k=3, w=4) must share
+    at least one fingerprint."""
+    from pyspark.sql import types as T
+
+    from ecom_etl_proj_spark.operators import textops
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    docs = [
+        (1, f"xx yy {shared} zz", "en", "s", 1),
+        (2, f"aa {shared} bb cc dd", "en", "s", 1),
+        (3, "totally different words with no overlap at all here", "en", "s", 1),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    t = {"documents": spark.createDataFrame(docs, schema)}
+    # recompute the raw fingerprint sets per doc (not just the summary)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.functions import text as X
+
+    toks = t["documents"].select("doc_id", F.posexplode(X.tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, 3)]
+    kg = toks.select(
+        "doc_id", "pos", F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("kgram")
+    ).filter(F.col("kgram").isNotNull())
+    hashed = kg.select("doc_id", "pos", F.substring(F.md5("kgram"), 1, 16).alias("h"))
+    wfp = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wcnt = Window.partitionBy("doc_id")
+    fps = (
+        hashed.select(
+            "doc_id", "pos",
+            F.min("h").over(wfp).alias("fp"),
+            F.max("pos").over(wcnt).alias("max_pos"),
+        )
+        .filter(F.col("pos") <= F.col("max_pos") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "docs sharing a 6-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+
+
+def test_salted_join_property(spark):
+    """Property (hypothesis): salted_join result == plain join result
+    for arbitrary key multisets on both sides."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import skew
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        fact_keys=st.lists(st.integers(0, 5), min_size=0, max_size=30),
+        dim_keys=st.lists(st.integers(0, 5), min_size=0, max_size=6, unique=True),
+    )
+    def check(fact_keys, dim_keys):
+        if not fact_keys or not dim_keys:
+            return
+        fact = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(fact_keys)], ["row_id", "k"]
+        )
+        dim = spark.createDataFrame([(k, f"v{k}") for k in dim_keys], ["dk", "v"])
+        salted = skew.salted_join(fact, dim, "k", "dk")
+        plain = fact.join(dim, fact.k == dim.dk)
+        assert salted.count() == plain.count()
+        a = sorted((r["row_id"], r["v"]) for r in salted.collect())
+        b = sorted((r["row_id"], r["v"]) for r in plain.collect())
+        assert a == b
+
+    check()
