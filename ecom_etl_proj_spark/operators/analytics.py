@@ -767,3 +767,23 @@ def cohort_retention(t: dict[str, DataFrame], max_offset: int = 6) -> DataFrame:
         .groupBy("cohort_month", "months_since")
         .agg(F.count_distinct("o_custkey").alias("active_customers"))
     )
+
+
+def discount_elasticity(t: dict[str, DataFrame]) -> DataFrame:
+    """Discount→quantity elasticity per category: corr, OLS slope, R².
+
+    The "does discounting move volume" question every pricing dashboard
+    asks, answered with the built-in regression aggregates — one
+    hash-aggregate pass, constant state per group at any scale.
+    """
+    j = (
+        t["lineitem"]
+        .join(t["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_type").alias("category"), "l_discount", "l_quantity")
+    )
+    return j.groupBy("category").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.corr("l_discount", "l_quantity"), 4).alias("corr_disc_qty"),
+        F.round(F.expr("regr_slope(l_quantity, l_discount)"), 4).alias("ols_slope"),
+        F.round(F.expr("regr_r2(l_quantity, l_discount)"), 4).alias("r2"),
+    )
