@@ -240,3 +240,38 @@ def event_props_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def minutely_anomalies(t: dict[str, DataFrame], z_threshold: float = 3.0) -> DataFrame:
+    """Traffic-spike detection: minutes whose event count is a z-score
+    outlier against their event type's own distribution.
+
+    Two aggregations: minutely counts (the streaming counter shape,
+    consumer.py:199-213), then per-type mean/stddev broadcast back via
+    a window over the type — the window input is |types| x |minutes|
+    aggregate rows, never raw events. This is the realtime dashboard's
+    spike tile computed batch-side.
+    """
+    per_min = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    stats = per_min.select(
+        "minute",
+        "event_type",
+        "n",
+        F.avg("n").over(w).alias("mean_n"),
+        F.stddev_samp("n").over(w).alias("sd_n"),
+    )
+    z = (F.col("n") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        stats.filter(F.col("sd_n") > 0)
+        .withColumn("z_score", F.round(z, 4))
+        .filter(F.abs(F.col("z_score")) >= z_threshold)
+        .select("event_type", "minute", "n", F.round("mean_n", 4).alias("mean_n"), "z_score")
+    )

@@ -1536,3 +1536,25 @@ register(
     GROUP BY 1
     """,
 )
+
+register(
+    "minutely_anomalies",
+    events.minutely_anomalies,
+    """
+    WITH per_min AS (
+        SELECT date_trunc('minute', ts) AS minute, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT minute, event_type, n,
+               avg(n) OVER (PARTITION BY event_type) AS mean_n,
+               stddev_samp(n) OVER (PARTITION BY event_type) AS sd_n
+        FROM per_min
+    )
+    SELECT event_type, minute, n,
+           round(mean_n, 4) AS mean_n,
+           round((n - mean_n) / sd_n, 4) AS z_score
+    FROM stats
+    WHERE sd_n > 0 AND abs(round((n - mean_n) / sd_n, 4)) >= 3.0
+    """,
+)
