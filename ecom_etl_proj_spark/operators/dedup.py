@@ -276,3 +276,75 @@ def dedup_simhash(t: dict[str, DataFrame], max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over a pair list: (doc_id, component_id).
+
+    Near-dup PAIRS aren't actionable until they become CLUSTERS (keep
+    one representative per component, drop the rest). Min-label
+    propagation: every node starts labeled with itself; each round every
+    node adopts the smallest label among itself and its neighbors;
+    converged when no label changes. Each round is one join + one
+    min-aggregate — all shuffles on doc_id, state is one label per node.
+    Rounds needed = graph diameter (near-dup clusters are shallow, a
+    handful of rounds); ``max_iterations`` bounds pathological chains.
+
+    This is the standard large-scale formulation (iterative, not
+    SQL-expressible → rows-only oracle; semantics unit-tested on known
+    graphs).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def dedup_clusters(t: dict[str, DataFrame], n: int = 3, threshold: float = 0.1) -> DataFrame:
+    """Near-dup clusters from MinHash-LSH pairs: one row per clustered
+    doc with its component id and whether it is the kept representative
+    (smallest doc_id in the component — matching dedup_exact's
+    keep-min rule)."""
+    pairs = dedup_minhash_lsh(t, n, threshold)
+    comp = connected_components(pairs)
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_representative"),
+    )

@@ -1558,3 +1558,8 @@ register(
     WHERE sd_n > 0 AND abs(round((n - mean_n) / sd_n, 4)) >= 3.0
     """,
 )
+
+# Connected-components clustering over LSH pairs: iterative label
+# propagation (driver-coordinated convergence) → rows-only check;
+# semantics unit-tested on known graphs in tests/test_operators.py.
+register("dedup_clusters", dedup.dedup_clusters, None)

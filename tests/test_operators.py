@@ -293,3 +293,32 @@ def test_salted_join_property(spark):
         assert a == b
 
     check()
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolated pair must resolve to min-labeled
+    components regardless of edge direction or order."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 4)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_representatives(spark, tables):
+    from ecom_etl_proj_spark.operators import dedup
+
+    rows = dedup.dedup_clusters(tables).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        reps = [m for m in members if m["is_representative"]]
+        assert len(reps) == 1
+        assert reps[0]["doc_id"] == min(m["doc_id"] for m in members) == comp
