@@ -275,3 +275,44 @@ def minutely_anomalies(t: dict[str, DataFrame], z_threshold: float = 3.0) -> Dat
         .filter(F.abs(F.col("z_score")) >= z_threshold)
         .select("event_type", "minute", "n", F.round("mean_n", 4).alias("mean_n"), "z_score")
     )
+
+
+def rolling_active_users(t: dict[str, DataFrame], window_days: int = 7) -> DataFrame:
+    """Daily active users + trailing-N-day active users, exactly.
+
+    Sliding DISTINCT counts can't use a running window (distinct state
+    isn't subtractable). The scalable exact form is contribution
+    explode: each (user, day) activity contributes itself to the N
+    window-end days it falls in, then one groupBy(day) count-distinct.
+    Shuffle volume is N x |user-days| key pairs — linear, bounded by the
+    window length, no per-day rescan of history.
+    """
+    user_days = (
+        t["events"]
+        .select(
+            F.col("user_id"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    contributions = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {window_days - 1}), interval 1 day)"
+            )
+        ).alias("window_end"),
+        "day",
+    )
+    rolling = contributions.groupBy("window_end").agg(
+        F.count_distinct("user_id").alias("active_users_7d")
+    )
+    dau = user_days.groupBy(F.col("day").alias("window_end")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    # keep only window ends that are real activity days (tail windows
+    # beyond the last day would otherwise appear)
+    return (
+        dau.join(rolling, "window_end")
+        .select(F.col("window_end").alias("day"), "dau", "active_users_7d")
+    )

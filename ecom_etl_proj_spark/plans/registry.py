@@ -1563,3 +1563,30 @@ register(
 # propagation (driver-coordinated convergence) → rows-only check;
 # semantics unit-tested on known graphs in tests/test_operators.py.
 register("dedup_clusters", dedup.dedup_clusters, None)
+
+register(
+    "rolling_active_users",
+    events.rolling_active_users,
+    """
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    contrib AS (
+        SELECT user_id, CAST(u.we AS DATE) AS window_end
+        FROM user_days,
+             unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS u(we)
+    ),
+    rolling AS (
+        SELECT window_end, count(DISTINCT user_id) AS active_users_7d
+        FROM contrib GROUP BY 1
+    ),
+    dau AS (
+        SELECT day AS window_end, count(DISTINCT user_id) AS dau
+        FROM user_days GROUP BY 1
+    )
+    SELECT d.window_end AS day, d.dau, r.active_users_7d
+    FROM dau d JOIN rolling r ON d.window_end = r.window_end
+    """,
+)
