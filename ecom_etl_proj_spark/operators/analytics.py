@@ -781,9 +781,11 @@ def discount_elasticity(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("p_type").alias("category"), "l_discount", "l_quantity")
     )
+    # "+ 0.0" collapses IEEE negative zero (round(-1e-9, 4) → -0.0,
+    # which string-compares unequal to the oracle's 0.0)
     return j.groupBy("category").agg(
         F.count("*").alias("n_items"),
-        F.round(F.corr("l_discount", "l_quantity"), 4).alias("corr_disc_qty"),
-        F.round(F.expr("regr_slope(l_quantity, l_discount)"), 4).alias("ols_slope"),
-        F.round(F.expr("regr_r2(l_quantity, l_discount)"), 4).alias("r2"),
+        (F.round(F.corr("l_discount", "l_quantity"), 4) + 0.0).alias("corr_disc_qty"),
+        (F.round(F.expr("regr_slope(l_quantity, l_discount)"), 4) + 0.0).alias("ols_slope"),
+        (F.round(F.expr("regr_r2(l_quantity, l_discount)"), 4) + 0.0).alias("r2"),
     )

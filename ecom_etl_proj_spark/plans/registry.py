@@ -1529,9 +1529,9 @@ register(
     """
     SELECT p.p_type AS category,
            count(*) AS n_items,
-           round(corr(l.l_discount, l.l_quantity), 4) AS corr_disc_qty,
-           round(regr_slope(l.l_quantity, l.l_discount), 4) AS ols_slope,
-           round(regr_r2(l.l_quantity, l.l_discount), 4) AS r2
+           round(corr(l.l_discount, l.l_quantity), 4) + 0.0 AS corr_disc_qty,
+           round(regr_slope(l.l_quantity, l.l_discount), 4) + 0.0 AS ols_slope,
+           round(regr_r2(l.l_quantity, l.l_discount), 4) + 0.0 AS r2
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
     """,
