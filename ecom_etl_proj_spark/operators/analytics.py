@@ -39,12 +39,18 @@ def daily_sales(t: dict[str, DataFrame]) -> DataFrame:
     The reference excludes 'unavailable'/'canceled' statuses; the analog
     here excludes in-process ('P') orders.
     """
+    # Decimal summation: double sums depend on add order, and a rounded
+    # double within an ulp of a half-cent boundary flips between
+    # engines (observed at sf0.1). Exact decimal accumulation makes the
+    # per-day total order-independent; cast back to double for output.
     return (
         t["orders"]
         .filter(F.col("o_orderstatus") != "P")
         .groupBy(F.to_date("o_orderdate").alias("sales_date"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_sales"),
             F.count_distinct("o_orderkey").alias("number_of_orders"),
         )
     )

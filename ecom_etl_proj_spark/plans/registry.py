@@ -267,7 +267,8 @@ register(
     analytics.daily_sales,
     """
     SELECT CAST(o_orderdate AS DATE) AS sales_date,
-           round(sum(o_totalprice), 2) AS total_sales,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_sales,
            count(DISTINCT o_orderkey) AS number_of_orders
     FROM orders
     WHERE o_orderstatus <> 'P'
