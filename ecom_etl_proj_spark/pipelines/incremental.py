@@ -1,0 +1,100 @@
+"""Incremental dimension maintenance: CDC diff → merge, not reload.
+
+The reference maintains its warehouse by truncate-reload
+(ods_layer.py's COPY after TRUNCATE); at 100 TB reloading a dimension
+for a 0.1% change is the single most wasteful thing a pipeline can do.
+This module completes the CDC story started by
+``operators/cleaning.snapshot_diff``:
+
+1. diff the incoming snapshot against the current dimension (insert /
+   update / delete / unchanged, one co-partitioned full-outer join);
+2. merge: surviving rows = unchanged + updated + inserted versions,
+   audit-stamped — deletes drop out, modification_date only moves for
+   rows that actually changed;
+3. write the new dimension generation to a staged directory and swap,
+   so readers never observe a half-written table (same pattern as
+   pipelines/maintenance.compact).
+
+On a format with native MERGE (Delta/Iceberg) step 2-3 collapse into
+``MERGE INTO``; the plan shape (join on the business key, then
+conditional projection) is identical — this is that operation
+expressed on plain parquet.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecom_etl_proj_spark.operators.cleaning import snapshot_diff
+
+
+def merge_dimension(
+    current: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    snapshot_date: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (merged dimension, change log).
+
+    The merged frame carries every ``incoming`` business column plus
+    audit columns: ``insertion_date`` survives from the current
+    generation for unchanged/updated rows, ``modification_date`` is
+    bumped only for inserted/updated rows.
+    """
+    diff = snapshot_diff(
+        current.select(*keys, *compare_cols),
+        incoming.select(*keys, *compare_cols),
+        keys,
+        compare_cols,
+    )
+    d = F.lit(snapshot_date).cast("date")
+    cur_meta = current.select(
+        *keys, F.col("insertion_date").alias("__cur_ins")
+    )
+    merged = (
+        incoming.join(diff, keys)
+        .filter(F.col("change_type") != "delete")
+        .join(cur_meta, keys, "left")
+        .select(
+            *incoming.columns,
+            F.coalesce(F.col("__cur_ins"), d).alias("insertion_date"),
+            F.when(F.col("change_type").isin("insert", "update"), d)
+            .otherwise(F.col("__cur_ins"))
+            .alias("modification_date"),
+        )
+    )
+    return merged, diff
+
+
+def apply_incremental(
+    spark: SparkSession,
+    dim_path: str,
+    incoming: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    snapshot_date: str,
+) -> dict[str, int]:
+    """Merge ``incoming`` into the materialized dimension at
+    ``dim_path`` with a staged-swap write. Returns change-type counts
+    (the reference's post-load validation, now per change kind)."""
+    current = spark.read.parquet(dim_path)
+    merged, diff = merge_dimension(
+        current, incoming, keys, compare_cols, snapshot_date
+    )
+    counts = {
+        r["change_type"]: r["n"]
+        for r in diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()
+    }
+    tmp = dim_path.rstrip("/") + ".__merge_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = dim_path.rstrip("/") + ".__merge_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(dim_path, old)
+    os.rename(tmp, dim_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return counts

@@ -143,3 +143,65 @@ def test_dag_failure_skips_downstream():
     assert res["c"].state == "skipped"
     assert res["d"].state == "success"
     assert "d" in calls and "c" not in calls
+
+
+def test_incremental_merge_equals_full_reload(spark, tables, tmp_path):
+    """Applying a CDC merge must land exactly where a full reload of
+    the new snapshot would, with audit dates telling the true story."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import cleaning
+    from ecom_etl_proj_spark.pipelines import incremental
+
+    dim_path = str(tmp_path / "dim_customer")
+    base = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    cleaning.audit_columns(base, "2026-01-01").write.parquet(dim_path)
+
+    # next snapshot: delete custkey%10==7, bump balance for %13==0, add new keys
+    survivors = base.filter(F.col("c_custkey") % 10 != 7)
+    modified = survivors.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 13 == 0, F.round(F.col("c_acctbal") + 100, 2))
+        .otherwise(F.col("c_acctbal")),
+    )
+    inserts = base.filter(F.col("c_custkey") % 17 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    incoming = modified.unionByName(inserts)
+
+    counts = incremental.apply_incremental(
+        spark, dim_path, incoming, ["c_custkey"], ["c_name", "c_acctbal"], "2026-02-01"
+    )
+    assert counts.get("delete", 0) > 0 and counts.get("insert", 0) > 0
+    assert counts.get("update", 0) > 0 and counts.get("unchanged", 0) > 0
+
+    got = spark.read.parquet(dim_path)
+    # contents == incoming snapshot exactly
+    assert got.count() == incoming.count()
+    got_rows = {
+        r["c_custkey"]: (r["c_acctbal"], str(r["insertion_date"]), str(r["modification_date"]))
+        for r in got.collect()
+    }
+    inc_rows = {r["c_custkey"]: r["c_acctbal"] for r in incoming.collect()}
+    assert {k: v[0] for k, v in got_rows.items()} == inc_rows
+    # audit: inserts have new insertion_date; updates keep old insertion,
+    # new modification; unchanged keep both old
+    for k, (bal, ins, mod) in got_rows.items():
+        if k >= 1000000:
+            assert ins == mod == "2026-02-01", k
+        elif k % 13 == 0:
+            assert ins == "2026-01-01" and mod == "2026-02-01", k
+        else:
+            assert ins == mod == "2026-01-01", k
+
+    # idempotency: re-applying the same snapshot changes nothing
+    counts2 = incremental.apply_incremental(
+        spark, dim_path, incoming, ["c_custkey"], ["c_name", "c_acctbal"], "2026-03-01"
+    )
+    assert counts2.get("insert", 0) == 0 and counts2.get("delete", 0) == 0
+    assert counts2.get("update", 0) == 0
+    got2 = {
+        r["c_custkey"]: str(r["modification_date"])
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    assert all(v in ("2026-01-01", "2026-02-01") for v in got2.values())
