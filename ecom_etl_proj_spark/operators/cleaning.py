@@ -153,3 +153,33 @@ def try_parse_timestamps(
     where a plain cast would throw. Row-local, stays in codegen.
     """
     return df.withColumn(col + "_ts", F.try_to_timestamp(F.col(col), F.lit(fmt)))
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: rows of
+    (column, n_rows, n_null, n_distinct, min_str, max_str).
+
+    The pre-load profiling step a warehouse runs before trusting a feed
+    (the reference only counts rows post-load; this is strictly more).
+    ONE aggregation pass computes every column's stats side by side
+    (4 x |cols| aggregate buffers), then the wide row is unpivoted
+    row-locally. At 100 TB swap count_distinct for
+    approx_count_distinct — same plan, bounded state.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', __total - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__total AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS (column_name, n_null, n_distinct, min_str, max_str)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")

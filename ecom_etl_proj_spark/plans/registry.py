@@ -1591,3 +1591,42 @@ register(
     FROM dau d JOIN rolling r ON d.window_end = r.window_end
     """,
 )
+
+
+def _profile_customer(t: Tables) -> DataFrame:
+    return cleaning.profile_table(
+        t["customer"], ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
+register(
+    "data_profile_customer",
+    _profile_customer,
+    """
+    WITH t AS (SELECT * FROM customer),
+    u AS (
+        SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+               count(*) - count(c_custkey) AS n_null,
+               count(DISTINCT c_custkey) AS n_distinct,
+               CAST(min(c_custkey) AS VARCHAR) AS min_str,
+               CAST(max(c_custkey) AS VARCHAR) AS max_str FROM t
+        UNION ALL
+        SELECT 'c_name', count(*), count(*) - count(c_name),
+               count(DISTINCT c_name),
+               CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM t
+        UNION ALL
+        SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+               count(DISTINCT c_nationkey),
+               CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM t
+        UNION ALL
+        SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+               count(DISTINCT c_acctbal),
+               CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM t
+        UNION ALL
+        SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+               count(DISTINCT c_mktsegment),
+               CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM t
+    )
+    SELECT * FROM u
+    """,
+)
