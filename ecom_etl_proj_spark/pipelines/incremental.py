@@ -98,3 +98,91 @@ def apply_incremental(
     os.rename(tmp, dim_path)
     shutil.rmtree(old, ignore_errors=True)
     return counts
+
+
+SCD2_OPEN_END = "9999-12-31"
+
+
+def scd2_initial(incoming: DataFrame, snapshot_date: str) -> DataFrame:
+    """First generation of a type-2 dimension: every row open-ended."""
+    return incoming.select(
+        "*",
+        F.lit(snapshot_date).cast("date").alias("valid_from"),
+        F.lit(SCD2_OPEN_END).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    current: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    snapshot_date: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: history-preserving merge.
+
+    The audit-column scheme the reference's target layer uses
+    (INSERTION/MODIFICATION_DATE, target_layer.py:36-154) answers
+    "when did this row last change"; SCD2 answers "what did this row
+    say on date X" — the warehouse pattern for dimensions that must
+    support as-of reporting. Semantics per business key:
+
+    - unchanged → current row passes through;
+    - changed   → current row CLOSED (valid_to = snapshot), new open
+      version appended;
+    - deleted   → current row closed, no successor;
+    - inserted  → new open version.
+
+    One co-partitioned diff join against the open rows only + a union
+    with closed history — history rows are never rewritten, so the
+    incremental cost is O(open rows + changes), independent of how much
+    history has accumulated.
+    """
+    closed_history = current.filter(~F.col("is_current"))
+    open_rows = current.filter(F.col("is_current"))
+    business_cols = [c for c in incoming.columns]
+    diff = snapshot_diff(
+        open_rows.select(*keys, *compare_cols),
+        incoming.select(*keys, *compare_cols),
+        keys,
+        compare_cols,
+    )
+    d = F.lit(snapshot_date).cast("date")
+    # open rows: survive untouched when unchanged, closed otherwise
+    survived = (
+        open_rows.join(diff, keys)
+        .withColumn(
+            "valid_to",
+            F.when(F.col("change_type").isin("update", "delete"), d).otherwise(
+                F.col("valid_to")
+            ),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("change_type").isin("update", "delete"), F.lit(False))
+            .otherwise(F.col("is_current")),
+        )
+        .select(*business_cols, "valid_from", "valid_to", "is_current")
+    )
+    # new versions for inserts and updates
+    new_versions = (
+        incoming.join(diff, keys)
+        .filter(F.col("change_type").isin("insert", "update"))
+        .select(
+            *business_cols,
+            d.alias("valid_from"),
+            F.lit(SCD2_OPEN_END).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed_history.select(
+        *business_cols, "valid_from", "valid_to", "is_current"
+    ).unionByName(survived).unionByName(new_versions)
+
+
+def scd2_as_of(dim: DataFrame, as_of_date: str) -> DataFrame:
+    """Point-in-time view of a type-2 dimension: rows valid on the date
+    (valid_from <= d < valid_to — half-open, matching the close rule)."""
+    d = F.lit(as_of_date).cast("date")
+    return dim.filter((F.col("valid_from") <= d) & (F.col("valid_to") > d))

@@ -205,3 +205,52 @@ def test_incremental_merge_equals_full_reload(spark, tables, tmp_path):
         for r in spark.read.parquet(dim_path).collect()
     }
     assert all(v in ("2026-01-01", "2026-02-01") for v in got2.values())
+
+
+def test_scd2_history_and_as_of(spark):
+    """Type-2 semantics over two snapshot applications: history rows
+    accumulate, as-of views reconstruct each point in time."""
+    from ecom_etl_proj_spark.pipelines import incremental
+
+    s1 = spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 200.0), (3, "carol", 300.0)],
+        ["id", "name", "bal"],
+    )
+    dim = incremental.scd2_initial(s1, "2026-01-01")
+
+    # snapshot 2: bob's balance changes, carol deleted, dave inserted
+    s2 = spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 250.0), (4, "dave", 400.0)],
+        ["id", "name", "bal"],
+    )
+    dim = incremental.scd2_apply(dim, s2, ["id"], ["name", "bal"], "2026-02-01")
+
+    # snapshot 3: bob changes again
+    s3 = spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 275.0), (4, "dave", 400.0)],
+        ["id", "name", "bal"],
+    )
+    dim = incremental.scd2_apply(dim, s3, ["id"], ["name", "bal"], "2026-03-01")
+
+    rows = dim.collect()
+    # bob: 3 versions; carol: 1 closed; alice/dave: 1 open each
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[2]) == 3
+    assert sum(1 for r in by_id[2] if r["is_current"]) == 1
+    assert len(by_id[3]) == 1 and not by_id[3][0]["is_current"]
+    assert str(by_id[3][0]["valid_to"]) == "2026-02-01"
+
+    def as_of(date):
+        return {
+            r["id"]: r["bal"]
+            for r in incremental.scd2_as_of(dim, date).collect()
+        }
+
+    assert as_of("2026-01-15") == {1: 100.0, 2: 200.0, 3: 300.0}
+    assert as_of("2026-02-15") == {1: 100.0, 2: 250.0, 4: 400.0}
+    assert as_of("2026-03-15") == {1: 100.0, 2: 275.0, 4: 400.0}
+    # exactly one valid row per live key at any as-of date
+    current = {r["id"] for r in dim.filter("is_current").collect()}
+    assert current == {1, 2, 4}
