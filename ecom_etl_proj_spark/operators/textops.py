@@ -222,3 +222,71 @@ def stratified_sample(t: dict[str, DataFrame], pct_by_lang: int = 20) -> DataFra
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
     )
+
+
+def chunk_documents(
+    t: dict[str, DataFrame], chunk_tokens: int = 50, overlap: int = 10
+) -> DataFrame:
+    """Split documents into fixed-token windows with overlap.
+
+    The tokenize-and-window step every training pipeline runs before
+    batching: chunk i covers tokens [i*stride, i*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens and no text is dropped. Pure row-local array
+    arithmetic (sequence + slice + posexplode) — chunking 100 TB is a
+    scan, the output fan-out is len/stride rows per doc.
+    """
+    stride = chunk_tokens - overlap
+    d = t["documents"].withColumn("toks", X.tokens())
+    # number of chunks = ceil((len - overlap) / stride), at least 1
+    windows = (
+        f"transform(sequence(0, greatest(int(ceil((size(toks) - {overlap})"
+        f" / {stride})), 1) - 1, 1),"
+        f" i -> slice(toks, i * {stride} + 1, {chunk_tokens}))"
+    )
+    chunks = d.select(
+        "doc_id",
+        F.size("toks").alias("doc_tokens"),
+        F.posexplode(F.expr(windows)).alias("chunk_idx", "chunk_toks"),
+    ).filter(F.size("chunk_toks") > 0)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_tokens"),
+        "doc_tokens",
+    )
+
+
+def contamination_check(
+    t: dict[str, DataFrame], n: int = 3, min_shared: int = 2
+) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing >= min_shared
+    n-gram shingles with any held-out (validation) document.
+
+    The pre-training hygiene check: the held-out split (from the same
+    deterministic md5 bucketing as train_val_split) plays the benchmark
+    role; shared-shingle counts come from the inverted shingle index
+    join — train x val pairs only meet through common shingles, so cost
+    scales with overlap, not |train| x |val|.
+    """
+    cut = format(int(256 * 90 / 100), "02x")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    docs = t["documents"].withColumn(
+        "split", F.when(bucket < F.lit(cut), "train").otherwise("val")
+    )
+    sh = docs.select(
+        "doc_id", "split", F.explode(X.word_shingles(n)).alias("shingle")
+    )
+    train = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    val = sh.filter(F.col("split") == "val").select(
+        F.col("doc_id").alias("val_doc"), "shingle"
+    )
+    return (
+        train.join(val, "shingle")
+        .groupBy("train_doc", "val_doc")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )

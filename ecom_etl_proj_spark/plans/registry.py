@@ -1630,3 +1630,55 @@ register(
     SELECT * FROM u
     """,
 )
+
+register(
+    "chunk_documents",
+    textops.chunk_documents,
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, len(toks) AS doc_tokens,
+               CAST(u.i AS INTEGER) AS chunk_idx,
+               toks[u.i * 40 + 1 : u.i * 40 + 50] AS chunk_toks
+        FROM d, unnest(range(0, greatest(CAST(ceil((len(toks) - 10) / 40.0)
+                 AS BIGINT), 1))) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(chunk_toks, ' ') AS chunk_text,
+           CAST(len(chunk_toks) AS INTEGER) AS n_tokens,
+           CAST(doc_tokens AS INTEGER) AS doc_tokens
+    FROM w WHERE len(chunk_toks) > 0
+    """,
+)
+
+register(
+    "contamination_check",
+    textops.contamination_check,
+    """
+    WITH docs AS (
+        SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, split, string_split(lower(trim(text)), ' ') AS l
+        FROM docs
+    ),
+    sh AS (
+        SELECT doc_id, split, u.s AS shingle FROM toks,
+            unnest(CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+                   ELSE list_distinct(list_transform(range(1, len(l) - 1),
+                        i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) END) AS u(s)
+    )
+    SELECT tr.doc_id AS train_doc, v.doc_id AS val_doc,
+           count(*) AS n_shared_shingles
+    FROM (SELECT * FROM sh WHERE split = 'train') tr
+    JOIN (SELECT * FROM sh WHERE split = 'val') v USING (shingle)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
