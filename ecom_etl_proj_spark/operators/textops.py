@@ -290,3 +290,29 @@ def contamination_check(
         .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= min_shared)
     )
+
+
+def char_entropy(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document character-level Shannon entropy (perplexity proxy).
+
+    Degenerate training text (repeated characters, binary junk, keyboard
+    mash) sits at entropy extremes; natural language clusters mid-range.
+    Explode to (doc_id, char) → per-doc char frequencies → one entropy
+    aggregate: -sum(p * log2(p)). Shuffle key is doc_id (the catalog
+    partitioning), per-doc state is its alphabet (<~100 counters).
+    """
+    chars = t["documents"].select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(tot)
+    return (
+        freq.withColumn("term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term"), 6).alias("char_entropy_bits"),
+            F.count("*").alias("alphabet_size"),
+            F.sum("c").alias("n_chars_counted"),
+        )
+    )

@@ -1682,3 +1682,29 @@ register(
     HAVING count(*) >= 2
     """,
 )
+
+register(
+    "char_entropy",
+    textops.char_entropy,
+    """
+    WITH chars AS (
+        SELECT doc_id, u.ch FROM (
+            SELECT doc_id, string_split(lower(text), '') AS l FROM documents
+        ), unnest(l) AS u(ch)
+        WHERE u.ch != ''
+    ),
+    freq AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    withp AS (
+        SELECT doc_id, c,
+               c / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+        FROM freq
+    )
+    SELECT doc_id,
+           round(sum(-p * log2(p)), 6) AS char_entropy_bits,
+           count(*) AS alphabet_size,
+           CAST(sum(c) AS BIGINT) AS n_chars_counted
+    FROM withp GROUP BY doc_id
+    """,
+)
