@@ -224,3 +224,41 @@ def test_serve_latest_snapshot(spark, tables, events_dir):
     assert got == expect
     shutil.rmtree(serve, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_rate_source_generator_stream(spark):
+    """The unbounded generator wired to a real rate source produces
+    schema-correct events (smoke: a couple of micro-batches)."""
+    from ecom_etl_proj_spark.sources import generator
+
+    stream = generator.synthetic_events(
+        generator.rate_stream(spark, rows_per_second=500, n_partitions=2)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gen_t")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM gen_t").collect()[0]["n"]
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100
+        row = spark.sql("SELECT * FROM gen_t LIMIT 1").collect()[0]
+        assert set(row.asDict()) == {
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        }
+        types = {
+            r["event_type"]
+            for r in spark.sql("SELECT DISTINCT event_type FROM gen_t").collect()
+        }
+        assert types <= set(generator.EVENT_TYPES)
+    finally:
+        q.stop()
