@@ -316,3 +316,43 @@ def char_entropy(t: dict[str, DataFrame]) -> DataFrame:
             F.sum("c").alias("n_chars_counted"),
         )
     )
+
+
+def curate_corpus(
+    t: dict[str, DataFrame], min_quality: float = 0.5, min_tokens: int = 10
+) -> DataFrame:
+    """The curation decision: compose dedup + quality + length rules
+    into a kept/rejected verdict per document, with the reason.
+
+    This is what the LLM-data operators exist FOR — one auditable pass
+    that marks every document keep/drop: exact-duplicate losers drop
+    first (keep-min rule from dedup_exact), then too-short, then
+    low-quality. All inputs are single-pass aggregations/projections
+    joined on doc_id; the verdict is a row-local CASE.
+    """
+    d = t["documents"]
+    fp = d.select("doc_id", X.fingerprint().alias("fingerprint"))
+    keep_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    is_dup = (
+        fp.join(keep_ids, "fingerprint")
+        .select("doc_id", (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"))
+    )
+    quality = text_quality(t).select("doc_id", "n_tokens", "quality_score")
+    verdict = (
+        F.when(F.col("is_duplicate"), "duplicate")
+        .when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("quality_score") < min_quality, "low_quality")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(is_dup, "doc_id")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality_score",
+            verdict.isNull().alias("kept"),
+            F.coalesce(verdict, F.lit("kept")).alias("status"),
+        )
+    )

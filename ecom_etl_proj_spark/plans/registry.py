@@ -1708,3 +1708,50 @@ register(
     FROM withp GROUP BY doc_id
     """,
 )
+
+register(
+    "curate_corpus",
+    textops.curate_corpus,
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+    ),
+    keepers AS (
+        SELECT fingerprint, min(doc_id) AS keep_doc_id FROM fp GROUP BY 1
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               round(least(n_tokens / 50.0, 1.0) * 0.4
+                     + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                   round((length(lower(text))
+                          - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                         / CAST(length(lower(text)) AS DOUBLE), 4) AS punct_ratio,
+                   round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                        / len(string_split(lower(trim(text)), ' ')), 4) AS stop_ratio
+            FROM documents
+        )
+    ),
+    joined AS (
+        SELECT d.doc_id, d.lang, q.n_tokens, q.quality_score,
+               (fp.doc_id != k.keep_doc_id) AS is_duplicate
+        FROM documents d
+        JOIN fp ON d.doc_id = fp.doc_id
+        JOIN keepers k ON fp.fingerprint = k.fingerprint
+        JOIN q ON d.doc_id = q.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, quality_score,
+           (CASE WHEN is_duplicate THEN 'duplicate'
+                 WHEN n_tokens < 10 THEN 'too_short'
+                 WHEN quality_score < 0.5 THEN 'low_quality' END IS NULL) AS kept,
+           coalesce(CASE WHEN is_duplicate THEN 'duplicate'
+                         WHEN n_tokens < 10 THEN 'too_short'
+                         WHEN quality_score < 0.5 THEN 'low_quality' END,
+                    'kept') AS status
+    FROM joined
+    """,
+)
