@@ -322,3 +322,73 @@ def test_dedup_clusters_representatives(spark, tables):
         reps = [m for m in members if m["is_representative"]]
         assert len(reps) == 1
         assert reps[0]["doc_id"] == min(m["doc_id"] for m in members) == comp
+
+
+def test_chunking_reconstruction_property(spark, tables):
+    """Chunks with the overlap removed must concatenate back to exactly
+    the original token stream (no token lost or duplicated)."""
+    from ecom_etl_proj_spark.operators import textops
+
+    chunks = textops.chunk_documents(tables, chunk_tokens=50, overlap=10).toPandas()
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split(" ")
+        for r in tables["documents"].select("doc_id", "text").collect()
+    }
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        rebuilt: list[str] = []
+        for i, row in enumerate(grp.itertuples()):
+            toks = row.chunk_text.split(" ")
+            rebuilt.extend(toks if i == 0 else toks[10:])
+        assert rebuilt == docs[doc_id], doc_id
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property (hypothesis): label propagation must agree with a plain
+    union-find on random edge lists."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonicalize: min member per component
+        comps: dict[int, list[int]] = {}
+        for n in parent:
+            comps.setdefault(find(n), []).append(n)
+        return {n: min(members) for root, members in comps.items() for n in members}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def check(edges):
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == union_find(edges)
+
+    check()
