@@ -262,3 +262,63 @@ def test_rate_source_generator_stream(spark):
         assert types <= set(generator.EVENT_TYPES)
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data(spark, tables):
+    """Append-mode windowed agg through a checkpoint: events arriving
+    after their window's watermark has passed must be DROPPED, not
+    re-opened — the bounded-state guarantee the whole streaming design
+    rests on."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="wm_src_")
+    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    sink: list = []
+
+    ev = tables["events"]
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    # batch 1: everything EXCEPT one early minute we hold back
+    held_minute = tmin.replace(second=0, microsecond=0)
+    late = ev.filter(F.date_trunc("minute", "ts") == F.lit(held_minute))
+    on_time = ev.filter(F.date_trunc("minute", "ts") != F.lit(held_minute))
+    n_late = late.count()
+    assert n_late > 0
+
+    on_time.write.parquet(os.path.join(src, "b1"))
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            pipeline.minutely_metrics(stream, lateness="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _e: sink.append(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    emitted_1 = sum(r["num_events"] for batch in sink for r in batch)
+    # batch 2: the held-back minute arrives days late — beyond the
+    # watermark (tmax - 10min), so it must not be emitted
+    late.write.parquet(os.path.join(src, "b2"))
+    run_once()
+    emitted_2 = sum(r["num_events"] for batch in sink for r in batch)
+
+    total = ev.count()
+    # everything on time was eventually emitted except windows still
+    # within the final watermark horizon; the late minute never appears
+    emitted_minutes = {
+        (r["minute"], r["event_type"]) for batch in sink for r in batch
+    }
+    assert all(m != held_minute for m, _t in emitted_minutes)
+    assert emitted_2 == emitted_1  # the late batch added nothing
+    assert emitted_1 < total  # (late minute + unfinalized tail withheld)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
