@@ -795,3 +795,26 @@ def discount_elasticity(t: dict[str, DataFrame]) -> DataFrame:
         (F.round(F.expr("regr_slope(l_quantity, l_discount)"), 4) + 0.0).alias("ols_slope"),
         (F.round(F.expr("regr_r2(l_quantity, l_discount)"), 4) + 0.0).alias("r2"),
     )
+
+
+def weekly_sales_pattern(t: dict[str, DataFrame]) -> DataFrame:
+    """Day-of-week sales seasonality (0=Monday): revenue, orders, and
+    each day's share of weekly revenue — the dashboard's seasonality
+    strip. Two tiny aggregations; the share window runs over 7 rows."""
+    daily = (
+        t["orders"]
+        .groupBy(F.weekday("o_orderdate").alias("dow"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    total = Window.partitionBy()
+    return daily.select(
+        "dow",
+        "revenue",
+        "n_orders",
+        F.round(F.lit(100.0) * F.col("revenue") / F.sum("revenue").over(total), 4).alias(
+            "revenue_pct"
+        ),
+    )

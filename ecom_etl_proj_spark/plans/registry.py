@@ -1755,3 +1755,19 @@ register(
     FROM joined
     """,
 )
+
+register(
+    "weekly_sales_pattern",
+    analytics.weekly_sales_pattern,
+    """
+    WITH daily AS (
+        SELECT CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT dow, revenue, n_orders,
+           round(100.0 * revenue / sum(revenue) OVER (), 4) AS revenue_pct
+    FROM daily
+    """,
+)
