@@ -46,15 +46,20 @@ def embedding_knn(
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors."""
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_norm"),
     )
-    joined = emb.crossJoin(F.broadcast(queries)).filter(
+    corpus = emb.select("vec_id", "embedding", V.norm("embedding").alias("c_norm"))
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(V.cosine("q_emb", "embedding"), 6).alias("cosine_sim"),
+        F.round(
+            V.dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -67,16 +72,32 @@ def embedding_knn(
 
 
 def embedding_near_dup(t: dict[str, DataFrame], threshold: float = 0.95) -> DataFrame:
-    """Exact cosine near-duplicate pairs (verification-stage operator)."""
+    """Exact cosine near-duplicate pairs (verification-stage operator).
+
+    Norms are computed ONCE per vector and carried through the join —
+    cosine per pair is then a single dot fold. Same arithmetic (the
+    per-vector norm fold is identical), 3x fewer interpreted
+    higher-order evaluations on the quadratic pair stream.
+    """
     emb = t["embeddings"]
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        V.norm("embedding").alias("n_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        V.norm("embedding").alias("n_b"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            F.round(V.cosine("e_a", "e_b"), 6).alias("cosine_sim"),
+            F.round(V.dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -97,22 +118,26 @@ def ann_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
 
 def ann_lsh(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
     """Approximate top-k neighbors: brute force within LSH buckets only."""
-    b = ann_lsh_buckets(t)
+    b = ann_lsh_buckets(t).withColumn("nrm", V.norm("embedding"))
     a = b.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_norm"),
         "bucket",
     )
     pairs = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     sim = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(V.cosine("q_emb", "n_emb"), 6).alias("cosine_sim"),
+        F.round(
+            V.dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 6
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
