@@ -661,12 +661,22 @@ register(
 register(
     "embedding_near_dup",
     lambda t: similarity.embedding_near_dup(t, threshold=0.95),
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6)
-               AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round({_COSINE_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.95
+    """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT id_a, id_b, cosine_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                        i -> CAST(a.embedding[i] AS DOUBLE)
+                             * CAST(b.embedding[i] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.95
     """,
 )
 
