@@ -1781,3 +1781,71 @@ register(
     FROM daily
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Registration order
+# --------------------------------------------------------------------------
+# The driver's correctness harness checks the FIRST 50 registry entries per
+# round. Queries that already earned a green CORRECTNESS_r01 row are proven;
+# queries without a driver row yet (plus anything newly added) must register
+# first so they get an independent driver signal. The source order above is
+# grouped by subject for readability; this final step rebuilds the
+# insertion-ordered dict with the not-yet-driver-checked names in front.
+_DRIVER_PRIORITY: list[str] = [
+    # untested-in-r01 (40 names, VERDICT.md round 1)
+    "embedding_norms",
+    "daily_sales_7d_ma",
+    "top_parts_per_category",
+    "status_month_pivot",
+    "repeat_customer_rate",
+    "delivery_delay_percentiles",
+    "revenue_rollup",
+    "customer_value_deciles",
+    "inactive_customers",
+    "event_attribution",
+    "event_funnel",
+    "hourly_activity",
+    "event_props_stats",
+    "customer_snapshot_diff",
+    "ann_ivf",
+    "token_count_bpe",
+    "doc_winnowing",
+    "try_timestamp_parse",
+    "train_val_split",
+    "stratified_sample",
+    "skew_salted_join",
+    "kpi_overview_approx",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "satisfaction_by_delivery",
+    "sales_grouping_sets",
+    "quantize_embeddings",
+    "multimodal_decode",
+    "copurchase_pairs",
+    "cohort_retention",
+    "discount_elasticity",
+    "minutely_anomalies",
+    "dedup_clusters",
+    "rolling_active_users",
+    "data_profile_customer",
+    "chunk_documents",
+    "contamination_check",
+    "char_entropy",
+    "curate_corpus",
+    "weekly_sales_pattern",
+]
+
+
+def _finalize_order() -> None:
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    # Anything registered but not in the priority list (r1 driver-green
+    # queries) follows in source order.
+    for name, entry in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = entry
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_finalize_order()
