@@ -392,3 +392,39 @@ def test_connected_components_vs_union_find(spark):
         assert got == union_find(edges)
 
     check()
+
+
+def test_simhash_recall_equals_exact(spark, tables):
+    """Gated candidates + exact verify must EQUAL the brute-force
+    all-pairs hamming join (pigeonhole recall guarantee), on the real
+    corpus and on a planted near-dup set at the registry's radius."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    def exact_pairs(t, h):
+        sh = dedup.simhash_64(t)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("ham") <= h)
+            .collect()
+        }
+
+    # planted near-dups: shared base text with one-token perturbations
+    # lands pairs across the whole 0..max_hamming range
+    base = "the quick brown fox jumps over the lazy dog near a riverbank today"
+    rows = [(i, base + f" extra{i % 7}", "en") for i in range(40)]
+    planted = {
+        "documents": spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    }
+    for t, h in ((planted, 6), (planted, 3), (tables, 6)):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.dedup_simhash(t, max_hamming=h).collect()
+        }
+        want = exact_pairs(t, h)
+        assert got == want
+    # non-vacuous: the planted corpus must actually contain pairs
+    assert exact_pairs(planted, 6), "planted corpus produced no near-dup pairs"
