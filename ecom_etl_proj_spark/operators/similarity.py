@@ -5,9 +5,11 @@ Two paths, as a 100 TB pipeline needs:
 - ``embedding_knn``: brute-force cosine top-k for a bounded query set.
   The query side is broadcast; the corpus side streams through, so cost
   is one corpus scan per batch of queries — correct baseline, exact.
-- ``embedding_near_dup``: all-pairs above a cosine threshold. Exact and
-  quadratic; at scale it is the *verification* stage fed by
-  ``ann_lsh_buckets`` candidates, mirroring MinHash→Jaccard in dedup.py.
+- ``embedding_near_dup``: cosine-threshold near-dup pairs, candidate-
+  gated by multi-table sign-LSH (OR-construction) with exact cosine
+  verification of candidates only — mirroring MinHash→Jaccard in
+  dedup.py. ``embedding_near_dup_exact`` keeps the all-pairs brute
+  force as the recall baseline.
 - ``ann_lsh``: random-hyperplane LSH — each vector gets a sign-bit
   bucket; only same-bucket pairs are scored. The scale path: shuffle key
   is the bucket id, fan-out scales with bucket density.
@@ -25,13 +27,26 @@ from ecom_etl_proj_spark.functions import vectors as V
 
 N_PLANES = 8
 DIM = 64
+# Multi-table OR-construction defaults for the candidate-gated near-dup
+# path: L tables x B sign bits. Collision prob for a pair at cosine c is
+# 1-(1-(1-acos(c)/pi)^B)^L — near-identical vectors (c>=0.99) collide
+# with prob ~1; the per-table bit count B controls bucket population
+# (2^B buckets), so B should grow ~log2(corpus/target_bucket_size).
+NEAR_DUP_TABLES = 8
+NEAR_DUP_BITS = 8
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from a fixed LCG."""
+def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed LCG.
+
+    The first N_PLANES rows are stable regardless of ``n``, so every
+    LSH consumer (single-table ann_lsh, multi-table near-dup gating,
+    and the DuckDB oracle mirror built from the same literals) agrees
+    on plane j.
+    """
     planes = []
     state = 1234567
-    for _ in range(N_PLANES):
+    for _ in range(n):
         row = []
         for _ in range(DIM):
             state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
@@ -71,13 +86,15 @@ def embedding_knn(
     )
 
 
-def embedding_near_dup(t: dict[str, DataFrame], threshold: float = 0.95) -> DataFrame:
-    """Exact cosine near-duplicate pairs (verification-stage operator).
+def embedding_near_dup_exact(
+    t: dict[str, DataFrame], threshold: float = 0.95
+) -> DataFrame:
+    """Brute-force all-pairs cosine near-dup (BASELINE, deliberately
+    quadratic — the recall yardstick for the gated default below; never
+    the registered corpus-wide query).
 
     Norms are computed ONCE per vector and carried through the join —
-    cosine per pair is then a single dot fold. Same arithmetic (the
-    per-vector norm fold is identical), 3x fewer interpreted
-    higher-order evaluations on the quadratic pair stream.
+    cosine per pair is then a single dot fold.
     """
     emb = t["embeddings"]
     a = emb.select(
@@ -93,6 +110,94 @@ def embedding_near_dup(t: dict[str, DataFrame], threshold: float = 0.95) -> Data
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
+            "id_a",
+            "id_b",
+            F.round(V.dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _multi_table_buckets(
+    t: dict[str, DataFrame], n_tables: int, bits: int
+) -> DataFrame:
+    """(vec_id, embedding, nrm, b0..b{L-1}) sign-bit bucket per table."""
+    planes = _hyperplanes(n_tables * bits)
+    emb = t["embeddings"]
+    cols = []
+    for tbl in range(n_tables):
+        bucket = None
+        for j in range(bits):
+            arr = F.array(*[F.lit(x) for x in planes[tbl * bits + j]])
+            bit = F.when(V.dot(arr, "embedding") > 0, F.lit(1)).otherwise(F.lit(0))
+            term = F.shiftleft(bit.cast("long"), j)
+            bucket = term if bucket is None else bucket + term
+        cols.append(bucket.alias(f"b{tbl}"))
+    return emb.select(
+        "vec_id", "embedding", V.norm("embedding").alias("nrm"), *cols
+    )
+
+
+def embedding_near_dup(
+    t: dict[str, DataFrame],
+    threshold: float = 0.95,
+    n_tables: int = NEAR_DUP_TABLES,
+    bits: int = NEAR_DUP_BITS,
+) -> DataFrame:
+    """Cosine near-dup pairs, CANDIDATE-GATED (the 100 TB default).
+
+    Mirrors dedup_minhash_lsh's shape for vectors: candidates come from
+    L independent sign-LSH tables (OR-construction — a pair is a
+    candidate if it collides in ANY table), then ONLY candidates get the
+    exact cosine verification. Work scales with bucket co-occupancy
+    (sum of bucket_size^2 per table, ~n^2/2^bits for near-uniform
+    buckets), never the all-pairs n^2/2 — and the per-pair verify is an
+    equi-join lookup, so no quadratic operator appears in the plan
+    (plan-asserted: no cartesian/nested-loop join).
+
+    The gating is fully deterministic (fixed LCG hyperplanes), so the
+    DuckDB oracle reproduces the exact candidate set from the same
+    plane literals — oracle parity is structural, not luck. Recall vs
+    the brute-force baseline is property-tested with planted
+    near-identical vectors.
+    """
+    b = _multi_table_buckets(t, n_tables, bits)
+    # unpivot to (vec_id, tbl, bucket) — one row per table per vector
+    tbl_struct = ", ".join(
+        f"named_struct('tbl', {i}, 'bucket', b{i})" for i in range(n_tables)
+    )
+    assignments = b.select(
+        "vec_id", F.explode(F.expr(f"array({tbl_struct})")).alias("tb")
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a_side = assignments.alias("a")
+    b_side = assignments.alias("b")
+    candidates = (
+        a_side.join(
+            b_side,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    vecs = b.select("vec_id", "embedding", "nrm")
+    va = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(V.dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6).alias(

@@ -658,11 +658,42 @@ register(
     """,
 )
 
+# The candidate gating (multi-table sign-LSH) is fully deterministic, so
+# the oracle REPRODUCES it from the same hyperplane literals: both
+# engines compute identical candidate sets, making parity structural
+# rather than dependent on LSH recall.
+_ND_PLANES = similarity._hyperplanes(
+    similarity.NEAR_DUP_TABLES * similarity.NEAR_DUP_BITS
+)
+_ND_PLANE_ROWS = ",\n        ".join(
+    f"({i // similarity.NEAR_DUP_BITS}, {i % similarity.NEAR_DUP_BITS}, ["
+    + ", ".join(repr(x) for x in p)
+    + "])"
+    for i, p in enumerate(_ND_PLANES)
+)
+
 register(
     "embedding_near_dup",
     lambda t: similarity.embedding_near_dup(t, threshold=0.95),
-    """
-    WITH e AS (
+    f"""
+    WITH planes(tbl, j, p) AS (VALUES
+        {_ND_PLANE_ROWS}),
+    bkt AS (
+        SELECT e.vec_id, pl.tbl,
+               sum(CASE WHEN list_sum(list_transform(
+                        range(1, len(e.embedding) + 1),
+                        i -> pl.p[i] * CAST(e.embedding[i] AS DOUBLE))) > 0
+                   THEN 1 << pl.j ELSE 0 END) AS bucket
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a
+        JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    ),
+    e AS (
         SELECT vec_id, embedding,
                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                     i -> CAST(embedding[i] AS DOUBLE)
@@ -670,12 +701,14 @@ register(
         FROM embeddings
     )
     SELECT id_a, id_b, cosine_sim FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                        i -> CAST(a.embedding[i] AS DOUBLE)
-                             * CAST(b.embedding[i] AS DOUBLE)))
-                     / (a.nrm * b.nrm), 6) AS cosine_sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        SELECT c.id_a, c.id_b,
+               round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                        i -> CAST(ea.embedding[i] AS DOUBLE)
+                             * CAST(eb.embedding[i] AS DOUBLE)))
+                     / (ea.nrm * eb.nrm), 6) AS cosine_sim
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
     ) WHERE cosine_sim >= 0.95
     """,
 )
@@ -1793,6 +1826,8 @@ register(
 # grouped by subject for readability; this final step rebuilds the
 # insertion-ordered dict with the not-yet-driver-checked names in front.
 _DRIVER_PRIORITY: list[str] = [
+    # materially changed in round 2 → needs a fresh driver row
+    "embedding_near_dup",
     # untested-in-r01 (40 names, VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",

@@ -428,3 +428,40 @@ def test_simhash_recall_equals_exact(spark, tables):
         assert got == want
     # non-vacuous: the planted corpus must actually contain pairs
     assert exact_pairs(planted, 6), "planted corpus produced no near-dup pairs"
+
+
+def test_near_dup_gated_matches_exact(spark, tables):
+    """Candidate-gated near-dup must equal the brute-force all-pairs
+    result: on the real corpus (no near-dups → both empty) and on a
+    planted corpus where near-identical pairs exist (OR-construction
+    recall ~1 at cosine >= 0.999; deterministic planes make this
+    repeatable)."""
+    import random
+
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in df.collect()}
+
+    assert pairs(sim.embedding_near_dup(tables)) == pairs(
+        sim.embedding_near_dup_exact(tables)
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)], "x"))
+    # plant near-identical copies of the first 8 vectors
+    for i in range(8):
+        rows.append(
+            (100 + i, [v + rng.uniform(-1e-4, 1e-4) for v in rows[i][1]], "x")
+        )
+    planted = {
+        "embeddings": spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string"
+        )
+    }
+    got = pairs(sim.embedding_near_dup(planted))
+    want = pairs(sim.embedding_near_dup_exact(planted))
+    assert want, "planted corpus produced no near-dup pairs"
+    assert got == want

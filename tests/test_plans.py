@@ -168,3 +168,14 @@ def test_no_pathological_plans_registry_wide(spark, tables):
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_near_dup_gated_no_quadratic_join(tables):
+    """The registered near-dup path must be equi-joins only — no
+    cartesian and no nested-loop theta join (the all-pairs shape lives
+    exclusively in embedding_near_dup_exact, the recall baseline)."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    plan = plan_of(sim.embedding_near_dup(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
