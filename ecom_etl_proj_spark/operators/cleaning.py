@@ -113,17 +113,23 @@ def snapshot_diff(
     The reference reloads warehouse tables wholesale (truncate-reload,
     ods_layer.py); at 100 TB the incremental alternative is this diff:
     full outer join on the business key, classify each row as
-    insert / delete / update / unchanged by comparing a content hash.
-    One co-partitioned shuffle on the key; the hash keeps the compare
-    O(1) per row regardless of column count.
+    insert / delete / update / unchanged by comparing the compare
+    columns as a null-safe struct. A hash compare is NOT safe here:
+    Spark's hash expressions pass the seed through unchanged for NULL
+    inputs, so ('a', NULL) and (NULL, 'a') hash identically and a real
+    update would be silently classified unchanged. The struct compare
+    is exact; Catalyst prunes the unused compare columns after the
+    join, so the extra shuffle payload vs a hash is just the struct of
+    compare columns (for very wide dims, hash each column WITH a typed
+    null sentinel before combining).
     """
-    def hashed(df: DataFrame, side: str) -> DataFrame:
+    def with_cmp(df: DataFrame, side: str) -> DataFrame:
         cols = [F.col(c).alias(f"{side}_{c}") for c in keys + compare_cols]
-        h = F.xxhash64(*[F.col(c) for c in compare_cols]).alias(f"{side}_hash")
-        return df.select(*cols, h)
+        cmp_s = F.struct(*[F.col(c) for c in compare_cols]).alias(f"{side}_cmp")
+        return df.select(*cols, cmp_s)
 
-    o = hashed(old, "old")
-    n = hashed(new, "new")
+    o = with_cmp(old, "old")
+    n = with_cmp(new, "new")
     cond = None
     for k in keys:
         eq = o[f"old_{k}"] == n[f"new_{k}"]
@@ -133,7 +139,7 @@ def snapshot_diff(
     change = (
         F.when(F.col(f"old_{first_key}").isNull(), F.lit("insert"))
         .when(F.col(f"new_{first_key}").isNull(), F.lit("delete"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("update"))
+        .when(~F.col("old_cmp").eqNullSafe(F.col("new_cmp")), F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
     key_out = [

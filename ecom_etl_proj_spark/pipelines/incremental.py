@@ -53,8 +53,13 @@ def merge_dimension(
         compare_cols,
     )
     d = F.lit(snapshot_date).cast("date")
+    # Carry BOTH audit dates from the current generation: an unchanged
+    # row must keep the modification_date of its last actual change,
+    # not regress to its insertion_date.
     cur_meta = current.select(
-        *keys, F.col("insertion_date").alias("__cur_ins")
+        *keys,
+        F.col("insertion_date").alias("__cur_ins"),
+        F.col("modification_date").alias("__cur_mod"),
     )
     merged = (
         incoming.join(diff, keys)
@@ -64,7 +69,7 @@ def merge_dimension(
             *incoming.columns,
             F.coalesce(F.col("__cur_ins"), d).alias("insertion_date"),
             F.when(F.col("change_type").isin("insert", "update"), d)
-            .otherwise(F.col("__cur_ins"))
+            .otherwise(F.coalesce(F.col("__cur_mod"), F.col("__cur_ins")))
             .alias("modification_date"),
         )
     )
@@ -81,7 +86,17 @@ def apply_incremental(
 ) -> dict[str, int]:
     """Merge ``incoming`` into the materialized dimension at
     ``dim_path`` with a staged-swap write. Returns change-type counts
-    (the reference's post-load validation, now per change kind)."""
+    (the reference's post-load validation, now per change kind).
+
+    Crash-recovery note: the swap is two renames (dim → .__merge_old__,
+    tmp → dim), so a crash in the window between them leaves ``dim_path``
+    absent. Recovery is mechanical — if ``dim_path`` is missing and
+    ``.__merge_old__`` exists, rename it back (the merge simply re-runs);
+    both side directories are deterministic siblings of the table path.
+    On a real lake this whole dance is one atomic metadata commit
+    (Delta/Iceberg snapshot swap) — plain parquet has no atomic
+    directory rename, so the recovery contract is documented instead.
+    """
     current = spark.read.parquet(dim_path)
     merged, diff = merge_dimension(
         current, incoming, keys, compare_cols, snapshot_date

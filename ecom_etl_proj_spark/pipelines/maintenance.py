@@ -37,6 +37,13 @@ def compact(
     Returns (files_before, files_after). The rewrite stages through a
     sibling directory then swaps, so a crash mid-compact never leaves
     the table truncated.
+
+    Crash-recovery note: the swap is two renames (path →
+    .__compact_old__, tmp → path); a crash between them leaves ``path``
+    absent — recovery is renaming ``.__compact_old__`` back (compaction
+    is idempotent and simply re-runs). On Delta/Iceberg this is an
+    atomic snapshot commit; plain parquet directories have no atomic
+    rename, so the recovery contract is documented instead.
     """
     before, total = dir_stats(path)
     n_out = max(1, math.ceil(total / target_file_bytes))

@@ -465,3 +465,18 @@ def test_near_dup_gated_matches_exact(spark, tables):
     want = pairs(sim.embedding_near_dup_exact(planted))
     assert want, "planted corpus produced no near-dup pairs"
     assert got == want
+
+
+def test_snapshot_diff_null_shift_is_update(spark):
+    """Values moving across columns with NULLs involved must classify
+    as update — a seed-passthrough hash compare would call ('a', NULL)
+    vs (NULL, 'a') unchanged."""
+    from ecom_etl_proj_spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", None), (2, None, None)], "k int, x string, y string")
+    new = spark.createDataFrame([(1, None, "a"), (2, None, None)], "k int, x string, y string")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["x", "y"]).collect()
+    }
+    assert got == {1: "update", 2: "unchanged"}

@@ -204,7 +204,14 @@ def test_incremental_merge_equals_full_reload(spark, tables, tmp_path):
         r["c_custkey"]: str(r["modification_date"])
         for r in spark.read.parquet(dim_path).collect()
     }
-    assert all(v in ("2026-01-01", "2026-02-01") for v in got2.values())
+    # unchanged rows must KEEP the modification_date of their last
+    # actual change — gen-2 updated keys stay at 2026-02-01, never
+    # regress to their insertion_date, never advance to 2026-03-01
+    for k, mod in got2.items():
+        if k >= 1000000 or k % 13 == 0:
+            assert mod == "2026-02-01", (k, mod)
+        else:
+            assert mod == "2026-01-01", (k, mod)
 
 
 def test_scd2_history_and_as_of(spark):
