@@ -316,3 +316,82 @@ def rolling_active_users(t: dict[str, DataFrame], window_days: int = 7) -> DataF
         dau.join(rolling, "window_end")
         .select(F.col("window_end").alias("day"), "dau", "active_users_7d")
     )
+
+
+def _product_key() -> F.Column:
+    """Entity key from the JSON payload (props.k — the product id the
+    reference's consumer keys its Redis hashes on, consumer.py:207-212).
+    get_json_object stays JVM-side; at scale extraction cost is the scan
+    itself."""
+    return F.get_json_object("props", "$.k").cast("bigint")
+
+
+def counter_aggs() -> list[F.Column]:
+    """The per-entity counter aggregate set, shared verbatim by the
+    batch queries and the streaming twin so both compute the same
+    state."""
+    return [
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("purchase_revenue"),
+    ]
+
+
+def product_counters(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-product realtime counter set (ref consumer.py:207-212: the
+    product:views / product:cart_adds Redis hashes, plus revenue).
+
+    One conditional aggregation pass keyed on the product id — partial
+    aggregation map-side, |products| final rows; no shuffle beyond the
+    counter groupBy. The streaming twin
+    (streaming/pipeline.py::product_counters_stream) runs the identical
+    plan incrementally."""
+    return (
+        t["events"]
+        .select(_product_key().alias("product_id"), "event_type", "value")
+        .groupBy("product_id")
+        .agg(*counter_aggs())
+    )
+
+
+def product_leaderboard(t: dict[str, DataFrame], n: int = 10) -> DataFrame:
+    """Top-N products by views (ref streamlit/utils.py:143-150 realtime
+    leaderboard).
+
+    orderBy().limit(n) over the counter aggregates plans as
+    TakeOrderedAndProject — per-partition top-N then a driver merge of
+    N-row heaps, never a global sort; rank is assigned on the N
+    surviving rows only."""
+    top = (
+        product_counters(t)
+        .orderBy(F.col("n_views").desc(), F.col("product_id").asc())
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("n_views").desc(), F.col("product_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def category_counters(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-category counters: the product key joined to the part
+    dimension for its category (ref consumer.py:210: category:views).
+
+    The dimension side (p_partkey → p_type) broadcasts; the event scan
+    never shuffles before the counter aggregation."""
+    ev = t["events"].select(
+        _product_key().alias("product_id"), "event_type", "value"
+    )
+    cat = t["part"].select(
+        F.col("p_partkey").alias("product_id"), F.col("p_type").alias("category")
+    )
+    return (
+        ev.join(F.broadcast(cat), "product_id")
+        .groupBy("category")
+        .agg(*counter_aggs())
+    )

@@ -1816,6 +1816,62 @@ register(
 )
 
 
+# Per-entity realtime counters + leaderboard (ref consumer.py:207-212
+# product/category Redis hashes, streamlit/utils.py:143-150 leaderboard).
+_COUNTER_AGG_SQL = """
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                          0.0), 2) AS purchase_revenue
+"""
+
+register(
+    "product_counters",
+    events.product_counters,
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+           {_COUNTER_AGG_SQL}
+    FROM events
+    GROUP BY 1
+    """,
+)
+
+register(
+    "product_leaderboard",
+    lambda t: events.product_leaderboard(t, n=10),
+    f"""
+    WITH counters AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+               {_COUNTER_AGG_SQL}
+        FROM events
+        GROUP BY 1
+    ),
+    top AS (
+        SELECT * FROM counters
+        ORDER BY n_views DESC, product_id ASC
+        LIMIT 10
+    )
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_views DESC, product_id ASC)
+                   AS INTEGER) AS rank
+    FROM top
+    """,
+)
+
+register(
+    "category_counters",
+    events.category_counters,
+    f"""
+    SELECT p.p_type AS category,
+           {_COUNTER_AGG_SQL}
+    FROM events e
+    JOIN part p
+      ON p.p_partkey = CAST(json_extract_string(e.props, '$.k') AS BIGINT)
+    GROUP BY 1
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
@@ -1826,7 +1882,10 @@ register(
 # grouped by subject for readability; this final step rebuilds the
 # insertion-ordered dict with the not-yet-driver-checked names in front.
 _DRIVER_PRIORITY: list[str] = [
-    # materially changed in round 2 → needs a fresh driver row
+    # new in round 2 / materially changed → needs a fresh driver row
+    "product_counters",
+    "product_leaderboard",
+    "category_counters",
     "embedding_near_dup",
     # untested-in-r01 (40 names, VERDICT.md round 1)
     "embedding_norms",

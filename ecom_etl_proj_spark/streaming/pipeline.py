@@ -92,6 +92,48 @@ def global_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def product_counters_stream(events: DataFrame) -> DataFrame:
+    """Running per-product counters + purchase revenue — the streaming
+    twin of operators/events.product_counters (consumer.py:207-212
+    product:views / product:cart_adds Redis hashes). The aggregate
+    exprs are imported from the batch operator, so both paths compute
+    byte-identical state; serve the leaderboard snapshot with
+    ``serve_top_products``."""
+    from ecom_etl_proj_spark.operators.events import _product_key, counter_aggs
+
+    return (
+        events.select(_product_key().alias("product_id"), "event_type", "value")
+        .groupBy("product_id")
+        .agg(*counter_aggs())
+    )
+
+
+def serve_top_products(df: DataFrame, path: str, checkpoint: str, n: int = 10):
+    """Leaderboard serving sink: each micro-batch overwrites the current
+    top-N products by views (ref streamlit/utils.py:143-150 reading the
+    product:views hash). Complete-mode foreachBatch: the batch frame is
+    the full counter state, the top-N cut is TakeOrdered over it."""
+    from pyspark.sql import functions as SF
+
+    def write_batch(batch_df: DataFrame, _epoch: int) -> None:
+        (
+            batch_df.orderBy(
+                SF.col("n_views").desc(), SF.col("product_id").asc()
+            )
+            .limit(n)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    return (
+        df.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def recent_feed(events: DataFrame) -> DataFrame:
     """Append-mode activity feed (recent:views lpush, consumer.py:219-226).
 

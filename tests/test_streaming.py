@@ -322,3 +322,49 @@ def test_watermark_drops_late_data(spark, tables):
     assert emitted_1 < total  # (late minute + unfinalized tail withheld)
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_product_counters_stream_match_batch(spark, tables, events_dir):
+    """The incremental per-product counters must equal the batch
+    operator's result exactly, and the foreachBatch leaderboard snapshot
+    must equal the batch top-N."""
+    import tempfile
+
+    from ecom_etl_proj_spark.operators import events as ev_ops
+
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.run_to_memory(
+        pipeline.product_counters_stream(stream), "product_counters_t",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = {
+        r["product_id"]: (r["n_views"], r["n_clicks"], r["n_purchases"],
+                          r["purchase_revenue"])
+        for r in spark.sql("SELECT * FROM product_counters_t").collect()
+    }
+    want = {
+        r["product_id"]: (r["n_views"], r["n_clicks"], r["n_purchases"],
+                          r["purchase_revenue"])
+        for r in ev_ops.product_counters(tables).collect()
+    }
+    assert got == want
+
+    serve_dir = tempfile.mkdtemp(prefix="top_products_")
+    ckpt = tempfile.mkdtemp(prefix="top_products_ckpt_")
+    stream2 = pipeline.file_stream_source(spark, events_dir)
+    q2 = pipeline.serve_top_products(
+        pipeline.product_counters_stream(stream2), serve_dir, ckpt
+    )
+    q2.awaitTermination(120)
+    served = {
+        r["product_id"]: r["n_views"]
+        for r in spark.read.parquet(serve_dir).collect()
+    }
+    batch_top = {
+        r["product_id"]: r["n_views"]
+        for r in ev_ops.product_leaderboard(tables, n=10).collect()
+    }
+    assert served == batch_top
+    shutil.rmtree(serve_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
