@@ -221,28 +221,97 @@ def ann_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
     return emb.select("vec_id", "embedding", bucket.alias("bucket"))
 
 
-def ann_lsh(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
-    """Approximate top-k neighbors: brute force within LSH buckets only."""
-    b = ann_lsh_buckets(t).withColumn("nrm", V.norm("embedding"))
-    a = b.select(
+def ann_params(
+    n: int, target_bucket: int = 16, n_tables: int = 8
+) -> tuple[int, int]:
+    """(n_tables, bits) sized to the corpus: bits grows with
+    log2(n / target_bucket) so expected bucket population stays at
+    ``target_bucket`` as the corpus scales — candidate volume stays
+    ~n * target_bucket * L (linear in n), never n²/2^bits with fixed
+    bits. ``n_tables`` is the recall knob (OR-construction): collision
+    prob for a pair at cosine c is 1-(1-(1-acos(c)/pi)^bits)^L."""
+    import math
+
+    bits = max(2, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    return n_tables, bits
+
+
+def ann_candidates(
+    t: dict[str, DataFrame], n_tables: int, bits: int
+) -> DataFrame:
+    """Directed candidate pairs (query_id, neighbor_id) from L sign-LSH
+    tables — a pair is a candidate if it shares a bucket in ANY table.
+    Exposed separately so tests can measure candidate volume."""
+    b = _multi_table_buckets(t, n_tables, bits)
+    tbl_struct = ", ".join(
+        f"named_struct('tbl', {i}, 'bucket', b{i})" for i in range(n_tables)
+    )
+    assignments = b.select(
+        "vec_id", F.explode(F.expr(f"array({tbl_struct})")).alias("tb")
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    q = assignments.alias("q")
+    c = assignments.alias("c")
+    return (
+        q.join(
+            c,
+            (F.col("q.tbl") == F.col("c.tbl"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+
+
+def ann_lsh(
+    t: dict[str, DataFrame],
+    k: int = 5,
+    n_tables: int | None = None,
+    bits: int | None = None,
+    target_bucket: int = 16,
+) -> DataFrame:
+    """Approximate top-k neighbors from multi-table sign-LSH buckets.
+
+    Parameters auto-scale with the corpus (``ann_params``): bucket bit
+    count tracks log2(n), so per-vector candidate load is bounded as
+    the corpus grows, and the OR-construction over ``n_tables``
+    independent tables recovers the recall a single fixed-bit table
+    loses. Only candidate pairs are cosine-scored; top-k is a window
+    over each query's own candidates. Recall is measured against
+    exact ``embedding_knn`` at two corpus sizes in tests."""
+    if n_tables is None or bits is None:
+        auto_tables, auto_bits = ann_params(
+            t["embeddings"].count(), target_bucket, n_tables or 8
+        )
+        n_tables = n_tables or auto_tables
+        bits = bits or auto_bits
+    cand = ann_candidates(t, n_tables, bits)
+    emb = t["embeddings"].select(
+        "vec_id", "embedding", V.norm("embedding").alias("nrm")
+    )
+    qv = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
-        "bucket",
     )
-    c = b.select(
+    cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("nrm").alias("n_norm"),
-        "bucket",
     )
-    pairs = a.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            V.dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 6
-        ).alias("cosine_sim"),
+    sim = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                V.dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")), 6
+            ).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -268,7 +337,7 @@ def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def ann_ivf(
-    t: dict[str, DataFrame], n_centroids: int = 16, n_probe: int = 2,
+    t: dict[str, DataFrame], n_centroids: int | None = None, n_probe: int = 2,
     n_queries: int = 10, k: int = 5,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
@@ -285,8 +354,16 @@ def ann_ivf(
        the join key is the cell id, so work scales with cell population,
        not corpus size. That is the 100 TB path; brute-force
        ``embedding_knn`` is the recall baseline it is measured against.
+
+    ``n_centroids`` defaults to ~sqrt(corpus size) (the classic IVF
+    balance point: cell population ≈ cell count ≈ sqrt(n), so probe
+    cost per query is O(sqrt(n)) instead of O(n)).
     """
     emb = t["embeddings"]
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, int(math.sqrt(emb.count())))
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )

@@ -1887,6 +1887,7 @@ _DRIVER_PRIORITY: list[str] = [
     "product_leaderboard",
     "category_counters",
     "embedding_near_dup",
+    "ann_lsh",
     # untested-in-r01 (40 names, VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",

@@ -480,3 +480,40 @@ def test_snapshot_diff_null_shift_is_update(spark):
         for r in snapshot_diff(old, new, ["k"], ["x", "y"]).collect()
     }
     assert got == {1: "update", 2: "unchanged"}
+
+
+def test_ann_scaling_two_corpus_sizes(spark, tables):
+    """ANN parameter scaling contract at 500 (sf0.001) and 2000
+    (sf0.1) vectors: per-vector candidate load stays bounded as the
+    corpus grows (bits track log2 n), and multi-table recall vs exact
+    kNN does not degrade with size."""
+    from ecom_etl_proj_spark.catalog import load_tables
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    big = load_tables(spark, "/root/testdata/sf0.1", register=False)
+
+    stats = {}
+    for name, t in (("small", tables), ("big", big)):
+        n = t["embeddings"].count()
+        n_tables, bits = sim.ann_params(n)
+        n_cand = sim.ann_candidates(t, n_tables, bits).count()
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.embedding_knn(t).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ann_lsh(t).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        stats[name] = {"n": n, "bits": bits, "cand_per_vec": n_cand / n,
+                       "recall": recall}
+
+    small, large = stats["small"], stats["big"]
+    assert large["bits"] > small["bits"]
+    # linear candidate scaling: per-vector candidate load must not grow
+    # faster than ~2x across a 4x corpus growth
+    assert large["cand_per_vec"] <= 2.5 * small["cand_per_vec"], stats
+    # recall must hold up as the corpus grows
+    assert large["recall"] >= 0.25, stats
+    assert large["recall"] >= small["recall"] - 0.15, stats
