@@ -72,7 +72,9 @@ def sales_by_geography(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+def rfm_segments(
+    t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
     """RFM segmentation (utils.py:446-504, run_analytics.py:119-158).
 
     Recency/Frequency/Monetary per customer, quartile-scored against
@@ -80,6 +82,12 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     reference's rank-then-qcut, identical except on boundary ties),
     CASE-mapped to the reference's segment names, then summarized per
     segment.
+
+    ``approx=True`` swaps the exact ``percentile`` boundary reduce for
+    ``approx_percentile`` (KLL/GK, bounded state): the exact reduce
+    buffers every customer's value in one aggregation buffer, which is
+    fine at bench scale but not at billions of customers — the sketch
+    is the default at that scale (see sketches.rfm_segments_approx).
     """
     snapshot = t["orders"].agg(
         F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
@@ -100,10 +108,14 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     # funnel every customer into a single task — unusable at 100 TB;
     # the boundary form is one tiny reduce + a row-local comparison,
     # and differs from rank-ntile only on boundary ties.
+    if approx:
+        pexpr = f"approx_percentile({{c}}, array(0.25, 0.5, 0.75), {accuracy})"
+    else:
+        pexpr = "percentile({c}, array(0.25, 0.5, 0.75))"
     bounds = per_cust.agg(
-        F.expr("percentile(recency, array(0.25, 0.5, 0.75))").alias("rq"),
-        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("fq"),
-        F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias("mq"),
+        F.expr(pexpr.format(c="recency")).alias("rq"),
+        F.expr(pexpr.format(c="frequency")).alias("fq"),
+        F.expr(pexpr.format(c="monetary")).alias("mq"),
     )
 
     def score(col: str, q: str):
@@ -616,7 +628,9 @@ def revenue_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
+def customer_value_deciles(
+    t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
     """Customer lifetime value cut into deciles — the RFM monetary axis
     at finer grain.
 
@@ -624,6 +638,9 @@ def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
     bucket = 1 + boundaries exceeded. (A global NTILE window is the
     rank-exact alternative but serializes all customers into one task —
     the boundary form is the 100 TB shape and differs only on ties.)
+    ``approx=True`` computes the boundaries with bounded-state
+    approx_percentile — the default at billions of customers (see
+    sketches.customer_value_deciles_approx).
     """
     ltv = (
         t["orders"]
@@ -631,9 +648,13 @@ def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2).alias("ltv"))
     )
     qs = [round(i / 10, 1) for i in range(1, 10)]
-    bounds = ltv.agg(
-        F.expr(f"percentile(ltv, array({', '.join(str(q) for q in qs)}))").alias("b")
+    qarr = ", ".join(str(q) for q in qs)
+    bexpr = (
+        f"approx_percentile(ltv, array({qarr}), {accuracy})"
+        if approx
+        else f"percentile(ltv, array({qarr}))"
     )
+    bounds = ltv.agg(F.expr(bexpr).alias("b"))
     dec = F.lit(1)
     for i in range(9):
         dec = dec + F.when(F.col("ltv") > F.col("b")[i], 1).otherwise(0)

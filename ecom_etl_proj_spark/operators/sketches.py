@@ -97,3 +97,26 @@ def term_heavy_hitters(t: dict[str, DataFrame], support: float = 0.004) -> DataF
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("term").asc())
     )
+
+
+def rfm_segments_approx(t: dict[str, DataFrame], accuracy: int = 10000) -> DataFrame:
+    """RFM segmentation with sketch quantile boundaries — the scale
+    default: the exact twin's boundary reduce buffers every customer
+    value in one aggregation buffer; approx_percentile holds
+    O(accuracy) state regardless of customer count. Boundaries come
+    from corpus elements instead of interpolated values, so only
+    boundary-tied customers can shift one segment — the twin test
+    bounds that movement."""
+    from ecom_etl_proj_spark.operators import analytics
+
+    return analytics.rfm_segments(t, approx=True, accuracy=accuracy)
+
+
+def customer_value_deciles_approx(
+    t: dict[str, DataFrame], accuracy: int = 10000
+) -> DataFrame:
+    """LTV deciles with sketch quantile boundaries (see
+    rfm_segments_approx for the state argument)."""
+    from ecom_etl_proj_spark.operators import analytics
+
+    return analytics.customer_value_deciles(t, approx=True, accuracy=accuracy)

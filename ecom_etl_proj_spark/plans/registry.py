@@ -1464,6 +1464,10 @@ from ecom_etl_proj_spark.operators import sketches  # noqa: E402
 register("kpi_overview_approx", sketches.kpi_overview_approx, None)
 register("delay_quantiles_approx", sketches.delay_quantiles_approx, None)
 register("term_heavy_hitters", sketches.term_heavy_hitters, None)
+register("rfm_segments_approx", sketches.rfm_segments_approx, None)
+register(
+    "customer_value_deciles_approx", sketches.customer_value_deciles_approx, None
+)
 
 register(
     "satisfaction_by_delivery",
@@ -1888,6 +1892,8 @@ _DRIVER_PRIORITY: list[str] = [
     "category_counters",
     "embedding_near_dup",
     "ann_lsh",
+    "rfm_segments_approx",
+    "customer_value_deciles_approx",
     # untested-in-r01 (40 names, VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",

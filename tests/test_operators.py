@@ -517,3 +517,32 @@ def test_ann_scaling_two_corpus_sizes(spark, tables):
     # recall must hold up as the corpus grows
     assert large["recall"] >= 0.25, stats
     assert large["recall"] >= small["recall"] - 0.15, stats
+
+
+def test_quantile_sketch_twins_error_bound(spark, tables):
+    """The sketch twins must reproduce the exact RFM/decile summaries up
+    to boundary-tie movement: approx_percentile returns corpus elements
+    where exact percentile interpolates, so only customers sitting
+    exactly between two boundary candidates may shift one segment.
+    Contract: same segment/decile key set, same total population, each
+    group within a few boundary-tied members of the exact count."""
+    from ecom_etl_proj_spark.operators import analytics, sketches
+
+    er = {r["segment"]: r["customer_count"]
+          for r in analytics.rfm_segments(tables).collect()}
+    ar = {r["segment"]: r["customer_count"]
+          for r in sketches.rfm_segments_approx(tables).collect()}
+    assert set(ar) == set(er)
+    assert sum(ar.values()) == sum(er.values())
+    tol = max(2, int(0.05 * sum(er.values())))
+    for seg in er:
+        assert abs(ar[seg] - er[seg]) <= tol, (seg, er[seg], ar[seg])
+
+    ed = {r["decile"]: r["n_customers"]
+          for r in analytics.customer_value_deciles(tables).collect()}
+    ad = {r["decile"]: r["n_customers"]
+          for r in sketches.customer_value_deciles_approx(tables).collect()}
+    assert set(ad) == set(ed)
+    assert sum(ad.values()) == sum(ed.values())
+    for d in ed:
+        assert abs(ad[d] - ed[d]) <= 2, (d, ed[d], ad[d])
