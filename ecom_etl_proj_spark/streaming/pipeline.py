@@ -37,14 +37,26 @@ def file_stream_source(spark: SparkSession, directory: str) -> DataFrame:
     return spark.readStream.schema(SCHEMAS["events"]).parquet(directory)
 
 
+def parse_event_payload(raw: DataFrame) -> DataFrame:
+    """Decode a raw (value: binary/string) frame to typed event rows —
+    the exact projection the Kafka source applies. Factored out so the
+    payload contract is batch-testable without a broker: the same
+    expression tree runs over literal producer-shaped JSON lines in
+    tests/test_streaming.py."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), SCHEMAS["events"]).alias("e")
+    ).select("e.*")
+
+
 def kafka_json_source(
     spark: SparkSession, bootstrap: str, topics: str
 ) -> DataFrame:
     """Kafka source parsed to the events schema (production path).
 
     Mirrors the reference consumer's topic subscription + JSON decode
-    (consumer.py:80-97); not exercisable in this container (no broker),
-    kept as the documented production wiring.
+    (consumer.py:80-97); the broker round-trip is not exercisable in
+    this container, but the payload parse itself is covered batch-side
+    (see parse_event_payload).
     """
     raw = (
         spark.readStream.format("kafka")
@@ -52,9 +64,7 @@ def kafka_json_source(
         .option("subscribe", topics)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), SCHEMAS["events"]).alias("e")
-    ).select("e.*")
+    return parse_event_payload(raw)
 
 
 def minutely_metrics(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:

@@ -368,3 +368,49 @@ def test_product_counters_stream_match_batch(spark, tables, events_dir):
     assert served == batch_top
     shutil.rmtree(serve_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_kafka_payload_parse_roundtrip(spark):
+    """The exact Kafka-source projection (parse_event_payload) decoded
+    over producer-shaped JSON lines in batch — the broker-free half of
+    the Kafka path. Typed fields, nested-JSON props carried as string,
+    malformed payloads become NULL rows instead of job aborts."""
+    import datetime
+    import json
+
+    payloads = [
+        json.dumps(
+            {
+                "event_id": 1,
+                "ts": "2026-03-01T10:15:30.000Z",
+                "user_id": 42,
+                "event_type": "view",
+                "value": 12.5,
+                "props": json.dumps({"k": 7}),
+            }
+        ),
+        json.dumps(
+            {
+                "event_id": 2,
+                "ts": "2026-03-01T10:16:00.000Z",
+                "user_id": 43,
+                "event_type": "purchase",
+                "value": 99.0,
+                "props": json.dumps({"k": 9}),
+            }
+        ),
+        "not json at all",
+    ]
+    raw = spark.createDataFrame([(p.encode(),) for p in payloads], "value binary")
+    rows = pipeline.parse_event_payload(raw).collect()
+    assert [r["event_id"] for r in rows] == [1, 2, None]
+    assert rows[0]["event_type"] == "view" and rows[0]["value"] == 12.5
+    assert rows[0]["user_id"] == 42
+    assert rows[0]["ts"] == datetime.datetime(2026, 3, 1, 10, 15, 30)
+    # props stays a JSON string — the same carrier the batch queries
+    # extract with get_json_object
+    assert json.loads(rows[1]["props"]) == {"k": 9}
+    # schema must match the catalog contract exactly
+    from ecom_etl_proj_spark.catalog import SCHEMAS
+
+    assert pipeline.parse_event_payload(raw).schema == SCHEMAS["events"]
