@@ -171,23 +171,42 @@ def dedup_minhash_lsh(
     k-aggregate signature at identical recall on the test corpus.
     """
     n_bins = MINHASH_BANDS * MINHASH_ROWS
-    sh = _doc_shingles(t, n).withColumn("h", F.crc32(F.col("shingle")))
-    binmin = (
-        sh.withColumn("bin", F.pmod("h", F.lit(n_bins)))
-        .groupBy("doc_id", "bin")
-        .agg(F.min("h").alias("mh"))
+    sh = (
+        _doc_shingles(t, n)
+        .withColumn("h", F.crc32(F.col("shingle")))
+        .withColumn("bin", F.pmod("h", F.lit(n_bins)))
+        .withColumn("band", (F.col("bin") / MINHASH_ROWS).cast("int"))
     )
-    bands = (
-        binmin.withColumn("band", (F.col("bin") / MINHASH_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(F.collect_list(F.concat_ws(":", "bin", "mh"))),
-                )
-            ).alias("bh")
+    # ONE aggregation keyed (doc_id, band): each band keeps its
+    # ROWS_PER_BAND bin-minimums as conditional min aggregates — fully
+    # codegen'd, vs the previous two-level (doc,bin)-then-(doc,band)
+    # shape whose second stage was an ObjectHashAggregate
+    # (collect_list + sort_array, outside whole-stage codegen) and cost
+    # an extra exchange. Band hash input is the "bin:min" pairs of
+    # NON-EMPTY bins in fixed bin order (concat_ws skips the NULL mins
+    # of empty bins), so two docs collide iff their per-bin sketch
+    # content matches — the same candidate condition as before
+    # (A/B-verified pair-identical at sf0.001/0.01).
+    mins = [
+        F.min(
+            F.when(F.pmod("bin", F.lit(MINHASH_ROWS)) == r, F.col("h"))
+        ).alias(f"m{r}")
+        for r in range(MINHASH_ROWS)
+    ]
+    per_band = sh.groupBy("doc_id", "band").agg(*mins)
+    parts = [
+        F.when(
+            F.col(f"m{r}").isNotNull(),
+            F.concat_ws(
+                ":",
+                (F.col("band") * MINHASH_ROWS + r).cast("string"),
+                F.col(f"m{r}").cast("string"),
+            ),
         )
+        for r in range(MINHASH_ROWS)
+    ]
+    bands = per_band.select(
+        "doc_id", "band", F.xxhash64(F.concat_ws(",", *parts)).alias("bh")
     )
     a = bands.alias("a")
     b = bands.alias("b")
