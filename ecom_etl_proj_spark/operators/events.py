@@ -395,3 +395,32 @@ def category_counters(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("category")
         .agg(*counter_aggs())
     )
+
+
+def product_decay_revenue(
+    t: dict[str, DataFrame], half_life_days: float = 7.0
+) -> DataFrame:
+    """Exponentially time-decayed purchase revenue per product — the
+    trending-products score (recent purchases count ~2x a
+    half-life-old one).
+
+    The decay anchor (max event ts) is one scalar aggregate broadcast
+    back; the weighted sum is then a single partial-aggregated pass, so
+    the whole query is two scans of nothing but the purchase slice.
+    Integer-second age arithmetic keeps the oracle byte-identical.
+    """
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max("ts").alias("mx"))
+    age_days = (
+        F.unix_timestamp("mx") - F.unix_timestamp("ts")
+    ) / F.lit(86400.0)
+    weighted = F.col("value") * F.pow(F.lit(0.5), age_days / F.lit(half_life_days))
+    return (
+        purchases.select(_product_key().alias("product_id"), "ts", "value")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("product_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(weighted), 2).alias("decayed_revenue"),
+        )
+    )

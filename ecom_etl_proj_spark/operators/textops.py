@@ -356,3 +356,54 @@ def curate_corpus(
             F.coalesce(verdict, F.lit("kept")).alias("status"),
         )
     )
+
+
+PII_PATTERNS = {
+    # Deliberately simple, RE2-and-Java-compatible patterns so the
+    # DuckDB oracle matches the Spark expressions byte-for-byte.
+    "emails": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}",
+    "phones": "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "long_ids": "[0-9]{9,}",
+}
+
+
+def pii_scrub_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-document PII scan + scrub audit — the redaction pass every
+    training-data pipeline runs before release.
+
+    Counts each pattern family, then fingerprints the text with all
+    matches replaced by a redaction token, so downstream exact-dedup /
+    contamination checks operate on the scrubbed form. Row-local
+    regexp expressions only — scan speed, no shuffle, no UDF.
+    """
+    d = t["documents"]
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count("text", F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, "[REDACTED]")
+    return d.select(
+        "doc_id",
+        *counts,
+        F.md5(F.lower(F.trim(scrubbed))).alias("scrubbed_fingerprint"),
+    )
+
+
+def ngram_doc_freq(t: dict[str, DataFrame], n: int = 2, top: int = 20) -> DataFrame:
+    """Corpus n-gram document frequency — top ``top`` word n-grams by
+    how many documents contain them (the n-gram LM / contamination
+    vocabulary view; bigram default).
+
+    Shingles are distinct per doc (word_shingles), so the count is doc
+    frequency, not raw occurrences — one explode + one partial-agg
+    count; the leaderboard cut is TakeOrdered, never a global sort.
+    """
+    grams = t["documents"].select(
+        "doc_id", F.explode(X.word_shingles(n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+        .limit(top)
+    )

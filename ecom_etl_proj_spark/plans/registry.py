@@ -1876,6 +1876,153 @@ register(
 )
 
 
+# Specialized joins (as-of, range-band) + round-2 text/event additions.
+from ecom_etl_proj_spark.operators import joins  # noqa: E402
+
+
+def _purchase_click_asof(t: Tables) -> DataFrame:
+    """Each purchase matched to the user's latest click at-or-before it,
+    kept only within a 30-minute attribution window (the bounded as-of —
+    the batch twin of the watermarked stream-stream join)."""
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = joins.asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        payload={}, tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_ts").alias("click_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("lag_secs"),
+    )
+
+
+register(
+    "purchase_click_asof",
+    _purchase_click_asof,
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN date_diff('second', c.ts, p.ts) <= 1800
+                THEN c.ts END AS click_ts,
+           CASE WHEN date_diff('second', c.ts, p.ts) <= 1800
+                THEN date_diff('second', c.ts, p.ts) END AS lag_secs
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+
+PRICE_BANDS = [
+    ("budget", 0.0, 5000.0),
+    ("value", 5000.0, 15000.0),
+    ("mid", 15000.0, 30000.0),
+    ("premium", 30000.0, 60000.0),
+    ("luxury", 60000.0, 120000.0),
+]
+
+
+def _price_band_stats(t: Tables) -> DataFrame:
+    """Range join of line items into price bands, rewritten as the
+    row-local band CASE (operators/joins.range_band_join) — the oracle
+    runs the honest theta join to prove the rewrite."""
+    li = joins.range_band_join(t["lineitem"], "l_extendedprice", PRICE_BANDS)
+    return li.groupBy("band").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
+
+
+_BAND_ROWS = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+register(
+    "price_band_stats",
+    _price_band_stats,
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BAND_ROWS})
+    SELECT b.band,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price,
+           round(avg(l.l_discount), 4) AS avg_discount
+    FROM lineitem l
+    JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY 1
+    """,
+)
+
+register(
+    "ngram_doc_freq",
+    lambda t: textops.ngram_doc_freq(t, n=2, top=20),
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS l FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, u.s AS ngram FROM toks,
+            unnest(CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+                   ELSE list_distinct(list_transform(range(1, len(l)),
+                        i -> concat_ws(' ', l[i], l[i+1]))) END) AS u(s)
+    )
+    SELECT ngram, count(*) AS n_docs
+    FROM sh GROUP BY 1
+    ORDER BY n_docs DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+
+_PII_EM = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+_PII_PH = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_ID = "[0-9]{9,}"
+
+register(
+    "pii_scrub_report",
+    textops.pii_scrub_report,
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EM}')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PH}')) AS INTEGER)
+               AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_ID}')) AS INTEGER)
+               AS n_long_ids,
+           md5(lower(trim(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EM}', '[REDACTED]', 'g'),
+                   '{_PII_PH}', '[REDACTED]', 'g'),
+                   '{_PII_ID}', '[REDACTED]', 'g')
+           ))) AS scrubbed_fingerprint
+    FROM documents
+    """,
+)
+
+register(
+    "product_decay_revenue",
+    events.product_decay_revenue,
+    """
+    WITH p AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS product_id,
+               ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    mx AS (SELECT max(ts) AS mx FROM p)
+    SELECT product_id,
+           count(*) AS n_purchases,
+           round(sum(value * pow(0.5,
+               (date_diff('second', ts, mx) / 86400.0) / 7.0)), 2)
+               AS decayed_revenue
+    FROM p CROSS JOIN mx
+    GROUP BY 1
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
@@ -1885,16 +2032,25 @@ register(
 # first so they get an independent driver signal. The source order above is
 # grouped by subject for readability; this final step rebuilds the
 # insertion-ordered dict with the not-yet-driver-checked names in front.
+# 52 queries want a fresh driver row (40 r1-untested + 12 r2-new/changed)
+# but only 50 slots exist. Oracle-backed entries carry the strong signal
+# (rows+schema+hash) so they ALL go first; rows-only entries (execution
+# signal only) absorb the overflow — the two pushed past 50 are ann_lsh
+# (which already has an r1 driver row) and rfm_segments_approx (whose
+# machinery is covered by customer_value_deciles_approx's row and the
+# error-bound test).
 _DRIVER_PRIORITY: list[str] = [
-    # new in round 2 / materially changed → needs a fresh driver row
+    # oracle-backed, new in round 2 / materially changed
     "product_counters",
     "product_leaderboard",
     "category_counters",
     "embedding_near_dup",
-    "ann_lsh",
-    "rfm_segments_approx",
-    "customer_value_deciles_approx",
-    # untested-in-r01 (40 names, VERDICT.md round 1)
+    "purchase_click_asof",
+    "price_band_stats",
+    "ngram_doc_freq",
+    "pii_scrub_report",
+    "product_decay_revenue",
+    # oracle-backed, untested in r01 (VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",
     "top_parts_per_category",
@@ -1909,25 +2065,19 @@ _DRIVER_PRIORITY: list[str] = [
     "hourly_activity",
     "event_props_stats",
     "customer_snapshot_diff",
-    "ann_ivf",
     "token_count_bpe",
     "doc_winnowing",
     "try_timestamp_parse",
     "train_val_split",
     "stratified_sample",
     "skew_salted_join",
-    "kpi_overview_approx",
-    "delay_quantiles_approx",
-    "term_heavy_hitters",
     "satisfaction_by_delivery",
     "sales_grouping_sets",
     "quantize_embeddings",
-    "multimodal_decode",
     "copurchase_pairs",
     "cohort_retention",
     "discount_elasticity",
     "minutely_anomalies",
-    "dedup_clusters",
     "rolling_active_users",
     "data_profile_customer",
     "chunk_documents",
@@ -1935,6 +2085,17 @@ _DRIVER_PRIORITY: list[str] = [
     "char_entropy",
     "curate_corpus",
     "weekly_sales_pattern",
+    # rows-only (weak driver signal), never driver-run before
+    "dedup_clusters",
+    "multimodal_decode",
+    "kpi_overview_approx",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "ann_ivf",
+    "customer_value_deciles_approx",
+    # overflow past slot 50 by design (see note above)
+    "rfm_segments_approx",
+    "ann_lsh",
 ]
 
 

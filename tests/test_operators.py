@@ -546,3 +546,80 @@ def test_quantile_sketch_twins_error_bound(spark, tables):
     assert sum(ad.values()) == sum(ed.values())
     for d in ed:
         assert abs(ad[d] - ed[d]) <= 2, (d, ed[d], ad[d])
+
+
+def test_asof_join_semantics(spark):
+    """Literal-frame as-of: equal-ts right row matches (>= semantics),
+    later rights never match, tolerance nulls out stale matches, keys
+    with no prior right get NULLs."""
+    from ecom_etl_proj_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "a"),
+         (1, "2026-01-01 12:00:00", "b"),
+         (2, "2026-01-01 09:00:00", "c")],
+        "k int, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", 100.0),   # equal ts -> matches 'a'
+         (1, "2026-01-01 11:59:00", 200.0),   # latest prior for 'b'
+         (2, "2026-01-01 09:30:00", 300.0)],  # after 'c' -> no match
+        "k int, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["tag"]: (r["asof_ts"], r["v_matched"])
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            payload={"v": "v_matched"},
+        ).collect()
+    }
+    assert out["a"][1] == 100.0
+    assert out["b"][1] == 200.0
+    assert out["c"] == (None, None)
+
+    # tolerance: 'a' matched at lag 0 stays, 'b' (lag 60s) cut at 30s
+    tight = {
+        r["tag"]: r["v_matched"]
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            payload={"v": "v_matched"}, tolerance_seconds=30,
+        ).collect()
+    }
+    assert tight == {"a": 100.0, "b": None, "c": None}
+
+
+def test_range_band_join_coverage(spark):
+    from ecom_etl_proj_spark.operators.joins import range_band_join
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 4999.99), (3, 5000.0), (4, 200000.0)], "id int, v double"
+    )
+    bands = [("lo", 0.0, 5000.0), ("hi", 5000.0, 120000.0)]
+    got = {r["id"]: r["band"] for r in range_band_join(df, "v", bands).collect()}
+    assert got == {1: "lo", 2: "lo", 3: "hi", 4: None}
+
+
+def test_pii_scrub_planted(spark):
+    """Planted PII is counted per family and absent from the scrubbed
+    fingerprint (identical docs differing only in PII converge)."""
+    from ecom_etl_proj_spark.operators.textops import pii_scrub_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or 555-123-4567 ok", "en"),
+            (2, "contact me at bob.smith@test.org or 999-876-5432 ok", "en"),
+            (3, "account 123456789012 flagged", "en"),
+            (4, "nothing sensitive here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["doc_id"]: r for r in pii_scrub_report({"documents": docs}).collect()
+    }
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["n_emails"] == 1 and rows[2]["n_phones"] == 1
+    assert rows[3]["n_long_ids"] == 1
+    assert rows[4]["n_emails"] == rows[4]["n_phones"] == rows[4]["n_long_ids"] == 0
+    # docs 1 and 2 differ ONLY in their PII -> identical scrubbed form
+    assert rows[1]["scrubbed_fingerprint"] == rows[2]["scrubbed_fingerprint"]
+    assert rows[1]["scrubbed_fingerprint"] != rows[4]["scrubbed_fingerprint"]

@@ -179,3 +179,28 @@ def test_near_dup_gated_no_quadratic_join(tables):
     plan = plan_of(sim.embedding_near_dup(tables))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_union_carry_no_join(spark, tables):
+    """The generic as-of must plan as union + window — no join operator
+    of any kind (the quadratic theta-join shape must never appear)."""
+    from ecom_etl_proj_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    df = registry.queries()["purchase_click_asof"](spark, SF_DIR)
+    plan = plan_of(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "ShuffledHashJoin"):
+        assert op not in plan, f"asof planned a {op}"
+    assert "Window" in plan
+
+
+def test_price_band_no_theta_join(spark, tables):
+    from ecom_etl_proj_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(registry.queries()["price_band_stats"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
