@@ -93,3 +93,114 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+# The three ops below keep the same mapInPandas/Arrow shape as
+# decode_media but their stub math is chosen to be EXPRESSIBLE IN SQL
+# (hashes + arithmetic over payload bytes), so each gets a full DuckDB
+# oracle: the driver hash-checks that the Python/Arrow round trip is
+# value-exact, a strictly stronger signal than the rows-only check the
+# opaque decode stub gets. Swapping the stub for PIL/ffmpeg changes the
+# lambda body only — schema, batching, and partitioning stay as tested.
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_width", T.IntegerType()),
+        T.StructField("orig_height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Fit-in-box resize plan for every image payload (aspect preserved,
+    never upscaled) — the standard pre-training normalization pass.
+    Stub geometry derives from payload length exactly like
+    ``_decode_stub``; integer math only, so the oracle reproduces it.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                w, h = n % 640 + 1, n % 480 + 1
+                # integer-scaled fit: scale = min(max_w/w, max_h/h, 1)
+                # expressed as exact integer arithmetic (floor divisions)
+                if w <= max_w and h <= max_h:
+                    nw, nh = w, h
+                elif w * max_h >= h * max_w:  # width-bound
+                    nw, nh = max_w, max(1, (h * max_w) // w)
+                else:
+                    nw, nh = max(1, (w * max_h) // h), max_h
+                rows.append((doc_id, w, h, nw, nh))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orig_width", "orig_height",
+                    "new_width", "new_height",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_key", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Every ``every_n``-th frame of each video payload — the 1→N fanout
+    shape (one input row yields a variable number of frame rows inside
+    the Arrow batch). Frame count is the stub decode's n_frames; the
+    frame key is md5 over (payload sha256, frame index), so the oracle
+    can rebuild every row."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int, str]] = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(p) % 30 + 1
+                sha = hashlib.sha256(p).hexdigest()
+                for idx in range(0, n_frames, every_n):
+                    key = hashlib.md5(f"{sha}-{idx}".encode()).hexdigest()
+                    out.append((doc_id, idx, key))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_key"])
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Fixed-dimension feature vector per payload (the featurizer slot —
+    CLIP/ResNet in production). Stub embedding = the first ``dim`` bytes
+    of the payload's sha256 scaled to [0, 1]; deterministic, dense, and
+    SQL-reproducible, so the oracle verifies the Arrow float round trip
+    bit-for-bit (the output feeds the similarity operators'
+    array<double> contract)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                [b / 255.0 for b in hashlib.sha256(p).digest()[:dim]]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)

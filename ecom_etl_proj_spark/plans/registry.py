@@ -2023,6 +2023,75 @@ register(
 )
 
 
+# Multimodal mapInPandas ops whose deterministic stubs are SQL-
+# expressible: the oracle hash-checks the Python/Arrow round trip
+# value-exactly (stronger than the opaque decode stub's rows-only).
+
+register(
+    "multimodal_resize",
+    lambda t: multimodal.resize_images(multimodal.with_payload(t)),
+    """
+    WITH geo AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS w,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS h
+        FROM documents
+    )
+    SELECT doc_id, w AS orig_width, h AS orig_height,
+           CAST(CASE WHEN w <= 224 AND h <= 224 THEN w
+                     WHEN w * 224 >= h * 224 THEN 224
+                     ELSE greatest(1, (w * 224) // h) END AS INTEGER)
+               AS new_width,
+           CAST(CASE WHEN w <= 224 AND h <= 224 THEN h
+                     WHEN w * 224 >= h * 224 THEN greatest(1, (h * 224) // w)
+                     ELSE 224 END AS INTEGER)
+               AS new_height
+    FROM geo
+    """,
+)
+
+register(
+    "multimodal_frame_sample",
+    lambda t: multimodal.sample_frames(multimodal.with_payload(t)),
+    """
+    WITH meta AS (
+        SELECT doc_id, sha256(text) AS sha,
+               octet_length(encode(text)) % 30 + 1 AS nf
+        FROM documents
+    )
+    SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+           md5(sha || '-' || CAST(u.i AS VARCHAR)) AS frame_key
+    FROM meta, unnest(range(0, nf, 5)) AS u(i)
+    """,
+)
+
+
+def _multimodal_features(t: Tables) -> DataFrame:
+    """Long-form projection of the featurizer output (array form is one
+    collect_list away); long form keeps the oracle compare exact."""
+    feats = multimodal.extract_features(multimodal.with_payload(t))
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("feat_idx", "feat_value")
+    ).select(
+        "doc_id",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.round("feat_value", 6).alias("feat_value"),
+    )
+
+
+register(
+    "multimodal_features",
+    _multimodal_features,
+    """
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS feat_idx,
+           round(CAST('0x' || substring(sha, (u.i - 1) * 2 + 1, 2) AS INTEGER)
+                 / 255.0, 6) AS feat_value
+    FROM (SELECT doc_id, sha256(text) AS sha FROM documents),
+         unnest(range(1, 17)) AS u(i)
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
@@ -2032,13 +2101,14 @@ register(
 # first so they get an independent driver signal. The source order above is
 # grouped by subject for readability; this final step rebuilds the
 # insertion-ordered dict with the not-yet-driver-checked names in front.
-# 52 queries want a fresh driver row (40 r1-untested + 12 r2-new/changed)
-# but only 50 slots exist. Oracle-backed entries carry the strong signal
-# (rows+schema+hash) so they ALL go first; rows-only entries (execution
-# signal only) absorb the overflow — the two pushed past 50 are ann_lsh
-# (which already has an r1 driver row) and rfm_segments_approx (whose
-# machinery is covered by customer_value_deciles_approx's row and the
-# error-bound test).
+# 55 queries want a fresh driver row (40 r1-untested + 15 r2-new or
+# materially changed) but only 50 slots exist. Oracle-backed entries
+# carry the strong signal (rows+schema+hash) so they ALL go first (46);
+# four rows-only entries with distinct machinery (iterative clustering,
+# Arrow decode, IVF, freq-items sketch) take the remaining slots; the
+# overflow past 50 is the approx-percentile/HLL sketch family (each
+# error-bound-tested in-repo against its exact driver-checked twin) and
+# ann_lsh (which already has an r1 driver row).
 _DRIVER_PRIORITY: list[str] = [
     # oracle-backed, new in round 2 / materially changed
     "product_counters",
@@ -2050,6 +2120,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ngram_doc_freq",
     "pii_scrub_report",
     "product_decay_revenue",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
     # oracle-backed, untested in r01 (VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",
@@ -2088,12 +2161,12 @@ _DRIVER_PRIORITY: list[str] = [
     # rows-only (weak driver signal), never driver-run before
     "dedup_clusters",
     "multimodal_decode",
+    "ann_ivf",
+    "term_heavy_hitters",
+    # overflow past slot 50 by design (see note above)
     "kpi_overview_approx",
     "delay_quantiles_approx",
-    "term_heavy_hitters",
-    "ann_ivf",
     "customer_value_deciles_approx",
-    # overflow past slot 50 by design (see note above)
     "rfm_segments_approx",
     "ann_lsh",
 ]
