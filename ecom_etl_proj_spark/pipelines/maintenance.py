@@ -14,6 +14,7 @@ import math
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_stats(path: str) -> tuple[int, int]:
@@ -60,3 +61,45 @@ def compact(
     shutil.rmtree(old, ignore_errors=True)
     after, _ = dir_stats(path)
     return before, after
+
+
+def cluster_table(
+    spark: SparkSession,
+    path: str,
+    cluster_col: str,
+    n_files: int = 8,
+) -> int:
+    """Range-cluster a table on a key: every output file owns a disjoint
+    key range, written sorted within the file.
+
+    This is the data-layout half of pruning. Partition pruning handles
+    the directory level; WITHIN a partition, parquet min/max footer
+    stats only skip files whose key ranges don't overlap the predicate
+    — which random layout never achieves. repartitionByRange assigns
+    disjoint ranges per output task (sampling the key distribution, so
+    skew produces balanced files, not equal-width ranges), and the
+    in-file sort tightens row-group stats too. At 100 TB a point/range
+    predicate then reads ~1/n_files of the data instead of all of it
+    (the single-key case of Z-ordering; multi-key locality needs a
+    space-filling curve, same write pattern).
+
+    Same staged-swap + recovery contract as ``compact``. Returns the
+    number of data files written.
+    """
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__cluster_tmp__"
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    import shutil
+
+    old = path.rstrip("/") + ".__cluster_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    n, _ = dir_stats(path)
+    return n

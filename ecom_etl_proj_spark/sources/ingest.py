@@ -73,9 +73,20 @@ def clean_table(df: DataFrame, dedup_keys: list[str] | None = None,
     return out
 
 
-def write_lake(df: DataFrame, path: str, partition_cols: list[str]) -> None:
-    """Date-partitioned parquet write — the processed/ zone."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+def write_lake(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Date-partitioned columnar write — the processed/ zone.
+
+    ``fmt`` is any Spark-native columnar sink ("parquet" default,
+    "orc" supported out of the box); both carry the column min/max
+    statistics downstream scans prune on."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
 
 
 def write_warehouse(
