@@ -118,6 +118,60 @@ def product_counters_stream(events: DataFrame) -> DataFrame:
     )
 
 
+DECAY_BASE = "2024-01-01 00:00:00"
+
+
+def decayed_product_scores_stream(
+    events: DataFrame, half_life_days: float = 7.0
+) -> DataFrame:
+    """Streaming twin of operators/events.product_decay_revenue.
+
+    A time-decayed sum can't be maintained incrementally as written —
+    every existing event's weight changes whenever "now" advances. The
+    standard fix is log-domain accumulation: keep
+    ``raw = sum(value * 2^((ts - base)/half_life))``, which IS a plain
+    running sum (one double of state per product), and recover the
+    decayed score at serving time as ``raw / 2^((anchor - base)/
+    half_life)`` for ANY anchor. ``base`` rebases the exponent so the
+    double stays in range (~19 years of headroom at a 7-day half-life;
+    a long-lived deployment periodically rescales state by bumping
+    base — multiply-through by a constant, same trick).
+    """
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    exponent = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lit(DECAY_BASE))
+    ) / F.lit(86400.0) / F.lit(half_life_days)
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            k.alias("product_id"),
+            (F.col("value") * F.pow(F.lit(2.0), exponent)).alias("w"),
+            "ts",
+        )
+        .groupBy("product_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("w").alias("raw_decayed"),
+            F.max("ts").alias("latest_ts"),
+        )
+    )
+
+
+def decayed_scores_at(df: DataFrame, anchor_ts, half_life_days: float = 7.0) -> DataFrame:
+    """Normalize raw log-domain state to decayed scores at ``anchor_ts``
+    (the serving-side read of decayed_product_scores_stream output)."""
+    anchor_exp = (
+        F.unix_timestamp(F.lit(anchor_ts)) - F.unix_timestamp(F.lit(DECAY_BASE))
+    ) / F.lit(86400.0) / F.lit(half_life_days)
+    return df.select(
+        "product_id",
+        "n_purchases",
+        F.round(F.col("raw_decayed") / F.pow(F.lit(2.0), anchor_exp), 2).alias(
+            "decayed_revenue"
+        ),
+    )
+
+
 def serve_top_products(df: DataFrame, path: str, checkpoint: str, n: int = 10):
     """Leaderboard serving sink: each micro-batch overwrites the current
     top-N products by views (ref streamlit/utils.py:143-150 reading the

@@ -414,3 +414,35 @@ def test_kafka_payload_parse_roundtrip(spark):
     from ecom_etl_proj_spark.catalog import SCHEMAS
 
     assert pipeline.parse_event_payload(raw).schema == SCHEMAS["events"]
+
+
+def test_decayed_scores_stream_match_batch(spark, tables, events_dir):
+    """Log-domain streaming decay state, normalized at the batch anchor,
+    must reproduce the batch product_decay_revenue scores."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import events as ev_ops
+
+    stream = pipeline.file_stream_source(spark, events_dir)
+    q = pipeline.run_to_memory(
+        pipeline.decayed_product_scores_stream(stream), "decay_t",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    state = spark.sql("SELECT * FROM decay_t")
+    anchor = (
+        tables["events"].filter(F.col("event_type") == "purchase")
+        .agg(F.max("ts")).collect()[0][0]
+    )
+    got = {
+        r["product_id"]: (r["n_purchases"], r["decayed_revenue"])
+        for r in pipeline.decayed_scores_at(state, anchor).collect()
+    }
+    want = {
+        r["product_id"]: (r["n_purchases"], r["decayed_revenue"])
+        for r in ev_ops.product_decay_revenue(tables).collect()
+    }
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][0] == want[pid][0]
+        assert abs(got[pid][1] - want[pid][1]) <= 0.02, (pid, got[pid], want[pid])
