@@ -839,3 +839,26 @@ def weekly_sales_pattern(t: dict[str, DataFrame]) -> DataFrame:
             "revenue_pct"
         ),
     )
+
+
+def sales_cube(t: dict[str, DataFrame]) -> DataFrame:
+    """Full region × segment CUBE: every drilldown combination (cell,
+    row totals, column totals, grand total) in ONE scan + one
+    aggregation tree — the interactive-pivot backing query. Dims
+    broadcast; the cube expansion multiplies aggregate ROWS (4x here),
+    never input rows."""
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "o_totalprice",
+        )
+    )
+    return joined.cube("region_name", "mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )

@@ -103,3 +103,77 @@ def cluster_table(
     shutil.rmtree(old, ignore_errors=True)
     n, _ = dir_stats(path)
     return n
+
+
+def cluster_table_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_dim: int = 4,
+) -> int:
+    """Multi-key clustering via a Z-order (Morton) curve — the layout
+    for predicates on EITHER of two keys.
+
+    Single-key range clustering leaves the second key scattered across
+    every file; interleaving the bits of both keys' quantile-bucket
+    indexes gives each file a compact rectangle in (colA, colB) space,
+    so min/max footer stats prune files for filters on either column.
+
+    Scale shape: per-dimension bucket boundaries come from ONE
+    approx_percentile reduce (bounded state, broadcast back); bucket
+    assignment and bit interleaving are row-local expressions; the only
+    shuffle is the final repartitionByRange on the z-value. No global
+    window (an ntile/percent_rank formulation would serialize the whole
+    table through one task).
+
+    Same staged-swap contract as ``compact``. Returns files written.
+    """
+    from pyspark.sql import DataFrame
+
+    if len(cols) != 2:
+        raise ValueError("z-order here interleaves exactly two keys")
+    df = spark.read.parquet(path)
+    n_buckets = 1 << bits_per_dim
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qarr = ", ".join(str(q) for q in qs)
+    bounds = df.agg(
+        *[
+            F.expr(
+                f"approx_percentile({c}, array({qarr}), 10000)"
+            ).alias(f"__b_{c}")
+            for c in cols
+        ]
+    )
+    with_buckets: DataFrame = df.crossJoin(F.broadcast(bounds))
+    bucket_cols = []
+    for c in cols:
+        # bucket = number of boundaries strictly below the value
+        bucket = F.expr(
+            f"size(filter(__b_{c}, b -> {c} > b))"
+        ).alias(f"__k_{c}")
+        bucket_cols.append(bucket)
+    with_buckets = with_buckets.select("*", *bucket_cols)
+    z = None
+    for i in range(bits_per_dim):
+        for d, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"__k_{c}"), i).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, i * len(cols) + d)
+            z = term if z is None else z + term
+    clustered = (
+        with_buckets.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__k_{c}" for c in cols], *[f"__b_{c}" for c in cols])
+    )
+    tmp = path.rstrip("/") + ".__zorder_tmp__"
+    clustered.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    old = path.rstrip("/") + ".__zorder_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    n, _ = dir_stats(path)
+    return n

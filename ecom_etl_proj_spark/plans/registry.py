@@ -2023,6 +2023,21 @@ register(
 )
 
 
+register(
+    "sales_cube",
+    analytics.sales_cube,
+    """
+    SELECT r.r_name AS region_name, c.c_mktsegment AS mktsegment,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (region_name, mktsegment)
+    """,
+)
+
 # Multimodal mapInPandas ops whose deterministic stubs are SQL-
 # expressible: the oracle hash-checks the Python/Arrow round trip
 # value-exactly (stronger than the opaque decode stub's rows-only).
@@ -2123,6 +2138,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_features",
+    "sales_cube",
     # oracle-backed, untested in r01 (VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",
@@ -2162,8 +2178,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_clusters",
     "multimodal_decode",
     "ann_ivf",
-    "term_heavy_hitters",
     # overflow past slot 50 by design (see note above)
+    "term_heavy_hitters",
     "kpi_overview_approx",
     "delay_quantiles_approx",
     "customer_value_deciles_approx",

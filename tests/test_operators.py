@@ -623,3 +623,55 @@ def test_pii_scrub_planted(spark):
     # docs 1 and 2 differ ONLY in their PII -> identical scrubbed form
     assert rows[1]["scrubbed_fingerprint"] == rows[2]["scrubbed_fingerprint"]
     assert rows[1]["scrubbed_fingerprint"] != rows[4]["scrubbed_fingerprint"]
+
+
+def test_asof_join_property_vs_reference(spark):
+    """Property (hypothesis): the union-and-carry as-of join must agree
+    with a brute-force per-row reference (latest right at-or-before the
+    left timestamp, per key) for arbitrary timestamp multisets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_etl_proj_spark.operators.joins import asof_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+            min_size=1, max_size=15,
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 99)),
+            min_size=0, max_size=15,
+        ),
+    )
+    def check(lefts, rights):
+        left = spark.createDataFrame(
+            [(i, k, s) for i, (k, s) in enumerate(lefts)],
+            "row_id int, k int, sec long",
+        ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+        right = spark.createDataFrame(
+            [(k, s, v) for k, s, v in rights] or [(99, 0, 0)],
+            "k int, sec long, v int",
+        ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+        got = {
+            r["row_id"]: r["v_out"]
+            for r in asof_join(
+                left, right, by="k", left_ts="ts", right_ts="ts",
+                payload={"v": "v_out"},
+            ).collect()
+        }
+        # brute-force reference: max-ts right row at-or-before, per key;
+        # ties on right ts broken by the later-in-window row — assert on
+        # the matched TS (deterministic) and that the value comes from
+        # SOME right row at that ts
+        for i, (k, s) in enumerate(lefts):
+            cands = [(rs, rv) for rk, rs, rv in rights if rk == k and rs <= s]
+            if not cands:
+                assert got[i] is None, (i, got[i])
+            else:
+                best_ts = max(rs for rs, _ in cands)
+                legal = {rv for rs, rv in cands if rs == best_ts}
+                assert got[i] in legal, (i, got[i], legal)
+
+    check()

@@ -326,3 +326,46 @@ def test_write_lake_orc_roundtrip(spark, tables, tmp_path):
     # partition pruning on the partition column
     pruned = back.filter(F.col("n_regionkey") == 0)
     assert pruned.count() == df.filter(F.col("n_regionkey") == 0).count()
+
+
+def test_zorder_compacts_both_dimensions(spark, tables, tmp_path):
+    """Z-order clustering must give files compact ranges in BOTH keys
+    (single-key clustering leaves the second key spanning ~the full
+    range in every file). Verified from parquet footer stats: average
+    per-file span well under the global span for both dimensions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ecom_etl_proj_spark.pipelines.maintenance import cluster_table_zorder
+
+    path = str(tmp_path / "zorders")
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    n_rows = src.count()
+    src.repartition(8).write.parquet(path)
+
+    n_files = cluster_table_zorder(
+        spark, path, ["o_custkey", "o_totalprice"], n_files=16
+    )
+    assert n_files >= 8
+    assert spark.read.parquet(path).count() == n_rows
+
+    spans: dict[int, list[float]] = {1: [], 2: []}
+    glob: dict[int, list[float]] = {1: [None, None], 2: [None, None]}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        for ci in (1, 2):  # o_custkey, o_totalprice
+            st = [
+                md.row_group(i).column(ci).statistics
+                for i in range(md.num_row_groups)
+            ]
+            lo, hi = min(s.min for s in st), max(s.max for s in st)
+            spans[ci].append(hi - lo)
+            glob[ci][0] = lo if glob[ci][0] is None else min(glob[ci][0], lo)
+            glob[ci][1] = hi if glob[ci][1] is None else max(glob[ci][1], hi)
+    for ci in (1, 2):
+        g = glob[ci][1] - glob[ci][0]
+        avg_frac = sum(spans[ci]) / len(spans[ci]) / g
+        assert avg_frac <= 0.6, (ci, avg_frac)
