@@ -50,20 +50,10 @@ def multimodal_meta(t: dict[str, DataFrame]) -> DataFrame:
     return with_payload(t).select("doc_id", "payload_bytes", "payload_sha256")
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decode: derives fake (width, height, frames)
-    from payload length. Replace with a real decoder (PIL/ffmpeg) where
-    available.
-
-    Raising path kept explicit so callers know this is a stub:
-    a real deployment sets ``ALLOW_FAKE_DECODE = False``.
-    """
-    if not ALLOW_FAKE_DECODE:
-        raise NotImplementedError("media decode requires image/audio libs")
-    n = len(payload)
-    return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
-
-
+# Deterministic fake decode geometry: (len % 640 + 1, len % 480 + 1,
+# len % 30 + 1). Replace the in-closure stub with a real decoder
+# (PIL/ffmpeg) where available; a real deployment sets
+# ALLOW_FAKE_DECODE = False so the stub raises instead of faking.
 ALLOW_FAKE_DECODE = True
 
 
@@ -77,9 +67,26 @@ def decode_media(df: DataFrame) -> DataFrame:
     the decode stage.
     """
 
+    # Capture everything the worker needs as CLOSURE-LOCAL values: a
+    # module-level reference (e.g. ALLOW_FAKE_DECODE) would be
+    # cloudpickled by module name and the executor Python worker would
+    # have to import this package — which fails whenever the driver
+    # process didn't launch from the repo root (exactly how the round
+    # driver runs). Nested defs + captured plain values pickle by value
+    # and need nothing importable but pandas.
+    allow_fake = ALLOW_FAKE_DECODE
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def stub(payload: bytes) -> tuple[int, int, int]:
+            if not allow_fake:
+                raise NotImplementedError(
+                    "media decode requires image/audio libs"
+                )
+            n = len(payload)
+            return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
+
         for pdf in batches:
-            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            decoded = [stub(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -118,7 +125,7 @@ def resize_images(df: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFram
     """Fit-in-box resize plan for every image payload (aspect preserved,
     never upscaled) — the standard pre-training normalization pass.
     Stub geometry derives from payload length exactly like
-    ``_decode_stub``; integer math only, so the oracle reproduces it.
+    the decode stub; integer math only, so the oracle reproduces it.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
