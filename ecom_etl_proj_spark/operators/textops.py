@@ -407,3 +407,90 @@ def ngram_doc_freq(t: dict[str, DataFrame], n: int = 2, top: int = 20) -> DataFr
         .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
         .limit(top)
     )
+
+
+def tfidf_top_terms(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smoothed idf = ln((N+1)/(df+1))+1).
+
+    Three aggregates — term frequency per (doc, term), document
+    frequency per term, corpus size scalar — joined on the term key.
+    The idf table is |vocab|-sized: joined (not broadcast) so the plan
+    survives web-scale vocabularies; AQE downgrades to broadcast when
+    it fits. Scores round to 6dp BEFORE ranking so the rank order is
+    engine-stable, tie-broken by term.
+    """
+    toks = t["documents"].select("doc_id", F.explode(X.tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    total = t["documents"].agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def bm25_search(
+    t: dict[str, DataFrame],
+    query_terms: tuple[str, ...] = ("spark", "join", "stream"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query — the
+    retrieval primitive behind dedup-by-search and eval-set mining.
+
+    Only query-term token rows survive the first filter, so the tf
+    aggregation touches a |query|-bounded slice of the token stream;
+    doc length and corpus stats are separate partial aggregates; the
+    scoring join is per (doc, query-term). Scores round to 6dp before
+    the top-N cut (TakeOrdered, tie-broken by doc_id).
+    """
+    toks = t["documents"].select("doc_id", F.explode(X.tokens()).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    qt = toks.filter(F.col("term").isin(*query_terms))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = qt.select("term", "doc_id").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+    )
+    top_docs = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(top)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top_docs.withColumn("rank", F.row_number().over(w))

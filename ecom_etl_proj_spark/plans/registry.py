@@ -2024,6 +2024,68 @@ register(
 
 
 register(
+    "tfidf_top_terms",
+    lambda t: textops.tfidf_top_terms(t, k=5),
+    """
+    WITH toks AS (
+        SELECT doc_id, u.tok AS term FROM (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+            FROM documents
+        ), unnest(l) AS u(tok)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * (ln((tot.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+
+register(
+    "bm25_search",
+    lambda t: textops.bm25_search(t),
+    """
+    WITH toks AS (
+        SELECT doc_id, u.tok AS term FROM (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+            FROM documents
+        ), unnest(l) AS u(tok)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    qt AS (SELECT * FROM toks WHERE term IN ('spark', 'join', 'stream')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY 1
+    ),
+    top AS (SELECT * FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+    SELECT doc_id, bm25, CAST(ROW_NUMBER() OVER (
+        ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM top
+    """,
+)
+
+register(
     "sales_cube",
     analytics.sales_cube,
     """
@@ -2139,6 +2201,8 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_features",
     "sales_cube",
+    "tfidf_top_terms",
+    "bm25_search",
     # oracle-backed, untested in r01 (VERDICT.md round 1)
     "embedding_norms",
     "daily_sales_7d_ma",
@@ -2177,8 +2241,8 @@ _DRIVER_PRIORITY: list[str] = [
     # rows-only (weak driver signal), never driver-run before
     "dedup_clusters",
     "multimodal_decode",
-    "ann_ivf",
     # overflow past slot 50 by design (see note above)
+    "ann_ivf",
     "term_heavy_hitters",
     "kpi_overview_approx",
     "delay_quantiles_approx",
