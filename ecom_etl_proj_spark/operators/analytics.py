@@ -862,3 +862,268 @@ def sales_cube(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
+
+
+def nation_trade_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-nation trade volume per year (TPC-H Q7 shape).
+
+    Supplier nation → customer nation revenue flows. Two fact-fact
+    joins shuffle on their keys; both nation dims broadcast (twice,
+    under different aliases). Unlike Q7's two-nation filter we keep
+    every asymmetric pair — the full trade matrix the dashboard heatmap
+    wants — which is still only nations² output rows.
+    """
+    supp_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("sn_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust_nation = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("cn_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("sn_suppkey"))
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("cn_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            # Decimal accumulation: the per-year group sums here land on
+            # half-cent boundaries where order-dependent double summation
+            # rounds differently across engines (observed at sf0.001).
+            # Exact decimal sums are order-invariant (daily_sales pattern).
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def returned_items_ranking(t: dict[str, DataFrame], n: int = 20) -> DataFrame:
+    """Revenue lost to returns per customer (TPC-H Q10 shape).
+
+    Returned lineitems (l_returnflag = 'R') in a one-year window,
+    aggregated per customer, top-N by lost revenue. The returnflag +
+    date filters push to the scan; nation dim broadcasts.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue_lost"
+            ),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.col("revenue_lost").desc(), F.col("c_custkey").asc())
+        .limit(n)
+    )
+
+
+def ship_priority_buckets(t: dict[str, DataFrame], late_days: int = 60) -> DataFrame:
+    """Priority mix per shipping-delay bucket (TPC-H Q12 shape).
+
+    The reference has no l_shipmode, so the Q12 axis becomes the
+    ship-delay bucket; the payload stays Q12's conditional priority
+    counts (urgent/high vs other). One fact-fact join then a 2-row agg
+    — the conditional counts are map-side partial aggregates.
+    """
+    bucket = F.when(
+        F.datediff("l_shipdate", "o_orderdate") > late_days, F.lit("LATE")
+    ).otherwise(F.lit("ON_TIME"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_items"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_items"),
+        )
+    )
+
+
+def customer_order_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-count frequency distribution (TPC-H Q13 shape).
+
+    Left join keeps never-ordered customers (order_count 0). Two
+    aggregations: per-customer count (shuffles on custkey), then the
+    tiny count-of-counts histogram.
+    """
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count("*").alias("n_customers"))
+
+
+def promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Promo revenue share per month (TPC-H Q14 shape).
+
+    part⋈lineitem with the part dim broadcast; the promo flag becomes a
+    conditional sum so the share is one aggregation, not two queries.
+    """
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """Max-revenue supplier(s) for a quarter (TPC-H Q15 shape).
+
+    Per-supplier revenue (shuffle on suppkey, supplier-count rows out),
+    then the global max is a 1-row aggregate broadcast back — no
+    single-partition window over the full fact table.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        per_supp.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue",
+        )
+    )
+
+
+def small_qty_avg_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Small-lot revenue per brand (TPC-H Q17 shape).
+
+    The correlated "below half this part's average quantity" subquery
+    becomes a per-part aggregate joined back to the fact — both sides
+    shuffle on partkey, so AQE can pick a sort-merge or shuffled-hash
+    join; the brand dim broadcasts for the final rollup.
+    """
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pp_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        t["lineitem"]
+        .join(per_part, F.col("l_partkey") == F.col("pp_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small_lots"),
+        )
+    )
+
+
+def large_volume_customers(t: dict[str, DataFrame], min_qty: float = 250.0) -> DataFrame:
+    """Large-volume orders and their customers (TPC-H Q18 shape).
+
+    The HAVING-subquery becomes: per-order quantity agg → filter →
+    join back to orders/customer. The filtered order set is small, so
+    at scale it broadcasts into the orders probe (AQE sizes it).
+    """
+    big_orders = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("bo_orderkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        t["orders"]
+        .join(big_orders, F.col("o_orderkey") == F.col("bo_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def brand_supplier_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Distinct suppliers per brand × size (TPC-H Q16 shape).
+
+    The NOT-IN complaint-supplier exclusion becomes an anti-join on a
+    derived low-balance supplier set (broadcast — it's dim-sized).
+    count_distinct shuffles on the (brand, size) group key only.
+    """
+    excluded = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ex_suppkey"))
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("ex_suppkey"), "left_anti")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

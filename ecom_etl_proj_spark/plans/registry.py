@@ -2170,6 +2170,174 @@ register(
 
 
 # --------------------------------------------------------------------------
+# Round-3 TPC-H-shaped analytics batch (the decision-support query shapes
+# the reference's dashboard family implies but never wrote down:
+# trade-matrix, returns, delay×priority, order-frequency, promo share,
+# top supplier, small-lot, large-volume, supplier-diversity)
+# --------------------------------------------------------------------------
+
+register(
+    "nation_trade_volume",
+    analytics.nation_trade_volume,
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+
+register(
+    "returned_items_ranking",
+    analytics.returned_items_ranking,
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue_lost,
+           count(*) AS n_returned_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_lost DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "ship_priority_buckets",
+    analytics.ship_priority_buckets,
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) > 60
+                THEN 'LATE' ELSE 'ON_TIME' END AS ship_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_items,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+
+register(
+    "customer_order_distribution",
+    analytics.customer_order_distribution,
+    """
+    SELECT order_count, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS order_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY order_count
+    """,
+)
+
+register(
+    "promo_revenue_share",
+    analytics.promo_revenue_share,
+    """
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_share_pct,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+
+register(
+    "top_supplier",
+    analytics.top_supplier,
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name, r.total_revenue
+    FROM rev r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+
+register(
+    "small_qty_avg_revenue",
+    analytics.small_qty_avg_revenue,
+    """
+    WITH pa AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small_lots
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    GROUP BY p.p_brand
+    """,
+)
+
+register(
+    "large_volume_customers",
+    analytics.large_volume_customers,
+    """
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250.0
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           b.total_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+
+register(
+    "brand_supplier_counts",
+    analytics.brand_supplier_counts,
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
@@ -2187,6 +2355,16 @@ register(
 # error-bound-tested in-repo against its exact driver-checked twin) and
 # ann_lsh (which already has an r1 driver row).
 _DRIVER_PRIORITY: list[str] = [
+    # oracle-backed, new in round 3
+    "nation_trade_volume",
+    "returned_items_ranking",
+    "ship_priority_buckets",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier",
+    "small_qty_avg_revenue",
+    "large_volume_customers",
+    "brand_supplier_counts",
     # oracle-backed, new in round 2 / materially changed
     "product_counters",
     "product_leaderboard",
