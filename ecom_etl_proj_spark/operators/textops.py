@@ -494,3 +494,111 @@ def bm25_search(
     top_docs = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(top)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return top_docs.withColumn("rank", F.row_number().over(w))
+
+
+def doc_repetition(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    adapted): duplicate-token fraction, most-frequent-token share, and
+    duplicate-bigram fraction. The reference corpus is single-line text,
+    so the line-level dup rules become token/n-gram rules.
+
+    All row-local higher-order functions over the token array — no
+    explode, no shuffle, scan-speed at 100 TB. Docs are short relative
+    to executors, so the O(distinct × total) top-token probe stays cheap
+    and data-local; a corpus with book-length docs would swap it for the
+    explode + per-doc agg shape (char_entropy's).
+    """
+    toks = "split(lower(trim(text)), ' ')"
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat_ws(' ', slice({toks}, i, 2))) END"
+    )
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE"
+                f" 1.0 - size(array_distinct({toks})) / cast(size({toks}) as double) END"
+            ),
+            6,
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE"
+                f" array_max(transform(array_distinct({toks}),"
+                f"   x -> size(filter({toks}, y -> y = x))))"
+                f" / cast(size({toks}) as double) END"
+            ),
+            6,
+        ).alias("top_token_ratio"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({bigrams}) = 0 THEN 0.0 ELSE"
+                f" 1.0 - size(array_distinct({bigrams}))"
+                f" / cast(size({bigrams}) as double) END"
+            ),
+            6,
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+def gopher_quality(t: dict[str, DataFrame]) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 Table A1, adapted to the
+    corpus) + C4-style content flags (Raffel et al. 2020 §2.2): word
+    count bounds, mean word length bounds, symbol-to-word ratio,
+    minimum stopword evidence, lorem-ipsum / curly-brace flags. Emits
+    each rule verdict (0/1 ints for engine-stable hashing) plus the
+    conjunction, so curation can audit WHY a doc dropped.
+
+    Pure per-row expressions; the filter composes with any downstream
+    scan pushdown."""
+    toks = "split(lower(trim(text)), ' ')"
+    stop = ", ".join(f"'{w}'" for w in X.STOPWORDS["en"])
+    d = t["documents"]
+    scored = d.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_words"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE"
+                f" aggregate(transform({toks}, x -> length(x)), 0L, (a, x) -> a + x)"
+                f" / cast(size({toks}) as double) END"
+            ),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.expr(
+                f"CASE WHEN size({toks}) = 0 THEN 0.0 ELSE"
+                f" (length(text) - length(replace(replace(replace(text,"
+                f" '#', ''), '…', ''), '{{', '')))"
+                f" / cast(size({toks}) as double) END"
+            ),
+            6,
+        ).alias("symbol_word_ratio"),
+        F.expr(f"size(filter({toks}, x -> x IN ({stop})))").alias("n_stopwords"),
+        F.when(F.lower("text").contains("lorem ipsum"), 1).otherwise(0).alias("has_lorem"),
+    )
+    rules = scored.select(
+        "*",
+        F.when((F.col("n_words") >= 30) & (F.col("n_words") <= 1000), 1)
+        .otherwise(0)
+        .alias("ok_word_count"),
+        F.when((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 10.0), 1)
+        .otherwise(0)
+        .alias("ok_word_len"),
+        F.when(F.col("symbol_word_ratio") <= 0.1, 1).otherwise(0).alias("ok_symbols"),
+        F.when(F.col("n_stopwords") >= 2, 1).otherwise(0).alias("ok_stopwords"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            * F.col("ok_word_len")
+            * F.col("ok_symbols")
+            * F.col("ok_stopwords")
+            * (1 - F.col("has_lorem"))
+        ).alias("gopher_keep"),
+    )

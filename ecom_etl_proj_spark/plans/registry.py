@@ -2338,6 +2338,83 @@ register(
 )
 
 # --------------------------------------------------------------------------
+# Round-3 corpus-quality batch (Gopher / C4 filter rules)
+# --------------------------------------------------------------------------
+
+register(
+    "doc_repetition",
+    textops.doc_repetition,
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END,
+                 6) AS dup_token_ratio,
+           round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                 list_max(list_transform(list_distinct(toks),
+                     x -> len(list_filter(toks, y -> y = x))))
+                 / CAST(len(toks) AS DOUBLE) END, 6) AS top_token_ratio,
+           round(CASE WHEN len(bigrams) = 0 THEN 0.0 ELSE
+                 1.0 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE) END,
+                 6) AS dup_bigram_ratio
+    FROM big
+    """,
+)
+
+register(
+    "gopher_quality",
+    textops.gopher_quality,
+    """
+    WITH tok AS (
+        SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_words,
+               round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     list_sum(list_transform(toks, x -> len(x)))
+                     / CAST(len(toks) AS DOUBLE) END, 6) AS mean_word_len,
+               round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                     (len(text) - len(replace(replace(replace(text,
+                          '#', ''), '…', ''), '{', '')))
+                     / CAST(len(toks) AS DOUBLE) END, 6) AS symbol_word_ratio,
+               CAST(len(list_filter(toks,
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                    AS INTEGER) AS n_stopwords,
+               CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+                   AS has_lorem
+        FROM tok
+    ),
+    rules AS (
+        SELECT *,
+               CASE WHEN n_words BETWEEN 30 AND 1000 THEN 1 ELSE 0 END
+                   AS ok_word_count,
+               CASE WHEN mean_word_len BETWEEN 2.0 AND 10.0 THEN 1 ELSE 0 END
+                   AS ok_word_len,
+               CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END AS ok_symbols,
+               CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS ok_stopwords
+        FROM scored
+    )
+    SELECT *,
+           ok_word_count * ok_word_len * ok_symbols * ok_stopwords
+               * (1 - has_lorem) AS gopher_keep
+    FROM rules
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
@@ -2356,6 +2433,8 @@ register(
 # ann_lsh (which already has an r1 driver row).
 _DRIVER_PRIORITY: list[str] = [
     # oracle-backed, new in round 3
+    "doc_repetition",
+    "gopher_quality",
     "nation_trade_volume",
     "returned_items_ranking",
     "ship_priority_buckets",
