@@ -198,6 +198,60 @@ def serve_top_products(df: DataFrame, path: str, checkpoint: str, n: int = 10):
     )
 
 
+def serve_anomalies(
+    df: DataFrame, path: str, checkpoint: str, z_threshold: float = 3.0
+):
+    """Traffic-spike serving sink: the streaming twin of
+    operators/events.minutely_anomalies (the realtime dashboard's spike
+    tile; minutely counters per consumer.py:199-213).
+
+    The stream maintains ONLY the minutely counters incrementally; the
+    z-score pass runs inside foreachBatch over the aggregate frame —
+    |types| x |minutes| rows, never raw events — because a z-score
+    against the whole history is a second aggregation over aggregate
+    state, which Structured Streaming can't chain in one query
+    (multiple stateful aggs). Complete-mode snapshot overwrite, exactly
+    like the leaderboard sink.
+    """
+    from pyspark.sql import Window as SW
+    from pyspark.sql import functions as SF
+
+    thresh = float(z_threshold)
+
+    def write_batch(batch_df: DataFrame, _epoch: int) -> None:
+        w = SW.partitionBy("event_type")
+        stats = batch_df.select(
+            "minute",
+            "event_type",
+            SF.col("num_events").alias("n"),
+            SF.avg("num_events").over(w).alias("mean_n"),
+            SF.stddev_samp("num_events").over(w).alias("sd_n"),
+        )
+        z = (SF.col("n") - SF.col("mean_n")) / SF.col("sd_n")
+        (
+            stats.filter(SF.col("sd_n") > 0)
+            .withColumn("z_score", SF.round(z, 4))
+            .filter(SF.abs(SF.col("z_score")) >= thresh)
+            .select(
+                "event_type",
+                "minute",
+                "n",
+                SF.round("mean_n", 4).alias("mean_n"),
+                "z_score",
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    return (
+        df.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def recent_feed(events: DataFrame) -> DataFrame:
     """Append-mode activity feed (recent:views lpush, consumer.py:219-226).
 

@@ -446,3 +446,57 @@ def test_decayed_scores_stream_match_batch(spark, tables, events_dir):
     for pid in want:
         assert got[pid][0] == want[pid][0]
         assert abs(got[pid][1] - want[pid][1]) <= 0.02, (pid, got[pid], want[pid])
+
+
+def test_serve_anomalies_match_batch(spark, tables):
+    """The foreachBatch z-score snapshot must equal the batch
+    minutely_anomalies on a synthetic stream with a planted spike (the
+    real sf0.001 table has uniform minutely counts, i.e. zero
+    anomalies, which would make the comparison vacuous)."""
+    import datetime as dt
+
+    from ecom_etl_proj_spark.catalog import SCHEMAS
+    from ecom_etl_proj_spark.operators import events as ev_ops
+
+    base = dt.datetime(2026, 1, 1, 12, 0)
+    rows = []
+    eid = 0
+    for m in range(30):
+        # steady traffic: 2 views per minute; minute 17 spikes to 20
+        burst = 20 if m == 17 else 2
+        for k in range(burst):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(minutes=m, seconds=k), eid % 7,
+                 "view", 1.0, "{}")
+            )
+    events = spark.createDataFrame(rows, SCHEMAS["events"])
+
+    stream_dir = tempfile.mkdtemp(prefix="anomaly_stream_")
+    serve_dir = tempfile.mkdtemp(prefix="anomaly_serve_")
+    ckpt = tempfile.mkdtemp(prefix="anomaly_ckpt_")
+    try:
+        events.repartition(3).write.mode("overwrite").parquet(stream_dir)
+        stream = pipeline.file_stream_source(spark, stream_dir)
+        q = pipeline.serve_anomalies(
+            pipeline.minutely_metrics(stream), serve_dir, ckpt,
+            z_threshold=3.0,
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["event_type"], r["minute"], r["n"], r["mean_n"], r["z_score"])
+            for r in spark.read.parquet(serve_dir).collect()
+        }
+        want = {
+            (r["event_type"], r["minute"], r["n"], r["mean_n"], r["z_score"])
+            for r in ev_ops.minutely_anomalies(
+                {"events": events}, z_threshold=3.0
+            ).collect()
+        }
+        assert got == want
+        assert len(got) == 1  # exactly the planted spike minute
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(serve_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
