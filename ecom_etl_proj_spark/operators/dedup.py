@@ -32,6 +32,9 @@ from ecom_etl_proj_spark.functions import text as X
 MINHASH_P = 4294967311  # smallest prime > 2^32
 MINHASH_BANDS = 16
 MINHASH_ROWS = 4
+# Buckets larger than this expand as a star against the bucket
+# representative instead of all i<j pairs (see dedup_minhash_lsh).
+MINHASH_MAX_BUCKET = 256
 
 
 def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
@@ -209,19 +212,36 @@ def dedup_minhash_lsh(
         "doc_id", "band", F.xxhash64(F.concat_ws(",", *parts)).alias("bh")
     )
     # Pair generation is a groupBy on (band, band-hash) — ONE shuffle —
-    # followed by a row-local i<j expansion of each bucket's sorted
-    # doc_id array. This replaces the earlier bands⋈bands self-join:
-    # same candidate set (A/B-verified pair-identical at sf0.001/0.01),
-    # one fewer join stage, and the shuffle payload is the sketch rows
-    # once, not twice. Bucket population is bounded by the true
-    # near-dup group size (docs only share a band hash when their
-    # sketch content matches), so the quadratic expansion is per-group,
-    # not per-corpus — the same bound the self-join had, now explicit.
+    # followed by a row-local expansion of each bucket's sorted doc_id
+    # array that is SIZE-AWARE:
+    #
+    #   small buckets (<= MINHASH_MAX_BUCKET members) expand all i<j
+    #   pairs — at most B(B-1)/2 pair structs per aggregation row,
+    #   the same candidate set the old bands⋈bands self-join produced
+    #   (A/B-verified pair-identical at sf0.001/0.01);
+    #
+    #   giant buckets expand as a STAR against the bucket
+    #   representative (min doc_id, = ids[0] of the sorted array).
+    #   Web-scale corpora routinely hold duplicate groups of 1e5-1e6
+    #   docs (boilerplate, mirrored pages); an unconditional all-pairs
+    #   expansion would materialize |group|^2 structs inside ONE
+    #   aggregation row — a single task and an executor OOM. The star
+    #   emits |group|-1 structs (linear), and connects the whole group
+    #   transitively through the representative — exactly what
+    #   connected-component clustering (dedup_clusters) consumes;
+    #   intra-group edges beyond the star merge no new components.
+    #   CaseWhen evaluates only the matching branch, so the quadratic
+    #   expression is never computed for an over-cap bucket.
+    #
+    # Residual bound: the aggregation buffer still holds the bucket's
+    # id array itself — LINEAR in group size (~8 MB per million ids),
+    # which is the floor for any grouping formulation; the quadratic
+    # term is what this removes.
     ids = F.array_sort(F.collect_list("doc_id"))
     buckets = (
         bands.groupBy("band", "bh").agg(ids.alias("ids")).filter(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
+    all_pairs_arr = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -230,6 +250,14 @@ def dedup_minhash_lsh(
             ),
         )
     )
+    rep = F.element_at(F.col("ids"), 1)
+    star_arr = F.transform(
+        F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
+        lambda y: F.struct(rep.alias("doc_a"), y.alias("doc_b")),
+    )
+    pair_arr = F.when(
+        F.size(F.col("ids")) <= MINHASH_MAX_BUCKET, all_pairs_arr
+    ).otherwise(star_arr)
     candidates = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b")

@@ -88,6 +88,33 @@ def test_minhash_agrees_with_exact_jaccard(spark, tables):
     assert lsh.issubset(exact)
 
 
+def test_minhash_giant_bucket_star_expansion(spark):
+    """A planted duplicate group larger than MINHASH_MAX_BUCKET must (a)
+    expand linearly — |group|-1 star pairs to the min-id representative,
+    never ~|group|^2/2 structs in one aggregation row — and (b) still
+    collapse to ONE connected component."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    n_dup = 600  # > MINHASH_MAX_BUCKET (256): forces the star path
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(n_dup)]
+    rows += [
+        (10_000, "completely unrelated text about shuffle partitions here"),
+        (10_001, "another disjoint document mentioning optimizer plans only"),
+    ]
+    t = {"documents": spark.createDataFrame(rows, ["doc_id", "text"])}
+    pairs = dedup.dedup_minhash_lsh(t, threshold=0.5)
+    pair_set = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(0, i) for i in range(1, n_dup)} <= pair_set
+    # linear, not quadratic, in the group size (~180k all-pairs)
+    assert len(pair_set) < 3 * n_dup
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert {comp[i] for i in range(n_dup)} == {0}
+
+
 def test_ann_ivf_recall_vs_exact(spark, tables):
     """IVF with n_probe=2/16 cells must still recover a decent fraction
     of the exact top-5 neighbors, and never invent similarities."""
