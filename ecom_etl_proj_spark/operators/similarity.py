@@ -348,8 +348,14 @@ def ann_ivf(
        ``n_centroids`` vectors) stands in for trained k-means centers —
        the Spark plumbing (broadcast centroids, argmin assignment,
        cell-bucketed search) is identical either way.
-    2. assignment: every vector → nearest centroid (broadcast join +
-       argmin; one corpus scan, no shuffle).
+    2. assignment: every vector → nearest centroid, ROW-LOCAL: the
+       centroid table is folded into ONE array-of-structs row,
+       broadcast, and each corpus vector computes its argmin with a
+       transform + array_min fold over that array. One corpus scan,
+       zero shuffle, zero row expansion — the earlier formulation
+       (crossJoin + row_number window over vec_id) expanded the frame
+       to n*sqrt(n) rows and shuffled ALL of them through the window
+       exchange, ~3e13 shuffled rows at 1e9 vectors.
     3. probe: each query searches only its ``n_probe`` nearest cells —
        the join key is the cell id, so work scales with cell population,
        not corpus size. That is the 100 TB path; brute-force
@@ -367,15 +373,27 @@ def ann_ivf(
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    # nearest cell per corpus vector
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("cell").asc()
+    # nearest cell per corpus vector: broadcast ONE row holding every
+    # centroid as an array<struct<cell, c_emb>> (sqrt(n) * dim floats —
+    # tens of MB at 1e9 vectors, comfortably broadcastable), then fold
+    # a row-local argmin. struct comparison is lexicographic, so
+    # array_min over (dist, cell) structs reproduces the old window's
+    # orderBy(dist asc, cell asc) tie-break exactly.
+    cent_arr = cent.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("c_emb"))).alias("cents")
     )
+    nearest = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-V.cosine(F.col("embedding"), c["c_emb"])).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )["cell"]
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("dist", -V.cosine("embedding", "c_emb"))
-        .withColumn("rnk", F.row_number().over(assign_w))
-        .filter(F.col("rnk") == 1)
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn("cell", nearest)
         .select("vec_id", "embedding", "cell")
     )
     # each query probes its n_probe nearest cells

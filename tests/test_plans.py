@@ -88,6 +88,16 @@ def test_ivf_bounded_by_cells(tables):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_row_local(tables):
+    """Centroid assignment must be a row-local fold: no shuffle keyed on
+    vec_id anywhere (the old crossJoin + row_number-over-vec_id window
+    shuffled n*sqrt(n) expanded rows)."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    plan = plan_of(sim.ann_ivf(tables))
+    assert "hashpartitioning(vec_id" not in plan
+
+
 def test_salted_join_matches_plain_join(spark, tables):
     from pyspark.sql import functions as F
 
