@@ -6,15 +6,15 @@ Prints ONE JSON line:
 Each query is forced with a count() over its full plan (no collect of
 wide results — we measure engine time, not driver materialization).
 
-Methodology (TPC-style power run): one warm-up iteration runs the full
-headline set first, then TWO timed iterations; the reported per-query
-number is the min of the timed runs (the standard noise-robust
-estimator, cf. timeit). The warm-up absorbs one-time JVM/whole-stage-
-codegen compilation (~0.3-0.5s per stage locally) that is irrelevant at
-the 100 TB target — on a long-lived cluster compiled plans amortize to
-zero, so the steady-state number is the one that predicts scale
-throughput. The warm-up's per-query times are still published under
-"cold_queries"/"cold_value" so the compile overhead stays visible.
+Methodology: "value"/"queries" are the FIRST (cold) pass — the same
+single-run semantics every round has reported, so the headline number
+is comparable across all BENCH_r{N}.json files. Two further timed
+passes follow and their per-query min is published under
+"warm_queries"/"warm_value": the steady-state estimator (JVM +
+whole-stage-codegen compilation, ~0.3-0.5s per stage locally,
+amortizes to zero on a long-lived cluster, so the warm number better
+predicts 100 TB throughput) — kept under a DISTINCT key so cold and
+warm series can never be silently compared.
 """
 
 from __future__ import annotations
@@ -72,18 +72,18 @@ def main() -> None:
     cold_times, cold_total = one_pass("cold")
     t1, _ = one_pass("warm1")
     t2, _ = one_pass("warm2")
-    best = {name: min(t1[name], t2[name]) for name in HEADLINE}
-    best_total = round(sum(best.values()), 3)
+    warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
+    warm_total = round(sum(warm.values()), 3)
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": best_total,
+                "value": cold_total,
                 "unit": "sec",
-                "queries": best,
-                "cold_queries": cold_times,
-                "cold_value": cold_total,
+                "queries": cold_times,
+                "warm_queries": warm,
+                "warm_value": warm_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
