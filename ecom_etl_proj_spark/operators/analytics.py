@@ -86,8 +86,10 @@ def rfm_segments(
     ``approx=True`` swaps the exact ``percentile`` boundary reduce for
     ``approx_percentile`` (KLL/GK, bounded state): the exact reduce
     buffers every customer's value in one aggregation buffer, which is
-    fine at bench scale but not at billions of customers — the sketch
-    is the default at that scale (see sketches.rfm_segments_approx).
+    fine at bench scale but not at billions of customers. At the 100 TB
+    target the registered ``rfm_segments_approx`` twin
+    (sketches.rfm_segments_approx) IS the production path; this exact
+    form is the oracle-comparable baseline.
     """
     snapshot = t["orders"].agg(
         F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
@@ -639,8 +641,12 @@ def customer_value_deciles(
     rank-exact alternative but serializes all customers into one task —
     the boundary form is the 100 TB shape and differs only on ties.)
     ``approx=True`` computes the boundaries with bounded-state
-    approx_percentile — the default at billions of customers (see
-    sketches.customer_value_deciles_approx).
+    approx_percentile. At the 100 TB target the registered
+    ``customer_value_deciles_approx`` twin
+    (sketches.customer_value_deciles_approx) IS the production path —
+    the exact ``percentile`` reduce here buffers every customer value
+    in one aggregation buffer and exists as the oracle-comparable
+    baseline.
     """
     ltv = (
         t["orders"]

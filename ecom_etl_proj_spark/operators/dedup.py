@@ -385,7 +385,9 @@ def dedup_simhash(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a pair list: (doc_id, component_id).
 
@@ -413,7 +415,22 @@ def connected_components(
     This is the standard large-scale formulation (iterative, not
     SQL-expressible → rows-only oracle; semantics unit-tested on known
     graphs).
+
+    ``checkpoint_dir``: by default round state is ``localCheckpoint``-ed
+    (executor-local blocks — fastest, but lost with an executor, fine
+    in local mode). On a fault-tolerant cluster pass a reliable
+    checkpoint directory (HDFS/S3): round state then goes through
+    ``checkpoint()`` so a lost executor replays from storage instead of
+    recomputing the whole iteration chain.
     """
+
+    def _save(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -422,11 +439,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _save(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -434,7 +450,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        updated = _save(
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
@@ -442,7 +458,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             updated.alias("u")

@@ -266,12 +266,32 @@ def ann_candidates(
     )
 
 
+def _corpus_size(emb: DataFrame, hint: int | None = None) -> int:
+    """Corpus row count for parameter auto-scaling, action-free when
+    possible: an explicit ``hint`` wins; otherwise the first count is
+    memoized on the DataFrame handle so repeated plan builds against
+    the same table trigger no further Spark jobs. (The count itself is
+    parquet-metadata-only, but plan construction should not launch
+    jobs at all — callers with a catalog row count pass the hint.)"""
+    if hint is not None:
+        return hint
+    cached = getattr(emb, "_spark_graft_count", None)
+    if cached is None:
+        cached = emb.count()
+        try:
+            emb._spark_graft_count = cached
+        except AttributeError:
+            pass
+    return cached
+
+
 def ann_lsh(
     t: dict[str, DataFrame],
     k: int = 5,
     n_tables: int | None = None,
     bits: int | None = None,
     target_bucket: int = 16,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors from multi-table sign-LSH buckets.
 
@@ -284,7 +304,7 @@ def ann_lsh(
     exact ``embedding_knn`` at two corpus sizes in tests."""
     if n_tables is None or bits is None:
         auto_tables, auto_bits = ann_params(
-            t["embeddings"].count(), target_bucket, n_tables or 8
+            _corpus_size(t["embeddings"], corpus_size), target_bucket, n_tables or 8
         )
         n_tables = n_tables or auto_tables
         bits = bits or auto_bits
@@ -338,7 +358,7 @@ def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
 
 def ann_ivf(
     t: dict[str, DataFrame], n_centroids: int | None = None, n_probe: int = 2,
-    n_queries: int = 10, k: int = 5,
+    n_queries: int = 10, k: int = 5, corpus_size: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -369,7 +389,7 @@ def ann_ivf(
     if n_centroids is None:
         import math
 
-        n_centroids = max(16, int(math.sqrt(emb.count())))
+        n_centroids = max(16, int(math.sqrt(_corpus_size(emb, corpus_size))))
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )

@@ -338,6 +338,31 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With checkpoint_dir set, round state goes through reliable
+    checkpoint(): same labels, and checkpoint files actually land in
+    the directory (fault-tolerant cluster path)."""
+    import os
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    written = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(ckpt)
+        for f in files
+    ]
+    assert written, "no reliable checkpoint files written"
+
+
 def test_dedup_clusters_representatives(spark, tables):
     from ecom_etl_proj_spark.operators import dedup
 

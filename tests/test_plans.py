@@ -88,6 +88,28 @@ def test_ivf_bounded_by_cells(tables):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_plan_build_action_free(spark, tables):
+    """Building the ann_lsh / ann_ivf plans must launch NO Spark job
+    when a corpus-size hint is given, and at most one (memoized on the
+    table handle) without a hint."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("ann_build_hint", "plan build with hint")
+    sim.ann_lsh(tables, corpus_size=1000)
+    sim.ann_ivf(tables, corpus_size=1000)
+    assert list(tracker.getJobIdsForGroup("ann_build_hint")) == []
+
+    # unhinted: first build may count once, second build must be free
+    sim.ann_lsh(tables)
+    sc.setJobGroup("ann_build_memo", "plan build memoized")
+    sim.ann_lsh(tables)
+    sim.ann_ivf(tables)
+    assert list(tracker.getJobIdsForGroup("ann_build_memo")) == []
+
+
 def test_ivf_assignment_row_local(tables):
     """Centroid assignment must be a row-local fold: no shuffle keyed on
     vec_id anywhere (the old crossJoin + row_number-over-vec_id window
