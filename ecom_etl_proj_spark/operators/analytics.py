@@ -1133,3 +1133,166 @@ def brand_supplier_counts(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+def market_share_by_nation(
+    t: dict[str, DataFrame], region: str = "ASIA", ptype: str = "ECONOMY"
+) -> DataFrame:
+    """Supplier-nation market share inside one customer region (TPC-H
+    Q8 shape).
+
+    Revenue restricted to customers of ``region`` and parts of
+    ``ptype``: two fact-fact shuffles (lineitem⋈orders on orderkey,
+    nothing else is fact-sized) with every dimension — part filter,
+    customer→nation→region membership, supplier→nation name —
+    broadcast. The share divides each (year, supplier-nation) volume by
+    its year total via a window over the AGGREGATED frame (years ×
+    nations rows, bounded regardless of corpus size — the window never
+    sees fact rows).
+    """
+    from pyspark.sql import Window
+
+    region_custs = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].filter(F.col("r_name") == region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("rc_custkey"))
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("sn_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    # decimal accumulation: double sums are add-order-dependent and a
+    # rounded share near a 5e-5 boundary would flip between engines
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    vol = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == ptype).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(region_custs), F.col("o_custkey") == F.col("rc_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("sn_suppkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"), "supp_nation"
+        )
+        .agg(F.sum(rev).alias("vol"))
+    )
+    year_total = Window.partitionBy("order_year")
+    return vol.select(
+        "order_year",
+        "supp_nation",
+        F.round("vol", 2).cast("double").alias("volume"),
+        F.round(
+            F.lit(100.0)
+            * F.col("vol").cast("double")
+            / F.sum("vol").over(year_total).cast("double"),
+            4,
+        ).alias("share_pct"),
+    )
+
+
+def disjunctive_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Revenue under OR-of-conjunct predicates (TPC-H Q19 shape,
+    adapted to this schema's columns: brand × part size × quantity
+    bands instead of containers/shipmode).
+
+    The point of the shape: the three AND-blocks OR together across
+    BOTH sides of the part⋈lineitem join. Catalyst pushes the
+    part-only conjuncts (brand, size) into the broadcast side's scan
+    and the derivable l_quantity range into the fact scan, so the join
+    only sees survivors — the naive plan filters after the join.
+    """
+    p = F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size"))
+    j = t["lineitem"].join(p, F.col("l_partkey") == F.col("p_partkey"))
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#13") & sz.between(1, 10) & q.between(1, 15))
+        | ((br == "Brand#20") & sz.between(1, 20) & q.between(10, 30))
+        | ((br == "Brand#9") & sz.between(1, 30) & q.between(20, 45))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return j.filter(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def idle_high_balance_customers(
+    t: dict[str, DataFrame], since: str = "2000-01-01"
+) -> DataFrame:
+    """High-balance customers with no recent orders (TPC-H Q22 shape).
+
+    The two classic sub-shapes, both scale-safe: the global
+    positive-balance average is ONE scalar row broadcast back (never a
+    per-row correlated subquery), and "no order since X" is a broadcast
+    anti-join against the distinct recent-customer keys. Output is one
+    row per nation — bounded.
+    """
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select(F.col("o_custkey").alias("rk"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(recent), F.col("c_custkey") == F.col("rk"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+def sole_supplier_orders(t: dict[str, DataFrame], top_n: int = 20) -> DataFrame:
+    """Suppliers ranked by orders they fulfilled alone (TPC-H Q21's
+    multi-supplier-order machinery on this schema — no commit/receipt
+    dates exist, so "kept waiting" becomes "sole supplier on the
+    order", the same count-distinct-per-order + semi-join skeleton).
+
+    Per-order supplier cardinality is one fact aggregation on
+    l_orderkey; sole orders semi-join back to lineitem on the same key
+    (no second shuffle of the fact — AQE broadcasts the sole-order key
+    list when it is small, else it is a co-partitioned shuffle join).
+    Top-N is a TakeOrdered on the supplier-grain aggregate.
+    """
+    per_order = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supps"))
+        .filter(F.col("n_supps") == 1)
+        .select(F.col("l_orderkey").alias("so_orderkey"))
+    )
+    sole = (
+        t["lineitem"]
+        .join(per_order, F.col("l_orderkey") == F.col("so_orderkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("l_orderkey").alias("sole_orders"))
+    )
+    return (
+        sole.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "sole_orders")
+        .orderBy(F.col("sole_orders").desc(), F.col("s_suppkey").asc())
+        .limit(top_n)
+    )

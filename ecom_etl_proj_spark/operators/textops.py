@@ -602,3 +602,39 @@ def gopher_quality(t: dict[str, DataFrame]) -> DataFrame:
             * (1 - F.col("has_lorem"))
         ).alias("gopher_keep"),
     )
+
+
+def corpus_mix_report(t: dict[str, DataFrame]) -> DataFrame:
+    """Training-mix composition per (lang, source): docs, tokens, and
+    each cell's share of the corpus token budget.
+
+    The report every pretraining-data pipeline keeps on a dashboard —
+    sampling weights are set against exactly these shares. One hash
+    aggregation over (lang, source) with map-side combine; the share
+    divides by a 1-row broadcast total, and the output is bounded by
+    |langs| x |sources| regardless of corpus size.
+    """
+    d = t["documents"].select(
+        "lang", "source", X.token_count().alias("toks"), "n_chars"
+    )
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.round(F.avg("toks"), 2).alias("avg_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    total = cells.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_tokens",
+            "n_chars",
+            F.round(F.lit(100.0) * F.col("n_tokens") / F.col("tot"), 4).alias(
+                "token_share_pct"
+            ),
+        )
+    )

@@ -2415,6 +2415,122 @@ register(
 )
 
 # --------------------------------------------------------------------------
+# Round 3: remaining TPC-H shapes (no partsupp table exists, so Q2/Q9/
+# Q11/Q20 are out of reach faithfully) + the corpus-mix report
+# --------------------------------------------------------------------------
+
+register(
+    "market_share_by_nation",
+    analytics.market_share_by_nation,
+    """
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               sn.n_name AS supp_nation,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS vol
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT order_year, supp_nation,
+           CAST(round(vol, 2) AS DOUBLE) AS volume,
+           round(100.0 * CAST(vol AS DOUBLE)
+                 / CAST(sum(vol) OVER (PARTITION BY order_year) AS DOUBLE),
+                 4) AS share_pct
+    FROM vol
+    """,
+)
+
+register(
+    "disjunctive_revenue",
+    analytics.disjunctive_revenue,
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+)
+
+register(
+    "idle_high_balance_customers",
+    analytics.idle_high_balance_customers,
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT c.c_nationkey,
+           count(*) AS n_customers,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_balance
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c.c_nationkey
+    """,
+)
+
+register(
+    "sole_supplier_orders",
+    analytics.sole_supplier_orders,
+    """
+    WITH sole AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1
+    ),
+    per_supp AS (
+        SELECT l.l_suppkey, count(DISTINCT l.l_orderkey) AS sole_orders
+        FROM lineitem l
+        WHERE l.l_orderkey IN (SELECT l_orderkey FROM sole)
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, p.sole_orders
+    FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    ORDER BY p.sole_orders DESC, s.s_suppkey ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "corpus_mix_report",
+    textops.corpus_mix_report,
+    """
+    WITH cells AS (
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+                   AS n_tokens,
+               round(avg(len(string_split(lower(trim(text)), ' '))), 2)
+                   AS avg_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT lang, source, n_docs, n_tokens, avg_tokens, n_chars,
+           round(100.0 * n_tokens / (SELECT sum(n_tokens) FROM cells), 4)
+               AS token_share_pct
+    FROM cells
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
@@ -2453,6 +2569,12 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_clusters",
     "multimodal_decode",
     "ann_ivf",
+    # oracle-backed, new in round 3
+    "market_share_by_nation",
+    "disjunctive_revenue",
+    "idle_high_balance_customers",
+    "sole_supplier_orders",
+    "corpus_mix_report",
     # no-oracle sketch family + ann_lsh (weakest marginal signal)
     "term_heavy_hitters",
     "kpi_overview_approx",
