@@ -6,15 +6,27 @@ Prints ONE JSON line:
 Each query is forced with a count() over its full plan (no collect of
 wide results — we measure engine time, not driver materialization).
 
-Methodology: "value"/"queries" are the FIRST (cold) pass — the same
-single-run semantics every round has reported, so the headline number
-is comparable across all BENCH_r{N}.json files. Two further timed
-passes follow and their per-query min is published under
-"warm_queries"/"warm_value": the steady-state estimator (JVM +
-whole-stage-codegen compilation, ~0.3-0.5s per stage locally,
-amortizes to zero on a long-lived cluster, so the warm number better
-predicts 100 TB throughput) — kept under a DISTINCT key so cold and
-warm series can never be silently compared.
+Methodology: "value"/"queries" are the FIRST (cold) pass, marked
+explicitly by "value_semantics": "cold" in the JSON. History note for
+anyone diffing rounds: BENCH_r01's value was cold single-run,
+BENCH_r02's published value (6.733) was the WARM-MIN (its cold was
+14.511), and r03 onward report cold — so r02's headline is NOT
+comparable to its neighbors; use the warm series for round-over-round
+comparison. Two further timed passes follow the cold one and their
+per-query min is published under "warm_queries"/"warm_value": the
+steady-state estimator (JVM + whole-stage-codegen compilation,
+~0.3-0.5s per stage locally, amortizes to zero on a long-lived
+cluster, so the warm number better predicts 100 TB throughput) — kept
+under a DISTINCT key so cold and warm series can never be silently
+compared.
+
+Attribution extras in the JSON (cold numbers swing ±30% with host
+load on identical code):
+  - "loadavg": os.getloadavg() at start — discount cold deltas when
+    the host was busy;
+  - "compile_overhead": per-query cold minus warm-min — the
+    whole-stage-codegen + first-scan cost, i.e. the part of the cold
+    number that is NOT steady-state engine work.
 """
 
 from __future__ import annotations
@@ -69,21 +81,29 @@ def main() -> None:
             print(f"# [{label}] {name}: {n} rows in {dt}s", file=sys.stderr)
         return times, round(total, 3)
 
+    loadavg = os.getloadavg()
     cold_times, cold_total = one_pass("cold")
     t1, _ = one_pass("warm1")
     t2, _ = one_pass("warm2")
     warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
     warm_total = round(sum(warm.values()), 3)
+    compile_overhead = {
+        name: round(max(0.0, cold_times[name] - warm[name]), 3)
+        for name in HEADLINE
+    }
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": cold_total,
+                "value_semantics": "cold",
                 "unit": "sec",
                 "queries": cold_times,
                 "warm_queries": warm,
                 "warm_value": warm_total,
+                "compile_overhead": compile_overhead,
+                "loadavg": [round(x, 2) for x in loadavg],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -72,6 +72,65 @@ def sales_by_geography(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def nation_coords() -> list[tuple[int, float, float]]:
+    """Deterministic nation→(lat, lng) centroid dimension.
+
+    The reference enriches state-level revenue with geolocation
+    centroids for its map view (streamlit/utils.py:233-265 — avg
+    lat/lng per city joined onto sales-by-state). This testdata has no
+    geolocation table, so the centroids are a fixed deterministic
+    literal dimension keyed by nationkey (LCG, 3-decimal coordinates —
+    exactly representable the same way in both engines) — same join
+    shape, same output contract as the reference's merge-with-coords.
+    """
+    out = []
+    state = 98765
+    for k in range(25):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        lat = round((state % 180000) / 1000.0 - 90.0, 3)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        lng = round((state % 360000) / 1000.0 - 180.0, 3)
+        out.append((k, lat, lng))
+    return out
+
+
+def sales_geolocation(t: dict[str, DataFrame]) -> DataFrame:
+    """Nation revenue enriched with map coordinates (the reference's
+    geolocation view, streamlit/utils.py:233-265).
+
+    The fact side aggregates FIRST (orders⋈customer shuffled on
+    custkey, then one nation-grain rollup — bounded output), and the
+    25-row coordinate dimension broadcast-joins onto the aggregate:
+    the display-layer enrichment costs nothing at any corpus size.
+    """
+    spark = t["nation"].sparkSession
+    dim = spark.createDataFrame(
+        nation_coords(), "coord_nationkey int, latitude double, longitude double"
+    )
+    per_nation = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.count_distinct("o_orderkey").alias("num_orders"),
+        )
+    )
+    return (
+        per_nation.join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(dim), F.col("c_nationkey") == F.col("coord_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "total_sales",
+            "num_orders",
+            "latitude",
+            "longitude",
+        )
+    )
+
+
 def rfm_segments(
     t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
 ) -> DataFrame:
@@ -1142,13 +1201,16 @@ def market_share_by_nation(
     Q8 shape).
 
     Revenue restricted to customers of ``region`` and parts of
-    ``ptype``: two fact-fact shuffles (lineitem⋈orders on orderkey,
-    nothing else is fact-sized) with every dimension — part filter,
-    customer→nation→region membership, supplier→nation name —
-    broadcast. The share divides each (year, supplier-nation) volume by
-    its year total via a window over the AGGREGATED frame (years ×
-    nations rows, bounded regardless of corpus size — the window never
-    sees fact rows).
+    ``ptype``: lineitem⋈orders shuffles on orderkey; the part filter
+    and supplier→nation name are broadcast (genuinely bounded
+    dimensions). The region-customer key set is CUSTOMER-cardinality —
+    it scales with the corpus, so it carries NO broadcast hint: AQE
+    broadcasts it when its runtime size is under the threshold and
+    falls back to a shuffle join on custkey otherwise (a forced
+    broadcast would OOM at billions of customers). The share divides
+    each (year, supplier-nation) volume by its year total via a window
+    over the AGGREGATED frame (years × nations rows, bounded regardless
+    of corpus size — the window never sees fact rows).
     """
     from pyspark.sql import Window
 
@@ -1180,7 +1242,7 @@ def market_share_by_nation(
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(region_custs), F.col("o_custkey") == F.col("rc_custkey"))
+        .join(region_custs, F.col("o_custkey") == F.col("rc_custkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("sn_suppkey"))
         .groupBy(
             F.year("o_orderdate").cast("int").alias("order_year"), "supp_nation"
@@ -1232,11 +1294,13 @@ def idle_high_balance_customers(
 ) -> DataFrame:
     """High-balance customers with no recent orders (TPC-H Q22 shape).
 
-    The two classic sub-shapes, both scale-safe: the global
-    positive-balance average is ONE scalar row broadcast back (never a
-    per-row correlated subquery), and "no order since X" is a broadcast
-    anti-join against the distinct recent-customer keys. Output is one
-    row per nation — bounded.
+    The two classic sub-shapes: the global positive-balance average is
+    ONE scalar row broadcast back (never a per-row correlated
+    subquery), and "no order since X" is an anti-join against the
+    distinct recent-customer keys. That key set is customer-cardinality
+    — unbounded at scale — so it carries NO broadcast hint: AQE
+    broadcasts it only when its runtime size allows, else the anti-join
+    shuffles on custkey. Output is one row per nation — bounded.
     """
     cust = t["customer"]
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
@@ -1251,7 +1315,7 @@ def idle_high_balance_customers(
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(F.broadcast(recent), F.col("c_custkey") == F.col("rk"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("rk"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_customers"),

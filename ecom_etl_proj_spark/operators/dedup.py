@@ -28,13 +28,31 @@ from pyspark.sql import functions as F
 from ecom_etl_proj_spark.functions import text as X
 
 # MinHash parameters: k = BANDS * ROWS_PER_BAND universal-hash
-# permutations h_i(x) = (a_i*x + b_i) mod P over crc32 shingle hashes.
+# permutations h_i(x) = (a_i*x + b_i) mod P over md5-derived shingle
+# hashes.
 MINHASH_P = 4294967311  # smallest prime > 2^32
 MINHASH_BANDS = 16
 MINHASH_ROWS = 4
-# Buckets larger than this expand as a star against the bucket
-# representative instead of all i<j pairs (see dedup_minhash_lsh).
+# Buckets larger than this expand as star+chain edges against the
+# bucket representative instead of all i<j pairs (see dedup_minhash_lsh).
 MINHASH_MAX_BUCKET = 256
+# Shingles shared by more docs than this carry ~zero Jaccard information
+# but quadratic join cost — dropped before the inverted-index self-join
+# (standard hot-shingle/document-frequency cap).
+NGRAM_MAX_SHINGLE_FREQ = 128
+
+
+def md5_60(col) -> F.Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of md5, as a long.
+
+    Both Spark and DuckDB md5 the UTF-8 bytes to the same 32-char hex
+    string, so ``conv(substring(md5(x), 1, 15), 16, 10)`` here equals
+    ``CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`` there —
+    value-identical hashes in both engines, which is what lets the LSH
+    family carry full DuckDB oracles instead of rows-only checks.
+    15 hex digits = 60 bits, always positive in a signed 64-bit long.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
@@ -76,20 +94,39 @@ def _doc_shingles(
             .filter(F.col("count") > max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # No broadcast hint: the hot-shingle list is usually tiny but is
+        # NOT bounded (a web corpus can have 1e8 shingles over the cap);
+        # AQE broadcasts it when it is actually small. The anti-join
+        # shuffles sh on shingle — the same key the downstream self-join
+        # uses, so the exchange is reused, not added.
+        sh = sh.join(hot, "shingle", "left_anti")
     return sh
 
 
 def dedup_ngram_jaccard(
-    t: dict[str, DataFrame], n: int = 3, threshold: float = 0.1
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = NGRAM_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs above a threshold.
+    """n-gram Jaccard similarity pairs above a threshold, over the
+    document-frequency-capped shingle space.
 
     Inverted-index pair generation: docs only meet if they share at least
     one shingle, so the join fan-out is bounded by shingle co-occurrence
-    instead of |docs|^2.
+    instead of |docs|^2. That bound is worthless under skew: ONE
+    boilerplate shingle shared by m docs contributes m^2 rows through a
+    single join key — at web scale a "the end of" trigram with 1e6+ docs
+    means 1e12 rows through one partition. ``max_shingle_freq`` drops
+    shingles with document frequency above the cap BEFORE the self-join
+    (a df>cap shingle carries ~zero Jaccard information), making the
+    worst-case fan-out cap^2 per shingle. Jaccard is then computed over
+    the CAPPED shingle space (sizes count kept shingles only) — the cap
+    is part of the operator's semantics and is mirrored in the DuckDB
+    oracle. Precision-critical use at scale should route through
+    dedup_minhash_lsh, which has the banded bounded path.
     """
-    sh = _doc_shingles(t, n)
+    sh = _doc_shingles(t, n, max_shingle_freq)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,7 +176,7 @@ def minhash_signatures(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
     """
     k = MINHASH_BANDS * MINHASH_ROWS
     coeffs = _minhash_coeffs(k)
-    sh = _doc_shingles(t, n).withColumn("h", F.crc32(F.col("shingle")))
+    sh = _doc_shingles(t, n).withColumn("h", md5_60(F.col("shingle")))
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -172,11 +209,15 @@ def dedup_minhash_lsh(
     keyed by doc_id (the catalog partitioning), so the sketch stage
     adds no shuffle. Benchmarked ~2x faster than the classic
     k-aggregate signature at identical recall on the test corpus.
+
+    Every hash here is cross-engine reproducible (md5-derived, see
+    ``md5_60``), so the DuckDB oracle rebuilds the IDENTICAL candidate
+    set — this query is hash-verified end to end, not rows-only.
     """
     n_bins = MINHASH_BANDS * MINHASH_ROWS
     sh = (
         _doc_shingles(t, n)
-        .withColumn("h", F.crc32(F.col("shingle")))
+        .withColumn("h", md5_60(F.col("shingle")))
         .withColumn("bin", F.pmod("h", F.lit(n_bins)))
         .withColumn("band", (F.col("bin") / MINHASH_ROWS).cast("int"))
     )
@@ -208,8 +249,12 @@ def dedup_minhash_lsh(
         )
         for r in range(MINHASH_ROWS)
     ]
+    # Band key = md5 of the "bin:min" pair string — 32-byte bounded
+    # shuffle key (vs the unbounded concat string), and unlike xxhash64
+    # it is byte-identical in DuckDB, so the oracle groups on the very
+    # same keys.
     bands = per_band.select(
-        "doc_id", "band", F.xxhash64(F.concat_ws(",", *parts)).alias("bh")
+        "doc_id", "band", F.md5(F.concat_ws(",", *parts)).alias("bh")
     )
     # Pair generation is a groupBy on (band, band-hash) — ONE shuffle —
     # followed by a row-local expansion of each bucket's sorted doc_id
@@ -220,18 +265,26 @@ def dedup_minhash_lsh(
     #   the same candidate set the old bands⋈bands self-join produced
     #   (A/B-verified pair-identical at sf0.001/0.01);
     #
-    #   giant buckets expand as a STAR against the bucket
-    #   representative (min doc_id, = ids[0] of the sorted array).
-    #   Web-scale corpora routinely hold duplicate groups of 1e5-1e6
-    #   docs (boilerplate, mirrored pages); an unconditional all-pairs
-    #   expansion would materialize |group|^2 structs inside ONE
-    #   aggregation row — a single task and an executor OOM. The star
-    #   emits |group|-1 structs (linear), and connects the whole group
-    #   transitively through the representative — exactly what
-    #   connected-component clustering (dedup_clusters) consumes;
-    #   intra-group edges beyond the star merge no new components.
+    #   giant buckets expand as STAR + CHAIN edges: every member pairs
+    #   with the bucket representative (min doc_id = ids[0]) AND with
+    #   its successor in sorted-id order — 2(|group|-1) structs, still
+    #   linear. Web-scale corpora routinely hold duplicate groups of
+    #   1e5-1e6 docs (boilerplate, mirrored pages); an unconditional
+    #   all-pairs expansion would materialize |group|^2 structs inside
+    #   ONE aggregation row — a single task and an executor OOM.
     #   CaseWhen evaluates only the matching branch, so the quadratic
     #   expression is never computed for an over-cap bucket.
+    #
+    #   Recall note (post-verification): star/chain edges still pass
+    #   through the exact-Jaccard filter below, so a member whose edge
+    #   to the representative falls below threshold (band false
+    #   positive) is NOT connected by the star alone. The chain edge
+    #   gives each member a second, independent linear-cost link (its
+    #   sorted-id neighbor), so the group stays connected whenever at
+    #   least one of the two edges per member verifies. This is a
+    #   recall-vs-cost tradeoff, not lossless connectivity: a member
+    #   dissimilar to BOTH its anchors drops out, where all-pairs
+    #   expansion could have recovered it via some other member.
     #
     # Residual bound: the aggregation buffer still holds the bucket's
     # id array itself — LINEAR in group size (~8 MB per million ids),
@@ -255,9 +308,16 @@ def dedup_minhash_lsh(
         F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
         lambda y: F.struct(rep.alias("doc_a"), y.alias("doc_b")),
     )
+    chain_arr = F.transform(
+        F.slice(F.col("ids"), 1, F.size(F.col("ids")) - 1),
+        lambda x, i: F.struct(
+            x.alias("doc_a"),
+            F.element_at(F.col("ids"), i + F.lit(2)).alias("doc_b"),
+        ),
+    )
     pair_arr = F.when(
         F.size(F.col("ids")) <= MINHASH_MAX_BUCKET, all_pairs_arr
-    ).otherwise(star_arr)
+    ).otherwise(F.concat(star_arr, chain_arr))
     candidates = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -283,11 +343,17 @@ def dedup_minhash_lsh(
 
 
 def simhash_64(t: dict[str, DataFrame]) -> DataFrame:
-    """(doc_id, simhash long): sign-aggregated 64-bit token fingerprint."""
+    """(doc_id, simhash long): sign-aggregated 64-bit token fingerprint.
+
+    Token hash is the cross-engine ``md5_60`` (60 effective bits — bits
+    60-63 of the fingerprint are constant-zero since every token hash
+    has them unset, so all distance/blocking math is unchanged but the
+    DuckDB oracle can reproduce the fingerprint bit-for-bit).
+    """
     toks = t["documents"].select(
         "doc_id", F.explode(F.array_distinct(X.tokens())).alias("tok")
     )
-    toks = toks.withColumn("h", F.xxhash64("tok"))
+    toks = toks.withColumn("h", md5_60(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -421,7 +487,13 @@ def connected_components(
     in local mode). On a fault-tolerant cluster pass a reliable
     checkpoint directory (HDFS/S3): round state then goes through
     ``checkpoint()`` so a lost executor replays from storage instead of
-    recomputing the whole iteration chain.
+    recomputing the whole iteration chain. The context's checkpoint dir
+    is only set when none is configured yet (setting it is a
+    SparkContext-global side effect — an already-configured dir wins,
+    so this never redirects other jobs' checkpoints). Checkpoint files
+    are per-round snapshots; enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` for automatic
+    cleanup of superseded ones, or clean the directory between runs.
     """
 
     def _save(df: DataFrame) -> DataFrame:
@@ -430,7 +502,9 @@ def connected_components(
         return df.localCheckpoint()
 
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

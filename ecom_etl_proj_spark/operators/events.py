@@ -52,7 +52,15 @@ def user_activity(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def running_totals(t: dict[str, DataFrame]) -> DataFrame:
-    """Cumulative purchase revenue by minute (consumer.py:346-357)."""
+    """Cumulative purchase revenue by minute (consumer.py:346-357).
+
+    The cumulative window here has no partition key, so the final sum
+    funnels through ONE task. It runs over the minutely AGGREGATE
+    (≈526K rows/year — grain-bounded, fine at any corpus size), but a
+    multi-year backfill at fine grain should use
+    ``running_totals_scalable`` below, which keeps the same output
+    while computing the cumulative in parallel.
+    """
     per_min = (
         t["events"]
         .filter(F.col("event_type") == "purchase")
@@ -64,6 +72,59 @@ def running_totals(t: dict[str, DataFrame]) -> DataFrame:
         "minute",
         "minute_revenue",
         F.round(F.sum("minute_revenue").over(w), 2).alias("cumulative_revenue"),
+    )
+
+
+def running_totals_scalable(t: dict[str, DataFrame], n_parts: int = 32) -> DataFrame:
+    """Two-pass cumulative purchase revenue by minute — the
+    parallel form of ``running_totals``.
+
+    The classic distributed prefix-sum: (1) range-partition the
+    minutely aggregate on minute, so partition i holds a contiguous
+    time range and ``spark_partition_id`` is monotone in time; (2)
+    each partition computes its LOCAL cumulative sum in parallel (the
+    window partitions by part — no single-task global sort); (3) the
+    per-partition totals (one row per partition, bounded by the
+    partition count, not the data) go through a tiny offset window and
+    broadcast-join back. The only single-task stage touches ``n_parts``
+    rows instead of every minute in history.
+
+    Sums accumulate in DECIMAL so the split-and-recombine is exact —
+    bit-identical to the sequential window regardless of how the range
+    partitioner splits the timeline (double addition is
+    order-dependent; decimal is associative).
+    """
+    per_min = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.round(F.sum("value"), 2).alias("minute_revenue"))
+    )
+    ranged = per_min.repartitionByRange(n_parts, "minute").withColumn(
+        "part", F.spark_partition_id()
+    )
+    dec = F.col("minute_revenue").cast("decimal(18,2)")
+    w_in = (
+        Window.partitionBy("part")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = ranged.withColumn("cum_in", F.sum(dec).over(w_in))
+    totals = ranged.groupBy("part").agg(F.sum(dec).alias("part_total"))
+    w_off = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("offset", F.sum("part_total").over(w_off)).select(
+        "part", "offset"
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        within.join(F.broadcast(offsets), "part")
+        .select(
+            "minute",
+            "minute_revenue",
+            (F.col("cum_in") + F.coalesce(F.col("offset"), zero))
+            .cast("double")
+            .alias("cumulative_revenue"),
+        )
     )
 
 

@@ -20,6 +20,8 @@ All vector math is Catalyst higher-order functions (functions/vectors.py)
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -266,21 +268,33 @@ def ann_candidates(
     )
 
 
+# Keyed on the DataFrame handle itself (weak refs — entries die with
+# the handle, never with an unrelated object that reused its id()).
+_COUNT_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def _corpus_size(emb: DataFrame, hint: int | None = None) -> int:
     """Corpus row count for parameter auto-scaling, action-free when
-    possible: an explicit ``hint`` wins; otherwise the first count is
-    memoized on the DataFrame handle so repeated plan builds against
-    the same table trigger no further Spark jobs. (The count itself is
-    parquet-metadata-only, but plan construction should not launch
-    jobs at all — callers with a catalog row count pass the hint.)"""
+    possible: an explicit ``hint`` wins (callers with a catalog row
+    count should always pass it); otherwise the first count is memoized
+    per DataFrame HANDLE so repeated plan builds against the same table
+    trigger no further Spark jobs.
+
+    Staleness contract: the memo is tied to the handle's lifetime, not
+    to the underlying table's contents — if rows are appended to the
+    table and the SAME handle is reused, the memo serves the old count
+    and derived parameters (n_tables/bits/n_centroids) stay sized for
+    the smaller corpus. That only degrades bucket-population tuning,
+    never correctness; callers who mutate tables should build a fresh
+    handle (cheap — it is just a logical plan) or pass the hint."""
     if hint is not None:
         return hint
-    cached = getattr(emb, "_spark_graft_count", None)
+    cached = _COUNT_MEMO.get(emb)
     if cached is None:
         cached = emb.count()
         try:
-            emb._spark_graft_count = cached
-        except AttributeError:
+            _COUNT_MEMO[emb] = cached
+        except TypeError:
             pass
     return cached
 

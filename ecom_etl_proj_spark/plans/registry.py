@@ -292,6 +292,32 @@ register(
     """,
 )
 
+_COORD_ROWS = ",\n        ".join(
+    f"({k}, {lat!r}, {lng!r})" for k, lat, lng in analytics.nation_coords()
+)
+
+register(
+    "sales_geolocation",
+    analytics.sales_geolocation,
+    f"""
+    WITH coords(coord_nationkey, latitude, longitude) AS (VALUES
+        {_COORD_ROWS}),
+    per_nation AS (
+        SELECT c.c_nationkey,
+               round(sum(o.o_totalprice), 2) AS total_sales,
+               count(DISTINCT o.o_orderkey) AS num_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT n.n_name AS nation, p.total_sales, p.num_orders,
+           d.latitude, d.longitude
+    FROM per_nation p
+    JOIN nation n ON p.c_nationkey = n.n_nationkey
+    JOIN coords d ON p.c_nationkey = d.coord_nationkey
+    """,
+)
+
 register(
     "rfm_segments",
     analytics.rfm_segments,
@@ -565,6 +591,29 @@ register(
     """,
 )
 
+# Two-pass distributed prefix sum — same output as running_totals, but
+# the cumulative stage parallelizes (see operators/events.py). The
+# oracle accumulates in DECIMAL exactly like the Spark side, so the
+# split-and-recombine is value-identical to a sequential window.
+register(
+    "running_totals_scalable",
+    events.running_totals_scalable,
+    """
+    WITH per_min AS (
+        SELECT date_trunc('minute', ts) AS minute,
+               round(sum(value), 2) AS minute_revenue
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT minute, minute_revenue,
+           CAST(sum(CAST(minute_revenue AS DECIMAL(18,2))) OVER (
+               ORDER BY minute ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cumulative_revenue
+    FROM per_min
+    """,
+)
+
 register(
     "recent_events",
     events.recent_events,
@@ -592,6 +641,15 @@ register(
     """,
 )
 
+_COSINE_SQL = """
+    list_sum(list_transform(range(1, len({a}) + 1),
+                            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                                    i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                                      i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
 _SHINGLE_SQL = """
     WITH words AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
@@ -605,35 +663,187 @@ _SHINGLE_SQL = """
     )
 """
 
+# Document-frequency cap mirrored from operators/dedup.py
+# (NGRAM_MAX_SHINGLE_FREQ): shingles shared by more docs carry ~zero
+# Jaccard information but quadratic join cost, so both engines drop them
+# BEFORE pair generation and size the Jaccard over the kept shingles.
 register(
     "dedup_ngram_jaccard",
     lambda t: dedup.dedup_ngram_jaccard(t, n=3, threshold=0.1),
     _SHINGLE_SQL
-    + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+        SELECT doc_id, shingle FROM ex
+        WHERE shingle IN (SELECT shingle FROM ex GROUP BY shingle
+                          HAVING count(*) <= {dedup.NGRAM_MAX_SHINGLE_FREQ})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4)
                AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.1
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.1
     """,
 )
 
-# Engine-specific hash functions (crc32/xxhash64) are not reproducible in
-# DuckDB SQL → rows-only checks for the LSH family.
-register("dedup_minhash_lsh", lambda t: dedup.dedup_minhash_lsh(t, threshold=0.1), None)
-register("dedup_simhash", lambda t: dedup.dedup_simhash(t, max_hamming=6), None)
-register("ann_lsh", lambda t: similarity.ann_lsh(t, k=5), None)
-
-_COSINE_SQL = """
-    list_sum(list_transform(range(1, len({a}) + 1),
-                            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
-    / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
-                                    i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
-       * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
-                                      i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+# --- MinHash-LSH oracle -------------------------------------------------
+# Every hash in the Spark pipeline is md5-derived (dedup.md5_60 for
+# shingle hashes, md5 of the band string for bucket keys), so DuckDB
+# rebuilds the IDENTICAL candidate set from first principles: same bins,
+# same band keys, same size-aware bucket expansion (all-pairs <= cap,
+# star+chain above), same exact-Jaccard verification. Shared CTE block
+# reused by dedup_clusters below.
+_MINHASH_CTES = (
+    _SHINGLE_SQL
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hh AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+           FROM ex),
+    bb AS (SELECT doc_id, h,
+                  CAST((h % {dedup.MINHASH_BANDS * dedup.MINHASH_ROWS}) // {dedup.MINHASH_ROWS} AS INT) AS band,
+                  CAST((h % {dedup.MINHASH_BANDS * dedup.MINHASH_ROWS}) % {dedup.MINHASH_ROWS} AS INT) AS r
+           FROM hh),
+    pb AS (SELECT doc_id, band,
+                  min(CASE WHEN r = 0 THEN h END) AS m0,
+                  min(CASE WHEN r = 1 THEN h END) AS m1,
+                  min(CASE WHEN r = 2 THEN h END) AS m2,
+                  min(CASE WHEN r = 3 THEN h END) AS m3
+           FROM bb GROUP BY 1, 2),
+    bkeys AS (SELECT doc_id, band, md5(concat_ws(',',
+                  CASE WHEN m0 IS NOT NULL THEN concat(band*4 + 0, ':', m0) END,
+                  CASE WHEN m1 IS NOT NULL THEN concat(band*4 + 1, ':', m1) END,
+                  CASE WHEN m2 IS NOT NULL THEN concat(band*4 + 2, ':', m2) END,
+                  CASE WHEN m3 IS NOT NULL THEN concat(band*4 + 3, ':', m3) END))
+               AS bh FROM pb),
+    buckets AS (SELECT band, bh, list_sort(list(doc_id)) AS ids
+                FROM bkeys GROUP BY 1, 2 HAVING count(*) > 1),
+    cand AS (
+        SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b
+        FROM buckets,
+             unnest(CASE WHEN len(ids) <= {dedup.MINHASH_MAX_BUCKET}
+                 THEN flatten(list_transform(range(1, len(ids) + 1),
+                        i -> list_transform(ids[i+1:],
+                               y -> {{'doc_a': ids[i], 'doc_b': y}})))
+                 ELSE list_transform(ids[2:],
+                          y -> {{'doc_a': ids[1], 'doc_b': y}})
+                      || list_transform(range(1, len(ids)),
+                           i -> {{'doc_a': ids[i], 'doc_b': ids[i+1]}})
+                 END) AS t(p)
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                     4) AS jaccard
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+    )
 """
+)
+
+register(
+    "dedup_minhash_lsh",
+    lambda t: dedup.dedup_minhash_lsh(t, threshold=0.1),
+    _MINHASH_CTES + "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1",
+)
+
+# SimHash's banded candidate generation has GUARANTEED recall at the
+# registered radius and exact bit_count verification, so its output
+# EQUALS the exact all-pairs answer — the oracle is the brute-force
+# hamming join over the same md5-derived 60-bit token-hash fingerprints.
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(60)
+)
+
+register(
+    "dedup_simhash",
+    lambda t: dedup.dedup_simhash(t, max_hamming=6),
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(lower(trim(text)), ' ')))
+                   AS tok
+        FROM documents
+    ),
+    hh AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+           FROM toks),
+    sim AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM hh GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+
+# ann_lsh's hyperplanes are deterministic Python literals (fixed LCG) —
+# inlined here so DuckDB computes the same buckets; table/bit counts
+# auto-scale with corpus size IN SQL exactly as ann_params does.
+_ANN_PLANES = similarity._hyperplanes(8 * 16)
+_ANN_PLANE_ROWS = ",\n        ".join(
+    f"({i}, [" + ", ".join(repr(x) for x in p) + "])"
+    for i, p in enumerate(_ANN_PLANES)
+)
+
+register(
+    "ann_lsh",
+    lambda t: similarity.ann_lsh(t, k=5),
+    f"""
+    WITH params AS (
+        SELECT greatest(2, CAST(ceil(log2(greatest(2.0,
+                   CAST(count(*) AS DOUBLE) / 16.0))) AS INT)) AS bits
+        FROM embeddings
+    ),
+    planes(idx, p) AS (VALUES
+        {_ANN_PLANE_ROWS}),
+    bkt AS (
+        SELECT e.vec_id, t.tbl,
+               sum(CASE WHEN list_sum(list_transform(
+                        range(1, len(e.embedding) + 1),
+                        i -> pl.p[i] * CAST(e.embedding[i] AS DOUBLE))) > 0
+                   THEN (CAST(1 AS BIGINT) << j.j) ELSE 0 END) AS bucket
+        FROM embeddings e
+        CROSS JOIN range(0, 8) t(tbl)
+        CROSS JOIN range(0, 16) j(j)
+        JOIN planes pl
+          ON pl.idx = t.tbl * (SELECT bits FROM params) + j.j
+        WHERE j.j < (SELECT bits FROM params)
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bkt q JOIN bkt c
+          ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    sims AS (
+        SELECT c.query_id, c.neighbor_id,
+               round({_COSINE_SQL.format(a='qe.embedding', b='ne.embedding')}, 6)
+                   AS cosine_sim
+        FROM cand c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    WHERE rank <= 5
+    """,
+)
 
 register(
     "embedding_knn",
@@ -1301,9 +1511,62 @@ register(
     """,
 )
 
-# IVF ANN: engine-specific cell assignment → rows-only check (like the
-# LSH family); recall is tested against embedding_knn in tests.
-register("ann_ivf", similarity.ann_ivf, None)
+# IVF ANN oracle: centroid choice is deterministic (first sqrt(n)
+# vectors) and assignment is pure cosine argmin with (dist, cell)
+# tie-break — both exactly reproducible in SQL, including the
+# sqrt(n) auto-sizing (computed from count(*) so the oracle tracks any
+# scale factor).
+register(
+    "ann_ivf",
+    similarity.ann_ivf,
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               -({_COSINE_SQL.format(a='e.embedding', b='c.c_emb')}) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+            FROM dists)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q_emb, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY -({_COSINE_SQL.format(a='q.embedding', b='c.c_emb')}) ASC,
+                                c.cell ASC) AS rnk
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id < 10)
+        WHERE rnk <= 2
+    ),
+    sims AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+               round({_COSINE_SQL.format(a='p.q_emb', b='a.embedding')}, 6)
+                   AS cosine_sim
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    WHERE rank <= 5
+    """,
+)
 
 register(
     "token_count_bpe",
@@ -1526,13 +1789,22 @@ register(
     """,
 )
 
-# mapInPandas decode plumbing (Arrow-batched Python): deterministic fake
-# decode in-container → rows-only driver check; batch shape + schema are
-# asserted in tests/test_operators.py.
+# mapInPandas decode plumbing (Arrow-batched Python). The in-container
+# stub's geometry is pure arithmetic on the payload byte length, so the
+# full Python/Arrow round trip is value-checked against SQL — a strictly
+# stronger signal than the old rows-only check. Swapping the stub for a
+# real decoder (PIL/ffmpeg) would make this rows-only again.
 register(
     "multimodal_decode",
     lambda t: multimodal.decode_media(multimodal.with_payload(t)),
-    None,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
 )
 
 register(
@@ -1607,10 +1879,34 @@ register(
     """,
 )
 
-# Connected-components clustering over LSH pairs: iterative label
-# propagation (driver-coordinated convergence) → rows-only check;
-# semantics unit-tested on known graphs in tests/test_operators.py.
-register("dedup_clusters", dedup.dedup_clusters, None)
+# Connected-components clustering over LSH pairs: Spark runs iterative
+# min-label propagation; the oracle reaches the same fixpoint with a
+# recursive CTE (transitive closure + min over the reachable set) over
+# the SAME md5-rebased MinHash pair list (_MINHASH_CTES), so the whole
+# pipeline — candidate generation, verification, clustering — is
+# hash-verified.
+register(
+    "dedup_clusters",
+    dedup.dedup_clusters,
+    "WITH RECURSIVE "
+    + _MINHASH_CTES.strip().removeprefix("WITH")
+    + """,
+    cpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.1),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM cpairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component_id,
+           node = min(lbl) AS is_representative
+    FROM reach GROUP BY node
+    """,
+)
 
 register(
     "rolling_active_users",

@@ -236,3 +236,70 @@ def test_price_band_no_theta_join(spark, tables):
     plan = plan_of(registry.queries()["price_band_stats"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_running_totals_scalable_parallel_window(spark, tables):
+    """The two-pass prefix sum must NOT funnel the minute-grain
+    cumulative through one task: its big window partitions by the
+    range-partition id (parallel across partitions), and the only
+    unpartitioned window runs over the per-partition totals (bounded
+    by the partition count). Output must equal the sequential form
+    exactly."""
+    from ecom_etl_proj_spark.operators import events
+
+    scalable = events.running_totals_scalable(tables)
+    plan = plan_of(scalable)
+    # the minute-grain cumulative window is keyed by the partition id
+    assert "windowspecdefinition(part#" in plan, plan
+    simple = {
+        (r["minute"], r["minute_revenue"], round(r["cumulative_revenue"], 2))
+        for r in events.running_totals(tables).collect()
+    }
+    two_pass = {
+        (r["minute"], r["minute_revenue"], round(r["cumulative_revenue"], 2))
+        for r in scalable.collect()
+    }
+    assert simple == two_pass
+
+
+def test_event_counters_skew_stress(spark):
+    """Skew contract for the events pipeline: one product carrying 50%
+    of all events must not concentrate reduce work. The mechanism is
+    partial (map-side) aggregation — every map task pre-collapses its
+    hot-key rows to ONE partial row, so the final shuffle moves
+    O(#map_tasks) rows for the hot key, never its raw row count — plus
+    AQE skew handling for residual imbalance (asserted enabled; the
+    salted-join explicit fallback is property-tested separately)."""
+    import pyspark.sql.functions as SF
+
+    from ecom_etl_proj_spark.operators import events
+
+    n = 40_000
+    base = spark.range(n)
+    skewed = base.select(
+        SF.lit(1).alias("event_id"),
+        SF.timestamp_seconds(SF.lit(1700000000) + SF.col("id")).alias("ts"),
+        (SF.col("id") % 100).alias("user_id"),
+        SF.when(SF.col("id") % 4 == 0, "purchase").otherwise("view").alias(
+            "event_type"
+        ),
+        SF.lit(2.0).alias("value"),
+        # product key skew: half of all events land on one product
+        SF.when(SF.col("id") % 2 == 0, SF.lit(7))
+        .otherwise(SF.col("id") % 500)
+        .alias("product_id"),
+    )
+    skewed = skewed.withColumn(
+        "props", SF.to_json(SF.struct(SF.col("product_id").alias("k")))
+    ).drop("product_id")
+    t = {"events": skewed.repartition(16)}
+    counters = events.product_counters(t)
+    plan = plan_of(counters)
+    # partial+final HashAggregate pair around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2, plan
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    rows = {r["product_id"]: r for r in counters.collect()}
+    hot = rows[7]
+    # all even ids (n/2) plus the odd ids that alias onto key 7 via %500
+    assert hot["n_views"] + hot["n_purchases"] == n / 2 + n / 500
