@@ -1360,3 +1360,140 @@ def sole_supplier_orders(t: dict[str, DataFrame], top_n: int = 20) -> DataFrame:
         .orderBy(F.col("sole_orders").desc(), F.col("s_suppkey").asc())
         .limit(top_n)
     )
+
+
+def cheapest_supplier_per_part(
+    t: dict[str, DataFrame], region: str = "EUROPE"
+) -> DataFrame:
+    """Groupwise-argmin: the supplier selling each part cheapest within
+    a region (TPC-H Q2's min-cost-supplier skeleton; this schema has no
+    partsupp/supplycost, so observed avg unit sell price from lineitem
+    stands in for the supply cost).
+
+    Per-(part, supplier) unit price is one fact aggregation; the
+    region membership filter joins BEFORE aggregation so non-region
+    rows never reach the shuffle. The argmin is a row_number window
+    partitioned by partkey over the aggregate — parallel across parts,
+    never a global sort; ties break on rounded price then suppkey so
+    both engines pick the same row.
+    """
+    from pyspark.sql import Window
+
+    members = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    # Ratio sums accumulate in DECIMAL: a double avg is add-order-
+    # dependent and its round(..,4) flips at half-boundaries between
+    # engines (observed at sf0.01). Each ratio quantizes to decimal(18,6)
+    # identically on both sides; the sum is then exact, and one double
+    # division by the count is deterministic.
+    ratio = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
+    per_pair = (
+        t["lineitem"]
+        .join(F.broadcast(members), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "supp_nation")
+        .agg(
+            F.round(F.sum(ratio).cast("double") / F.count("*"), 4).alias(
+                "avg_unit_price"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_unit_price").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        per_pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "supp_nation",
+            "avg_unit_price",
+        )
+    )
+
+
+def important_parts(
+    t: dict[str, DataFrame], min_share_pct: float = 0.05
+) -> DataFrame:
+    """Parts whose revenue exceeds a fixed share of GLOBAL revenue
+    (TPC-H Q11's value-concentration shape: per-group total compared
+    against a scalar fraction of the grand total).
+
+    Both totals accumulate in DECIMAL (exact, associative — the share
+    comparison is then engine-independent). The grand total is ONE
+    scalar row broadcast back over the per-part aggregate; the
+    per-part aggregate itself is the only fact shuffle.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    per_part = t["lineitem"].groupBy("l_partkey").agg(F.sum(rev).alias("part_rev"))
+    total = t["lineitem"].agg(F.sum(rev).alias("total_rev"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_rev").cast("double")
+            > F.col("total_rev").cast("double") * min_share_pct / 100.0
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_rev"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.col("part_rev").cast("double")
+                / F.col("total_rev").cast("double")
+                * 100.0,
+                6,
+            ).alias("share_pct"),
+        )
+    )
+
+
+def dominant_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Suppliers shipping MORE THAN TWICE the mean per-supplier share of
+    some part's total quantity (TPC-H Q20's excess-stock shape
+    re-expressed: a correlated per-group aggregate comparison, then a
+    supplier-grain rollup; the relative threshold — supp_qty × n_supps
+    > 2 × part_qty — stays meaningful as supplier counts per part grow
+    with the corpus, where a fixed ">50%" empties out).
+
+    Per-(part, supplier) and per-part quantities are two aggregations
+    over the SAME partkey shuffle key (the exchange is reused); the
+    comparison joins them on partkey — co-partitioned, no extra
+    shuffle. Quantities accumulate in DECIMAL so the threshold test
+    is exact in both engines (no float boundary flips).
+    """
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_pair = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("supp_qty"))
+    )
+    per_part = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(qty).alias("part_qty"),
+            F.count_distinct("l_suppkey").alias("n_supps"),
+        )
+    )
+    dominated = (
+        per_pair.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") * F.col("n_supps") > F.col("part_qty") * 2)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("parts_dominated"))
+    )
+    return (
+        dominated.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "parts_dominated")
+    )

@@ -210,6 +210,32 @@ def embedding_near_dup(
     )
 
 
+def embedding_dedup_clusters(
+    t: dict[str, DataFrame], threshold: float = 0.95
+) -> DataFrame:
+    """Semantic dedup clusters: near-identical embeddings grouped into
+    connected components, with a keep-representative flag.
+
+    The vector-space mirror of ``dedup.dedup_clusters``: pairs come from
+    the candidate-gated ``embedding_near_dup`` (LSH-bucketed, never
+    all-pairs), then the same bounded min-label propagation clusters
+    them — so a curation pipeline can drop semantic duplicates the way
+    it drops textual ones (keep min vec_id per component). Every stage
+    is the already-scale-audited path; this just composes them.
+    """
+    from ecom_etl_proj_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup(t, threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("is_representative"),
+    )
+
+
 def ann_lsh_buckets(t: dict[str, DataFrame]) -> DataFrame:
     """(vec_id, bucket) sign-bit LSH bucket assignment."""
     planes = _hyperplanes()

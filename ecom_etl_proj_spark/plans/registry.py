@@ -882,11 +882,10 @@ _ND_PLANE_ROWS = ",\n        ".join(
     for i, p in enumerate(_ND_PLANES)
 )
 
-register(
-    "embedding_near_dup",
-    lambda t: similarity.embedding_near_dup(t, threshold=0.95),
-    f"""
-    WITH planes(tbl, j, p) AS (VALUES
+# Shared CTE block ending in `ndpairs` — used by embedding_near_dup and
+# (with a recursive closure appended) embedding_dedup_clusters.
+_NEAR_DUP_CTES = f"""
+    planes(tbl, j, p) AS (VALUES
         {_ND_PLANE_ROWS}),
     bkt AS (
         SELECT e.vec_id, pl.tbl,
@@ -909,17 +908,51 @@ register(
                     i -> CAST(embedding[i] AS DOUBLE)
                          * CAST(embedding[i] AS DOUBLE)))) AS nrm
         FROM embeddings
+    ),
+    ndpairs AS (
+        SELECT id_a, id_b, cosine_sim FROM (
+            SELECT c.id_a, c.id_b,
+                   round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                            i -> CAST(ea.embedding[i] AS DOUBLE)
+                                 * CAST(eb.embedding[i] AS DOUBLE)))
+                         / (ea.nrm * eb.nrm), 6) AS cosine_sim
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.id_a
+            JOIN e eb ON eb.vec_id = c.id_b
+        ) WHERE cosine_sim >= 0.95
     )
-    SELECT id_a, id_b, cosine_sim FROM (
-        SELECT c.id_a, c.id_b,
-               round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
-                        i -> CAST(ea.embedding[i] AS DOUBLE)
-                             * CAST(eb.embedding[i] AS DOUBLE)))
-                     / (ea.nrm * eb.nrm), 6) AS cosine_sim
-        FROM cand c
-        JOIN e ea ON ea.vec_id = c.id_a
-        JOIN e eb ON eb.vec_id = c.id_b
-    ) WHERE cosine_sim >= 0.95
+"""
+
+register(
+    "embedding_near_dup",
+    lambda t: similarity.embedding_near_dup(t, threshold=0.95),
+    "WITH " + _NEAR_DUP_CTES + "SELECT id_a, id_b, cosine_sim FROM ndpairs",
+)
+
+# Semantic dedup clusters: the vector-space mirror of dedup_clusters —
+# near-identical embeddings (cosine >= 0.95 through the deterministic
+# LSH gate) clustered into connected components with a
+# keep-representative flag. Oracle reuses the near-dup CTEs plus the
+# same recursive-CTE closure dedup_clusters uses.
+register(
+    "embedding_dedup_clusters",
+    lambda t: similarity.embedding_dedup_clusters(t, threshold=0.95),
+    "WITH RECURSIVE "
+    + _NEAR_DUP_CTES
+    + """,
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM ndpairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM ndpairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS component_id,
+           node = min(lbl) AS is_representative
+    FROM reach GROUP BY node
     """,
 )
 
@@ -2826,58 +2859,157 @@ register(
     """,
 )
 
+register(
+    "cheapest_supplier_per_part",
+    analytics.cheapest_supplier_per_part,
+    """
+    WITH members AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name AS supp_nation
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    per_pair AS (
+        SELECT l.l_partkey, m.s_suppkey, m.s_name, m.supp_nation,
+               round(CAST(sum(CAST(l.l_extendedprice / l.l_quantity
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS avg_unit_price
+        FROM lineitem l JOIN members m ON l.l_suppkey = m.s_suppkey
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT l_partkey AS p_partkey, s_suppkey, s_name, supp_nation,
+           avg_unit_price
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_partkey
+            ORDER BY avg_unit_price ASC, s_suppkey ASC) AS rn
+        FROM per_pair)
+    WHERE rn = 1
+    """,
+)
+
+register(
+    "important_parts",
+    analytics.important_parts,
+    """
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                   AS part_rev
+        FROM lineitem GROUP BY 1
+    ),
+    total AS (
+        SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                   AS total_rev
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           CAST(round(part_rev, 2) AS DOUBLE) AS revenue,
+           round(CAST(part_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) * 100.0,
+                 6) AS share_pct
+    FROM per_part, total
+    WHERE CAST(part_rev AS DOUBLE) > CAST(total_rev AS DOUBLE) * 0.05 / 100.0
+    """,
+)
+
+register(
+    "dominant_suppliers",
+    analytics.dominant_suppliers,
+    """
+    WITH per_pair AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty,
+               count(DISTINCT l_suppkey) AS n_supps
+        FROM lineitem GROUP BY 1
+    )
+    SELECT d.l_suppkey AS s_suppkey, s.s_name, d.parts_dominated
+    FROM (
+        SELECT pp.l_suppkey, count(*) AS parts_dominated
+        FROM per_pair pp JOIN per_part pt ON pp.l_partkey = pt.l_partkey
+        WHERE pp.supp_qty * pt.n_supps > pt.part_qty * 2
+        GROUP BY 1
+    ) d
+    JOIN supplier s ON d.l_suppkey = s.s_suppkey
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. The r1+r2 union already gives 96 driver-confirmed queries with zero
-# failures; this round-3 ordering spends the 50 slots closing the remaining
-# independent-signal gap (VERDICT.md round 2, item 1):
-#   slots 1-10   the 10 oracle-backed queries the first two runs never
-#                sampled — green rows here take driver-confirmed coverage to
-#                106/117, everything structurally possible;
-#   slots 11-14  rows-only entries whose implementations were materially
-#                reworked after (or never had) their only driver run:
-#                dedup_minhash_lsh / dedup_simhash (rewritten in r2, old rows
-#                are PRE-rework), dedup_clusters, multimodal_decode;
-#   slot  15     ann_ivf — assignment rewritten row-local this round, needs
-#                a fresh rows-only row;
-#   slots 16+    queries added in round 3 (oracle-backed, no driver row yet),
-#                then the approx-sketch family (no-oracle by design, each
-#                error-bound-tested in-repo against its exact driver-checked
-#                twin) and ann_lsh (r1 driver row exists); the remaining
-#                slots re-confirm previously-green queries in source order.
+# round. Every query has a green driver row from r1-r3 (zero failures), so
+# this round-4 ordering spends the slots on queries whose STATUS CHANGED:
+#   slots 1-6    the six queries upgraded this round from rows-only to full
+#                DuckDB oracles (md5-rebased cross-engine hashes, inlined
+#                plane/centroid literals, recursive-CTE closure) — green
+#                hash rows here are the round's headline: only the 5
+#                HLL/KLL sketch twins remain rows-only (their sketch state
+#                is genuinely not reproducible in SQL);
+#   next 6       queries NEW this round (geolocation enrichment, two-pass
+#                running totals, semantic dedup clusters, and three TPC-H
+#                shapes: groupwise argmin, scalar-share filter,
+#                correlated-aggregate comparison);
+#   next 5       queries whose semantics or plan changed this round (ngram
+#                document-frequency cap; dropped forced broadcasts of
+#                customer-cardinality frames; near-dup oracle CTE refactor;
+#                running_totals as the contrast row for its scalable twin);
+#   remainder    re-confirmation of previously-green queries, oldest driver
+#                rows first (r1), then source order. The sketch twins sit
+#                OUTSIDE the top 50 — their r3 rows-only rows stand, and
+#                re-running them yields no new signal.
 _DRIVER_PRIORITY: list[str] = [
-    # oracle-backed, never driver-sampled in r1/r2
-    "cohort_retention",
-    "discount_elasticity",
-    "minutely_anomalies",
-    "rolling_active_users",
-    "data_profile_customer",
-    "chunk_documents",
-    "contamination_check",
-    "char_entropy",
-    "curate_corpus",
-    "weekly_sales_pattern",
-    # rows-only entries reworked after (or without) their only driver run
+    # upgraded rows-only -> full oracle this round
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "multimodal_decode",
-    "ann_ivf",
-    # oracle-backed, new in round 3
-    "market_share_by_nation",
-    "disjunctive_revenue",
-    "idle_high_balance_customers",
-    "sole_supplier_orders",
-    "corpus_mix_report",
-    # no-oracle sketch family + ann_lsh (weakest marginal signal)
-    "term_heavy_hitters",
-    "kpi_overview_approx",
-    "delay_quantiles_approx",
-    "customer_value_deciles_approx",
-    "rfm_segments_approx",
     "ann_lsh",
+    "ann_ivf",
+    "multimodal_decode",
+    # new this round
+    "sales_geolocation",
+    "running_totals_scalable",
+    "embedding_dedup_clusters",
+    "cheapest_supplier_per_part",
+    "important_parts",
+    "dominant_suppliers",
+    # semantics or plan changed this round
+    "dedup_ngram_jaccard",
+    "market_share_by_nation",
+    "idle_high_balance_customers",
+    "embedding_near_dup",
+    "running_totals",
+    # oldest driver rows (r1) -- re-confirm
+    "ods_typed_load",
+    "stg_dedup_rownumber",
+    "stg_mean_imputation",
+    "stg_dim_key_map",
+    "stg_sentinel_timestamps",
+    "dwh_audit_load",
+    "revenue_forecast",
+    "order_priority_counts",
+    "monthly_sales",
+    "market_segment_share",
+    "top_customers",
+    "part_size_histogram",
+    "category_translation",
+    "geo_fallback_join",
+    "sessionization",
+    "event_value_stats",
+    "dedup_exact",
+    "embedding_knn",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "top_terms",
+    "doc_length_stats",
+    "recent_events",
 ]
 
 

@@ -727,3 +727,49 @@ def test_asof_join_property_vs_reference(spark):
                 assert got[i] in legal, (i, got[i], legal)
 
     check()
+
+
+def test_md5_60_cross_engine_parity(spark):
+    """The md5-derived 60-bit hash must be value-identical in Spark and
+    DuckDB for arbitrary strings — this equality is what makes the
+    whole LSH oracle family hash-verifiable rather than rows-only."""
+    import duckdb
+
+    from ecom_etl_proj_spark.operators.dedup import md5_60
+
+    samples = [
+        "", "a", "hello world", "the end of", "ünïcödé tökens",
+        "tab\tsep", "line\nbreak", "ascii 123", "日本語", "emoji 🙂",
+    ] + [f"shingle {i} of text" for i in range(50)]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", md5_60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        (expected,) = con.execute(
+            "SELECT CAST('0x' || substring(md5(?), 1, 15) AS BIGINT)", [s]
+        ).fetchone()
+        assert got[s] == expected, s
+
+
+def test_embedding_dedup_clusters_consistent_with_pairs(spark, tables):
+    """Every near-dup pair must land in one component; representatives
+    are the component minimum (the keep-min contract dedup_exact and
+    dedup_clusters share)."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_near_dup(tables, threshold=0.9).collect()
+    }
+    comp = {
+        r["vec_id"]: (r["component_id"], r["is_representative"])
+        for r in sim.embedding_dedup_clusters(tables, threshold=0.9).collect()
+    }
+    for a, b in pairs:
+        assert comp[a][0] == comp[b][0], (a, b)
+    for vec, (label, is_rep) in comp.items():
+        assert is_rep == (vec == label)
+        assert label <= vec
