@@ -124,3 +124,36 @@ def read_json(
         .json(path)
     )
     return lowercase_columns(df)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingest via the built-in ``binaryFile`` source — the
+    entry point a multimodal corpus uses to land image/audio/video
+    files next to text (each file becomes one row: path, modification
+    time, length, content bytes).
+
+    The source supports predicate pushdown on file METADATA: a
+    ``length`` filter prunes oversized files at listing time (before
+    any byte is read), and ``pathGlobFilter`` prunes by extension —
+    both essential when pointing at a bucket of mixed media at 100 TB.
+    Downstream, the ``content`` column feeds the same mapInPandas
+    decode path as ``operators/multimodal.py`` (schema contract:
+    rename content → payload).
+
+    Partitioning note: binaryFile caps rows per partition by
+    ``spark.sql.files.maxPartitionBytes``, so huge files isolate into
+    their own tasks and small files batch together — the right default
+    for decode-bound work.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

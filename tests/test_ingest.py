@@ -122,3 +122,32 @@ def test_validate_catalog_clean_and_detects_missing(spark, tmp_path):
     missing = catalog.validate_catalog(spark, str(tmp_path))
     assert all(v == ["missing table"] for v in missing.values())
     assert set(missing) == set(catalog.TABLES)
+
+
+def test_binary_ingest_feeds_decode_path(spark, tmp_path):
+    """binaryFile source → multimodal decode, end to end: metadata
+    pushdown prunes oversized files at listing time, and the content
+    column flows through the Arrow decode stub unchanged."""
+    import pyspark.sql.functions as F
+
+    from ecom_etl_proj_spark.operators import multimodal
+    from ecom_etl_proj_spark.sources.ingest import read_binary_dir
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.img").write_bytes(b"x" * 100)
+    (media / "b.img").write_bytes(b"y" * 3000)
+    (media / "skip.txt").write_bytes(b"z" * 10)
+
+    df = read_binary_dir(spark, str(media), glob="*.img", max_bytes=2000)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["length"] == 100
+
+    decoded = multimodal.decode_media(
+        df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    ).collect()
+    assert decoded[0]["payload_bytes"] == 100
+    assert decoded[0]["width"] == 100 % 640 + 1
