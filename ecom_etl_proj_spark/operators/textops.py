@@ -638,3 +638,62 @@ def corpus_mix_report(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
     )
+
+
+def pack_sequences(
+    t: dict[str, DataFrame], ctx_len: int = 512, n_shards: int = 32
+) -> DataFrame:
+    """Sequence packing: assign each document a (shard, bin, offset)
+    slot in fixed-context training batches — the standard sample-packing
+    step that turns a ragged corpus into dense ctx_len-token rows
+    without padding waste.
+
+    Greedy in-order packing by cumulative token count: within a shard,
+    doc i starts at the running total of tokens before it; its bin is
+    that offset div ctx_len. Sharding comes from a deterministic hash of
+    doc_id, so the cumulative window partitions by shard — every shard
+    packs in parallel, and no single task ever sees more than corpus /
+    n_shards rows (raise n_shards with the corpus; a global unsharded
+    pack would be the single-task cumulative anti-pattern). All
+    arithmetic is integer — exact in any engine.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        F.pmod("doc_id", F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / ctx_len).cast("bigint").alias("bin_id"),
+        F.pmod(cum_before, F.lit(ctx_len)).cast("bigint").alias("bin_offset"),
+    )
+
+
+def corpus_alignment(t: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit between the text corpus and its
+    embedding table: per-status counts of aligned / document-only /
+    embedding-only ids.
+
+    A multimodal or embedding-indexed corpus drifts when ingestion and
+    embedding jobs run independently — this is the cheap invariant scan
+    that catches it. One full outer join on the id (co-partitioned
+    shuffle, no broadcast assumption: both sides are corpus-sized), and
+    a bounded 3-row rollup.
+    """
+    d = t["documents"].select(F.col("doc_id").alias("d_id"))
+    e = t["embeddings"].select(F.col("vec_id").alias("e_id"))
+    joined = d.join(e, d["d_id"] == e["e_id"], "full_outer")
+    status = (
+        F.when(F.col("e_id").isNull(), F.lit("document_only"))
+        .when(F.col("d_id").isNull(), F.lit("embedding_only"))
+        .otherwise(F.lit("aligned"))
+    )
+    return joined.groupBy(status.alias("status")).agg(F.count("*").alias("n"))

@@ -2938,6 +2938,43 @@ register(
     """,
 )
 
+register(
+    "pack_sequences",
+    textops.pack_sequences,
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST(doc_id % 32 AS INT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512) AS BIGINT) AS bin_id,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               % 512 AS BIGINT) AS bin_offset
+    FROM d
+    """,
+)
+
+register(
+    "corpus_alignment",
+    textops.corpus_alignment,
+    """
+    SELECT CASE WHEN e.vec_id IS NULL THEN 'document_only'
+                WHEN d.doc_id IS NULL THEN 'embedding_only'
+                ELSE 'aligned' END AS status,
+           count(*) AS n
+    FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
@@ -2977,6 +3014,8 @@ _DRIVER_PRIORITY: list[str] = [
     "cheapest_supplier_per_part",
     "important_parts",
     "dominant_suppliers",
+    "pack_sequences",
+    "corpus_alignment",
     # semantics or plan changed this round
     "dedup_ngram_jaccard",
     "market_share_by_nation",

@@ -303,3 +303,21 @@ def test_event_counters_skew_stress(spark):
     hot = rows[7]
     # all even ids (n/2) plus the odd ids that alias onto key 7 via %500
     assert hot["n_views"] + hot["n_purchases"] == n / 2 + n / 500
+
+
+def test_pack_sequences_sharded_window(spark, tables):
+    """Sequence packing must never funnel the corpus through one
+    cumulative task: its window partitions by shard, and every doc's
+    slot is exact integer arithmetic (bin boundaries verified against
+    a per-shard replay)."""
+    from ecom_etl_proj_spark.operators import textops
+
+    df = textops.pack_sequences(tables, ctx_len=512, n_shards=8)
+    plan = plan_of(df)
+    assert "windowspecdefinition(shard#" in plan, plan
+    rows = df.collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["bin_id"] == cum // 512 and r["bin_offset"] == cum % 512, r
+        by_shard[r["shard"]] = cum + r["n_tokens"]
