@@ -321,3 +321,44 @@ def test_pack_sequences_sharded_window(spark, tables):
         cum = by_shard.get(r["shard"], 0)
         assert r["bin_id"] == cum // 512 and r["bin_offset"] == cum % 512, r
         by_shard[r["shard"]] = cum + r["n_tokens"]
+
+
+def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
+    """Global scale contract #2: an UNPARTITIONED window funnels its
+    whole input through one task, so it is only acceptable over inputs
+    that are already bounded (an aggregate at a coarse grain, or a
+    top-N). Sweep every registry plan and pin the exact whitelist —
+    any new query that grows a global window over raw fact rows fails
+    here before it ever ships.
+
+    Whitelisted (all window inputs bounded, see each docstring):
+    - running_totals            minute-grain aggregate (~526K rows/yr)
+    - running_totals_scalable   offsets window over n_parts total rows
+    - daily_sales_7d_ma         day-grain aggregate
+    - product_leaderboard       rank over TakeOrdered top-N rows
+    - bm25_search               rank over .limit(top) rows
+    """
+    import re
+
+    from ecom_etl_proj_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    bounded_ok = {
+        "running_totals",
+        "running_totals_scalable",
+        "daily_sales_7d_ma",
+        "product_leaderboard",
+        "bm25_search",
+    }
+    offenders = set()
+    for name, fn in registry.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                offenders.add(name)
+                break
+    assert offenders <= bounded_ok, (
+        f"unbounded single-partition window in: {sorted(offenders - bounded_ok)}"
+    )
