@@ -500,3 +500,56 @@ def test_serve_anomalies_match_batch(spark, tables):
         shutil.rmtree(stream_dir, ignore_errors=True)
         shutil.rmtree(serve_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_counters_survive_restart(spark, tables, events_dir):
+    """State-store recovery: a STATEFUL aggregation stopped mid-corpus
+    and restarted from its checkpoint must resume its counter state
+    (not recount from zero, not double-count replayed files) — the
+    exactly-once contract a serving layer depends on.
+
+    Two availableNow runs share one checkpoint: run 1 sees half the
+    events, run 2 sees the newly arrived half, and the final complete-
+    mode snapshot must equal the batch aggregate over everything.
+    """
+    import os
+
+    src = tempfile.mkdtemp(prefix="events_state_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    half1 = tables["events"].filter(F.col("event_id") % 2 == 0)
+    half2 = tables["events"].filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(os.path.join(src, "batch1"))
+
+    latest: dict[int, tuple] = {}
+
+    def snapshot(df, _eid):
+        for r in df.collect():
+            latest[r["product_id"]] = (r["n_views"], r["n_purchases"])
+
+    def run_once():
+        stream = spark.readStream.schema(half1.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            pipeline.product_counters_stream(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(snapshot)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    half2.write.mode("overwrite").parquet(os.path.join(src, "batch2"))
+    run_once()
+
+    from ecom_etl_proj_spark.operators import events as ev
+
+    expect = {
+        r["product_id"]: (r["n_views"], r["n_purchases"])
+        for r in ev.product_counters(tables).collect()
+    }
+    assert latest == expect
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
