@@ -485,3 +485,38 @@ def product_decay_revenue(
             F.round(F.sum(weighted), 2).alias("decayed_revenue"),
         )
     )
+
+
+def topic_counters(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-topic counter families under the reference's FOUR Kafka topic
+    names (consumer.py:231-297 keeps cart-add and wishlist-add counters
+    as distinct families, not one generic event counter).
+
+    The testdata's five event types map deterministically onto the four
+    topics (extending SURVEY §4): view→product_views,
+    click→cart_additions, signup→wishlist_additions, purchase→orders;
+    error events carry no topic in the reference and are dropped. One
+    conditional aggregation pass — the same bounded shape as
+    event_type_distribution, keyed by the reference's names so a
+    consumer of the reference's Redis counter families can read this
+    output unchanged.
+    """
+    topic = (
+        F.when(F.col("event_type") == "view", "product_views")
+        .when(F.col("event_type") == "click", "cart_additions")
+        .when(F.col("event_type") == "signup", "wishlist_additions")
+        .when(F.col("event_type") == "purchase", "orders")
+    )
+    return (
+        t["events"]
+        .withColumn("topic", topic)
+        .filter(F.col("topic").isNotNull())
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -2975,6 +2975,24 @@ register(
     """,
 )
 
+register(
+    "topic_counters",
+    events.topic_counters,
+    """
+    SELECT CASE event_type WHEN 'view' THEN 'product_views'
+                WHEN 'click' THEN 'cart_additions'
+                WHEN 'signup' THEN 'wishlist_additions'
+                WHEN 'purchase' THEN 'orders' END AS topic,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    GROUP BY 1
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
