@@ -27,10 +27,8 @@ from pyspark.sql import functions as F
 
 from ecom_etl_proj_spark.functions import text as X
 
-# MinHash parameters: k = BANDS * ROWS_PER_BAND universal-hash
-# permutations h_i(x) = (a_i*x + b_i) mod P over md5-derived shingle
-# hashes.
-MINHASH_P = 4294967311  # smallest prime > 2^32
+# MinHash sketch shape: BANDS bands of ROWS_PER_BAND one-permutation
+# bins over md5-derived shingle hashes (see dedup_minhash_lsh).
 MINHASH_BANDS = 16
 MINHASH_ROWS = 4
 # Buckets larger than this expand as star+chain edges against the
@@ -53,21 +51,6 @@ def md5_60(col) -> F.Column:
     15 hex digits = 60 bits, always positive in a signed 64-bit long.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
-def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs from a fixed LCG (seed constant)."""
-    coeffs = []
-    state = 42
-    for _ in range(k):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
-        # a bounded by 2^29 so crc32(2^32) * a stays < 2^61: no long
-        # overflow under ANSI arithmetic.
-        a = state % (2**29) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
-        b = state % (2**30)
-        coeffs.append((a, b))
-    return coeffs
 
 
 def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
@@ -161,29 +144,6 @@ def shingle_sets(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
         _doc_shingles(t, n)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sh"))
-    )
-
-
-def minhash_signatures(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
-    """(doc_id, signature array<long>) MinHash signatures.
-
-    k min-aggregates over the exploded (doc_id, shingle-hash) rows. The
-    per-row permutation arithmetic is flat codegen expressions (an
-    array-lambda formulation benchmarked ~5x slower: higher-order
-    functions evaluate interpreted, outside whole-stage codegen). The
-    groupBy key is doc_id, which matches the catalog's fact
-    partitioning, so the aggregation runs map-side only.
-    """
-    k = MINHASH_BANDS * MINHASH_ROWS
-    coeffs = _minhash_coeffs(k)
-    sh = _doc_shingles(t, n).withColumn("h", md5_60(F.col("shingle")))
-    mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("signature")
     )
 
 
