@@ -697,3 +697,42 @@ def corpus_alignment(t: dict[str, DataFrame]) -> DataFrame:
         .otherwise(F.lit("aligned"))
     )
     return joined.groupBy(status.alias("status")).agg(F.count("*").alias("n"))
+
+
+def curated_pack(
+    t: dict[str, DataFrame],
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    near_dup_threshold: float = 0.1,
+    ctx_len: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """END-TO-END corpus curation: quality gate → exact-dup drop →
+    near-dup cluster representative selection → sequence packing, in
+    one composed plan. This is the full journey a raw 100 TB crawl
+    takes to become training batches, with every stage the
+    already-scale-audited operator:
+
+    1. ``curate_corpus`` verdicts drop exact duplicates (keep-min),
+       too-short, and low-quality docs;
+    2. survivors go through MinHash-LSH + connected components
+       (``dedup.dedup_clusters``); only each near-dup cluster's
+       representative (min doc_id) survives;
+    3. the final corpus is packed into fixed-context (shard, bin,
+       offset) slots by ``pack_sequences``.
+
+    Output = one packed slot per kept document. The whole composition
+    is hash-verified against a single DuckDB oracle (curation CTEs +
+    recursive-CTE clustering + window packing), so the driver checks
+    the END-TO-END result, not just the stages.
+    """
+    from ecom_etl_proj_spark.operators import dedup
+
+    verdicts = curate_corpus(t, min_quality, min_tokens)
+    keep_ids = verdicts.filter(F.col("kept")).select("doc_id")
+    survivors = t["documents"].join(keep_ids, "doc_id", "left_semi")
+    t_surv = {**t, "documents": survivors}
+    clusters = dedup.dedup_clusters(t_surv, threshold=near_dup_threshold)
+    losers = clusters.filter(~F.col("is_representative")).select("doc_id")
+    final = survivors.join(losers, "doc_id", "left_anti")
+    return pack_sequences({**t, "documents": final}, ctx_len, n_shards)

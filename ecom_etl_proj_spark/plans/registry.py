@@ -2993,6 +2993,94 @@ register(
     """,
 )
 
+# End-to-end curation capstone: quality gate -> exact dedup -> near-dup
+# representative selection -> sequence packing, hash-verified as ONE
+# composed oracle (curation CTEs + the minhash block rebound onto the
+# survivor set + recursive-CTE clustering + window packing).
+_MINHASH_ON_SURVIVORS = (
+    _MINHASH_CTES.strip().removeprefix("WITH").replace(
+        "FROM documents", "FROM survivors"
+    )
+)
+
+register(
+    "curated_pack",
+    textops.curated_pack,
+    """
+    WITH RECURSIVE fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+    ),
+    keepers AS (
+        SELECT fingerprint, min(doc_id) AS keep_doc_id FROM fp GROUP BY 1
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               round(least(n_tokens / 50.0, 1.0) * 0.4
+                     + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                   round((length(lower(text))
+                          - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                         / CAST(length(lower(text)) AS DOUBLE), 4) AS punct_ratio,
+                   round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                        / len(string_split(lower(trim(text)), ' ')), 4) AS stop_ratio
+            FROM documents
+        )
+    ),
+    kept_ids AS (
+        SELECT d.doc_id FROM documents d
+        JOIN fp ON d.doc_id = fp.doc_id
+        JOIN keepers k ON fp.fingerprint = k.fingerprint
+        JOIN q ON d.doc_id = q.doc_id
+        WHERE (CASE WHEN fp.doc_id != k.keep_doc_id THEN 'duplicate'
+                    WHEN q.n_tokens < 10 THEN 'too_short'
+                    WHEN q.quality_score < 0.5 THEN 'low_quality' END) IS NULL
+    ),
+    survivors AS (
+        SELECT d.* FROM documents d JOIN kept_ids USING (doc_id)
+    ),
+    """ + _MINHASH_ON_SURVIVORS + """,
+    cpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.1),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM cpairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e2.src, r.lbl FROM edges e2 JOIN reach r ON e2.dst = r.node
+    ),
+    losers AS (
+        SELECT node AS doc_id FROM reach GROUP BY node HAVING node > min(lbl)
+    ),
+    final AS (
+        SELECT s.doc_id, s.text FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+    ),
+    pd AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST(doc_id % 32 AS INT) AS shard
+        FROM final
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 512) AS BIGINT) AS bin_id,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               % 512 AS BIGINT) AS bin_offset
+    FROM pd
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
