@@ -3122,6 +3122,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dominant_suppliers",
     "pack_sequences",
     "corpus_alignment",
+    "topic_counters",
+    "curated_pack",
     # semantics or plan changed this round
     "dedup_ngram_jaccard",
     "market_share_by_nation",
