@@ -773,3 +773,33 @@ def test_embedding_dedup_clusters_consistent_with_pairs(spark, tables):
     for vec, (label, is_rep) in comp.items():
         assert is_rep == (vec == label)
         assert label <= vec
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Planted hot-shingle skew: one boilerplate trigram shared by every
+    doc (df far over the cap) must contribute NO pairs — without the
+    document-frequency cap it alone would generate n^2/2 join rows
+    through a single key. True near-dups sharing many sub-cap shingles
+    must still be found."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    n = 300  # df of the boilerplate shingle, >> NGRAM_MAX_SHINGLE_FREQ
+    boiler = "the end of"
+    rows = []
+    for i in range(n):
+        # unique filler: no shingle shared between different docs
+        filler = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((i, f"{boiler} {filler}"))
+    # a planted near-dup pair sharing all but one filler token
+    rows.append((1000, f"{boiler} common alpha beta gamma delta epsilon zeta"))
+    rows.append((1001, f"{boiler} common alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(
+            {"documents": docs}, n=3, threshold=0.1
+        ).collect()
+    }
+    assert (1000, 1001) in got, got
+    # every other doc only shares the over-cap boilerplate → no pairs
+    assert got == {(1000, 1001)}, sorted(got)[:10]
