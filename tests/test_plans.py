@@ -362,3 +362,41 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
     assert offenders <= bounded_ok, (
         f"unbounded single-partition window in: {sorted(offenders - bounded_ok)}"
     )
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Runtime complement to the explicit salted-join path: when one
+    key carries 90% of the fact rows and the dim side cannot
+    broadcast, AQE must split the skewed post-shuffle partition —
+    visible as SortMergeJoin(skew=true) in the FINAL adaptive plan.
+    Thresholds are lowered so local[32] data volumes cross them; on a
+    real cluster the defaults trigger at genuinely large partitions."""
+    import pyspark.sql.functions as SF
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            SF.when(SF.col("id") % 10 < 9, SF.lit(7))
+            .otherwise(SF.col("id") % 1000)
+            .alias("k"),
+            SF.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            SF.col("id").alias("dk"), (SF.col("id") * 2).alias("dv")
+        )
+        j = fact.join(dim, fact.k == dim.dk)
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
