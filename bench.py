@@ -20,6 +20,11 @@ cluster, so the warm number better predicts 100 TB throughput) — kept
 under a DISTINCT key so cold and warm series can never be silently
 compared.
 
+Round 5 adds a second stable-keyed ring for the LLM-data-pipeline path
+("llm_queries"/"llm_value" + warm/compile twins): curated_pack, ann_ivf,
+pack_sequences, gopher_quality — so regressions in the curation path get
+their own round-over-round series instead of hiding outside the headline.
+
 Attribution extras in the JSON (cold numbers swing ±30% with host
 load on identical code):
   - "loadavg": os.getloadavg() at start — discount cold deltas when
@@ -55,6 +60,18 @@ HEADLINE = [
     "text_quality",
 ]
 
+# Second stable-keyed ring: the LLM-data-pipeline path (curation
+# capstone, IVF ANN, sequence packing, quality scoring). Kept under
+# DISTINCT JSON keys ("llm_*") so the headline series stays comparable
+# round-over-round while regressions in the curation path become
+# visible in their own series.
+LLM_HEADLINE = [
+    "curated_pack",
+    "ann_ivf",
+    "pack_sequences",
+    "gopher_quality",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,10 +84,10 @@ def main() -> None:
 
     qs = registry.queries()
 
-    def one_pass(label: str) -> tuple[dict[str, float], float]:
+    def one_pass(label: str, names: list[str]) -> tuple[dict[str, float], float]:
         times: dict[str, float] = {}
         total = 0.0
-        for name in HEADLINE:
+        for name in names:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -82,14 +99,23 @@ def main() -> None:
         return times, round(total, 3)
 
     loadavg = os.getloadavg()
-    cold_times, cold_total = one_pass("cold")
-    t1, _ = one_pass("warm1")
-    t2, _ = one_pass("warm2")
+    cold_times, cold_total = one_pass("cold", HEADLINE)
+    llm_cold, llm_cold_total = one_pass("llm-cold", LLM_HEADLINE)
+    t1, _ = one_pass("warm1", HEADLINE)
+    l1, _ = one_pass("llm-warm1", LLM_HEADLINE)
+    t2, _ = one_pass("warm2", HEADLINE)
+    l2, _ = one_pass("llm-warm2", LLM_HEADLINE)
     warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
     warm_total = round(sum(warm.values()), 3)
+    llm_warm = {name: min(l1[name], l2[name]) for name in LLM_HEADLINE}
+    llm_warm_total = round(sum(llm_warm.values()), 3)
     compile_overhead = {
         name: round(max(0.0, cold_times[name] - warm[name]), 3)
         for name in HEADLINE
+    }
+    llm_compile_overhead = {
+        name: round(max(0.0, llm_cold[name] - llm_warm[name]), 3)
+        for name in LLM_HEADLINE
     }
 
     print(
@@ -103,6 +129,11 @@ def main() -> None:
                 "warm_queries": warm,
                 "warm_value": warm_total,
                 "compile_overhead": compile_overhead,
+                "llm_queries": llm_cold,
+                "llm_value": llm_cold_total,
+                "llm_warm_queries": llm_warm,
+                "llm_warm_value": llm_warm_total,
+                "llm_compile_overhead": llm_compile_overhead,
                 "loadavg": [round(x, 2) for x in loadavg],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

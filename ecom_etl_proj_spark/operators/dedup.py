@@ -10,9 +10,13 @@ SimHash. Designed scale-first:
   the skew risk at 100 TB — ``max_shingle_freq`` drops shingles shared by
   too many docs (they contribute candidates, not discrimination), which
   is both a perf guard and the standard LSH-banding trick's cousin.
-- MinHash signatures compress each doc to k ints; banding buckets are
-  the only join key. Pairs are verified with exact Jaccard afterwards,
-  so LSH only affects recall, never precision.
+- MinHash signatures compress each doc to k ints, computed ROW-LOCALLY
+  from the doc's own shingle array (no corpus explode, no shuffle);
+  banding buckets are the only join key. Pairs are verified with exact
+  Jaccard afterwards, so LSH only affects recall, never precision.
+- Every hash is mode-selectable (``hash64``): xxhash64 in production
+  (5-10x cheaper per call — the dominant CPU term at 100 TB), md5 for
+  oracle runs (byte-identical in DuckDB, enabling hash-verification).
 - SimHash packs a doc into one 64-bit int; near-dup candidates come from
   multi-block key equality with guaranteed recall at the requested
   hamming radius (pigeonhole over max_hamming + r_exact blocks).
@@ -51,6 +55,32 @@ def md5_60(col) -> F.Column:
     15 hex digits = 60 bits, always positive in a signed 64-bit long.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash64(col, hash_mode: str = "xxhash64") -> F.Column:
+    """Token/shingle hash for the dedup/LSH family, mode-selectable.
+
+    ``xxhash64`` (default): the PRODUCTION hash. At 100 TB the shingle
+    expansion is the dominant row volume of the whole dedup family, and
+    xxhash64 is a non-cryptographic few-ns hash evaluated JVM-side,
+    roughly 5-10x cheaper per call than md5 (which must produce a full
+    cryptographic digest and here also pays a hex decode) — a real CPU
+    constant factor on every corpus scan, bought for nothing, since
+    dedup needs dispersion, not cryptographic strength.
+
+    ``md5``: the ORACLE hash (``md5_60``) — byte-identical in DuckDB,
+    which is what lets the driver rebuild the exact candidate sets and
+    hash-verify the family end to end. Registry entries pin this mode;
+    production callers should leave the default. Both modes share every
+    downstream plan shape — only the hash constant factor differs —
+    and are A/B tested for identical verified-pair output in
+    tests/test_operators.py.
+    """
+    if hash_mode == "md5":
+        return md5_60(col)
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}; use 'xxhash64' or 'md5'")
 
 
 def dedup_exact(t: dict[str, DataFrame]) -> DataFrame:
@@ -133,88 +163,127 @@ def dedup_ngram_jaccard(
 
 
 def shingle_sets(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
-    """(doc_id, sh array<string>): each doc's distinct shingle set.
+    """(doc_id, sh array<string>): each doc's distinct shingle set —
+    ROW-LOCAL, zero shuffle.
 
-    One shuffle on doc_id; the array payload is bounded by the doc's own
-    size. Both the signature path and the exact-verify path hang off this
-    same aggregation, so within one LSH query Catalyst reuses the
-    exchange instead of re-exploding the corpus.
+    ``word_shingles`` already emits the per-doc DISTINCT shingle array,
+    so the set is a plain projection of the scan. (An earlier
+    formulation exploded the array and collect_set'd it back — a
+    full-corpus shuffle that rebuilt exactly its own input; at 100 TB
+    that exchange moved the entire exploded corpus for nothing.)
     """
-    return (
-        _doc_shingles(t, n)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
-    )
+    return t["documents"].select("doc_id", X.word_shingles(n).alias("sh"))
 
 
 def dedup_minhash_lsh(
-    t: dict[str, DataFrame], n: int = 3, threshold: float = 0.1
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
 
     The MinHash variant is ONE-PERMUTATION HASHING (Li/Owen/Zhang, NIPS
-    2012): instead of k independent permutations (k aggregates over
-    every shingle), each shingle hash lands in one of k bins (h mod k)
-    and each bin keeps its minimum — a single cheap aggregation
-    computes the whole sketch, and empty bins simply don't emit. Bins
-    are grouped into bands; band hash = hash of the bin:min pairs
-    (sorted for determinism). Same-band-hash docs become candidates —
+    2012): instead of k independent permutations, each shingle hash
+    lands in one of k bins (h mod k) and each bin keeps its minimum.
+    Bins are grouped into bands; band hash = hash of the bin:min pairs
+    in fixed bin order. Same-band-hash docs become candidates —
     candidate count scales with true near-dup density, not |docs|^2.
 
-    Candidates are then re-scored with exact Jaccard — but ONLY the
-    candidate pairs: each doc's shingle set is aggregated once (one
-    shuffle, array payload ~ doc size) and joined onto the pair list,
-    so verification cost is O(candidates), never the all-pairs
-    inverted-index join the LSH existed to avoid. Both aggregations are
-    keyed by doc_id (the catalog partitioning), so the sketch stage
-    adds no shuffle. Benchmarked ~2x faster than the classic
-    k-aggregate signature at identical recall on the test corpus.
+    The whole sketch is ROW-LOCAL: ``word_shingles`` already yields each
+    doc's distinct shingle array, so per-bin minimums are higher-order
+    array folds over that array and the 16 band keys are derived in the
+    same projection — the corpus is never exploded and the FIRST shuffle
+    in the plan is the (band, band-hash) bucket groupBy, whose input is
+    16 bounded rows per doc. (The previous shape exploded the corpus
+    and shuffled it through a (doc_id, band) aggregation first — fine
+    with map-side combine, but a whole extra stage of generated code
+    and, at 100 TB, a full corpus re-scan; the row-local form deletes
+    that stage and the duplicate explode the verify path used to pay.)
 
-    Every hash here is cross-engine reproducible (md5-derived, see
-    ``md5_60``), so the DuckDB oracle rebuilds the IDENTICAL candidate
-    set — this query is hash-verified end to end, not rows-only.
+    Candidates are then re-scored with exact Jaccard — but ONLY the
+    candidate pairs: the per-doc shingle arrays come straight from the
+    scan projection (``shingle_sets``, row-local) and are joined onto
+    the pair list, so verification cost is O(candidates), never the
+    all-pairs inverted-index join the LSH existed to avoid.
+
+    ``hash_mode``: 'xxhash64' (default) is the production hash — see
+    ``hash64`` for the 100 TB CPU rationale; 'md5' makes every hash
+    cross-engine reproducible so the DuckDB oracle rebuilds the
+    IDENTICAL candidate set (registry pins it). Both modes are
+    A/B-tested for identical verified output.
     """
     n_bins = MINHASH_BANDS * MINHASH_ROWS
-    sh = (
-        _doc_shingles(t, n)
-        .withColumn("h", md5_60(F.col("shingle")))
-        .withColumn("bin", F.pmod("h", F.lit(n_bins)))
-        .withColumn("band", (F.col("bin") / MINHASH_ROWS).cast("int"))
+    sets = shingle_sets(t, n)
+
+    # Band key = hash of the "bin:min" pair string — a bounded shuffle
+    # key (vs the unbounded concat string). md5 mode is byte-identical
+    # in DuckDB, so the oracle groups on the very same keys.
+    band_key = (
+        F.md5 if hash_mode == "md5" else (lambda c: F.xxhash64(c).cast("string"))
     )
-    # ONE aggregation keyed (doc_id, band): each band keeps its
-    # ROWS_PER_BAND bin-minimums as conditional min aggregates — fully
-    # codegen'd, vs the previous two-level (doc,bin)-then-(doc,band)
-    # shape whose second stage was an ObjectHashAggregate
-    # (collect_list + sort_array, outside whole-stage codegen) and cost
-    # an extra exchange. Band hash input is the "bin:min" pairs of
-    # NON-EMPTY bins in fixed bin order (concat_ws skips the NULL mins
-    # of empty bins), so two docs collide iff their per-bin sketch
-    # content matches — the same candidate condition as before
-    # (A/B-verified pair-identical at sf0.001/0.01).
-    mins = [
-        F.min(
-            F.when(F.pmod("bin", F.lit(MINHASH_ROWS)) == r, F.col("h"))
-        ).alias(f"m{r}")
-        for r in range(MINHASH_ROWS)
-    ]
-    per_band = sh.groupBy("doc_id", "band").agg(*mins)
-    parts = [
-        F.when(
-            F.col(f"m{r}").isNotNull(),
-            F.concat_ws(
-                ":",
-                (F.col("band") * MINHASH_ROWS + r).cast("string"),
-                F.col(f"m{r}").cast("string"),
+
+    def band_structs(mins):
+        """Per-band (band, bh, ne) structs from the bound 64-slot
+        bin-minimum array; ne = band saw at least one shingle."""
+        out = []
+        for band in range(MINHASH_BANDS):
+            ms = [
+                F.element_at(mins, band * MINHASH_ROWS + r + 1)
+                for r in range(MINHASH_ROWS)
+            ]
+            parts = [
+                F.when(
+                    m.isNotNull(),
+                    F.concat_ws(
+                        ":",
+                        F.lit(band * MINHASH_ROWS + r).cast("string"),
+                        m.cast("string"),
+                    ),
+                )
+                for r, m in enumerate(ms)
+            ]
+            nonempty = ms[0].isNotNull()
+            for m in ms[1:]:
+                nonempty = nonempty | m.isNotNull()
+            out.append(
+                F.struct(
+                    F.lit(band).alias("band"),
+                    band_key(F.concat_ws(",", *parts)).alias("bh"),
+                    nonempty.alias("ne"),
+                )
+            )
+        return F.filter(F.array(*out), lambda x: x["ne"])
+
+    def mins_of(hs):
+        """64-slot array: mins_of(hs)[b] = min hash in bin b (null if
+        the bin is empty), from the bound per-doc hash array."""
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_bins - 1)),
+            lambda b: F.array_min(
+                F.filter(hs, lambda h: F.pmod(h, F.lit(n_bins)) == b)
             ),
         )
-        for r in range(MINHASH_ROWS)
-    ]
-    # Band key = md5 of the "bin:min" pair string — 32-byte bounded
-    # shuffle key (vs the unbounded concat string), and unlike xxhash64
-    # it is byte-identical in DuckDB, so the oracle groups on the very
-    # same keys.
-    bands = per_band.select(
-        "doc_id", "band", F.md5(F.concat_ws(",", *parts)).alias("bh")
+
+    # The whole sketch is ONE row-local expression. The single-element
+    # array transforms are let-bindings: they force `hs` (the hashed
+    # shingle array) and `mins` (the 64 bin minimums) to be evaluated
+    # exactly ONCE per doc and bound as lambda variables — as separate
+    # column aliases, Catalyst's project collapse would inline them
+    # into all 64 downstream references and recompute the shingle
+    # hashing 64x per row.
+    hs_expr = F.transform(F.col("sh"), lambda s: hash64(s, hash_mode))
+    bands_nested = F.transform(
+        F.array(hs_expr),
+        lambda hs: F.transform(F.array(mins_of(hs)), band_structs),
+    )
+    bands_arr = F.element_at(F.element_at(bands_nested, 1), 1)
+    # A (doc, band) row is emitted only if the band saw at least one
+    # shingle (mirrors the aggregation form, where empty bands simply
+    # had no rows — without the ne-filter, every short doc would
+    # collide in one giant empty-band bucket).
+    bands = sets.select("doc_id", F.explode(bands_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     # Pair generation is a groupBy on (band, band-hash) — ONE shuffle —
     # followed by a row-local expansion of each bucket's sorted doc_id
@@ -286,9 +355,9 @@ def dedup_minhash_lsh(
     # Verify candidate pairs only: join the tiny pair list against the
     # per-doc sets (AQE broadcasts the pair side at runtime), intersect
     # arrays. Verification cost is O(candidates), never the all-pairs
-    # inverted-index join the LSH existed to avoid. (A single-pass
-    # unpivot+regroup variant benchmarked slower than these two joins.)
-    sets = shingle_sets(t, n)
+    # inverted-index join the LSH existed to avoid. ``sets`` is the
+    # same row-local projection the sketch hangs off — no extra scan
+    # shape, no shuffle on either build side.
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -302,18 +371,24 @@ def dedup_minhash_lsh(
     )
 
 
-def simhash_64(t: dict[str, DataFrame]) -> DataFrame:
+def simhash_64(t: dict[str, DataFrame], hash_mode: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash long): sign-aggregated 64-bit token fingerprint.
 
-    Token hash is the cross-engine ``md5_60`` (60 effective bits — bits
-    60-63 of the fingerprint are constant-zero since every token hash
-    has them unset, so all distance/blocking math is unchanged but the
-    DuckDB oracle can reproduce the fingerprint bit-for-bit).
+    ``hash_mode='xxhash64'`` (default) uses the production token hash
+    (all 64 bits populated — see ``hash64`` for the CPU rationale).
+    ``hash_mode='md5'`` uses the cross-engine ``md5_60`` (60 effective
+    bits — bits 60-63 of the fingerprint are constant-zero since every
+    token hash has them unset, so all distance/blocking math is
+    unchanged but the DuckDB oracle can reproduce the fingerprint
+    bit-for-bit); the registry pins this mode. The two modes yield
+    different fingerprints (different hash bits), but the recall
+    guarantee and the verified-pair semantics are hash-independent —
+    property-tested per mode against brute force.
     """
     toks = t["documents"].select(
         "doc_id", F.explode(F.array_distinct(X.tokens())).alias("tok")
     )
-    toks = toks.withColumn("h", md5_60(F.col("tok")))
+    toks = toks.withColumn("h", hash64(F.col("tok"), hash_mode))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -367,7 +442,10 @@ def _simhash_combo_exprs(max_hamming: int, r_exact: int) -> list[str]:
 
 
 def dedup_simhash(
-    t: dict[str, DataFrame], max_hamming: int = 3, r_exact: int = 2
+    t: dict[str, DataFrame],
+    max_hamming: int = 3,
+    r_exact: int = 2,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance <= max_hamming.
 
@@ -375,10 +453,12 @@ def dedup_simhash(
     blocks = ``max_hamming + r_exact``, so every true pair shares at
     least one whole r-block combo key (see ``_simhash_combo_exprs``).
     Candidates are then verified with exact ``bit_count(xor)``, so the
-    output equals the exact all-pairs answer — property-tested against
-    a brute-force hamming join in tests/test_operators.py.
+    output equals the exact all-pairs answer over the chosen
+    fingerprints — property-tested against a brute-force hamming join
+    in tests/test_operators.py. ``hash_mode`` picks the token hash
+    (see ``simhash_64``); the registry pins 'md5' for oracle parity.
     """
-    sh = simhash_64(t)
+    sh = simhash_64(t, hash_mode)
     parts = _simhash_combo_exprs(max_hamming, r_exact)
     chunks = sh.select(
         "doc_id",
@@ -419,12 +499,21 @@ def connected_components(
 
     Near-dup PAIRS aren't actionable until they become CLUSTERS (keep
     one representative per component, drop the rest). Min-label
-    propagation: every node starts labeled with itself; each round every
-    node adopts the smallest label among itself and its neighbors;
-    converged when no label changes. Each round is one join + one
-    min-aggregate — all shuffles on doc_id, state is one label per node.
-    Rounds needed = graph diameter (near-dup clusters are shallow, a
-    handful of rounds); ``max_iterations`` bounds pathological chains.
+    propagation WITH POINTER-DOUBLING: every node starts labeled with
+    itself; each round every node adopts the smallest label among
+    itself and its neighbors (one hop), then adopts its LABEL's label
+    (the shortcut join — labels are node ids, so one extra equi-join
+    per round lets labels leap along already-discovered paths).
+    Converged when no label changes. Each round is two joins + one
+    min-aggregate — all shuffles on doc_id, state is one label per
+    node. With the shortcut, rounds needed are O(log diameter) instead
+    of O(diameter) — this matters precisely for the chain-shaped
+    components the over-cap bucket expansion in ``dedup_minhash_lsh``
+    produces (star edges that fail Jaccard verification leave a path
+    graph whose diameter is the group size). ``max_iterations`` bounds
+    runaway graphs; hitting it without convergence RAISES rather than
+    silently returning split components (wrong representatives would
+    silently diverge from the transitive-closure oracle).
 
     Iteration state management (the part that decides whether this
     survives at scale): ``edges`` is persisted once — every round joins
@@ -438,8 +527,10 @@ def connected_components(
     Superseded round state is dropped eagerly; the label table itself
     is one (node, label) row per clustered doc.
 
-    This is the standard large-scale formulation (iterative, not
-    SQL-expressible → rows-only oracle; semantics unit-tested on known
+    This is the standard large-scale formulation (iterative — the
+    driver verifies it against a recursive-CTE transitive-closure
+    oracle in DuckDB, see the dedup_clusters / embedding_dedup_clusters
+    / curated_pack registrations; semantics also unit-tested on known
     graphs).
 
     ``checkpoint_dir``: by default round state is ``localCheckpoint``-ed
@@ -478,18 +569,33 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hopped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer-doubling shortcut: adopt the label's own label. Labels
+        # are node ids, so this is one equi-join against the same round
+        # state — it compresses paths exponentially (O(log diameter)
+        # rounds), where the hop alone advances one edge per round.
+        lbl2 = hopped.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         updated = _save(
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
+            hopped.join(lbl2, hopped["label"] == lbl2["l_node"], "left").select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -504,15 +610,28 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — component labels would be split and representatives "
+            "wrong; raise max_iterations (rounds needed are ~log2 of the "
+            "largest component's diameter with pointer-doubling)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
 
-def dedup_clusters(t: dict[str, DataFrame], n: int = 3, threshold: float = 0.1) -> DataFrame:
+def dedup_clusters(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """Near-dup clusters from MinHash-LSH pairs: one row per clustered
     doc with its component id and whether it is the kept representative
     (smallest doc_id in the component — matching dedup_exact's
-    keep-min rule)."""
-    pairs = dedup_minhash_lsh(t, n, threshold)
+    keep-min rule). ``hash_mode`` feeds through to the LSH stage
+    (production xxhash64 / oracle md5, see ``hash64``)."""
+    pairs = dedup_minhash_lsh(t, n, threshold, hash_mode)
     comp = connected_components(pairs)
     return comp.select(
         "doc_id",

@@ -138,6 +138,42 @@ def recent_events(t: dict[str, DataFrame], n: int = 100) -> DataFrame:
     )
 
 
+def recent_events_by_family(
+    t: dict[str, DataFrame], n: int = 100, n_salts: int = 32
+) -> DataFrame:
+    """Per-family recent-N feeds — one top-N list PER event_type,
+    mirroring the consumer's four separate recent:* lists
+    (consumer.py:225,261,292,340: recent:views / cart_adds /
+    wishlist_adds / orders), where ``recent_events`` above is the
+    combined feed (consumer.py:219-226).
+
+    Scale shape: a rank window partitioned only by event_type would
+    funnel the WHOLE corpus through one task per family (family
+    cardinality is ~5 — the classic low-cardinality window trap, and
+    AQE cannot split a rank window). Two-level top-N instead: a salt
+    derived from event_id splits each family into ``n_salts`` groups
+    that each keep their local top-N in parallel; the final window
+    re-ranks only the n_salts*N survivors per family — bounded rows
+    through the single-task stage regardless of corpus size.
+    """
+    e = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    w_local = Window.partitionBy(
+        "event_type", F.pmod("event_id", F.lit(n_salts))
+    ).orderBy(*order)
+    survivors = (
+        e.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+    w_final = Window.partitionBy("event_type").orderBy(*order)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
 def sessionization(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts after a quiet gap.
 

@@ -706,6 +706,7 @@ def curated_pack(
     near_dup_threshold: float = 0.1,
     ctx_len: int = 512,
     n_shards: int = 32,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """END-TO-END corpus curation: quality gate → exact-dup drop →
     near-dup cluster representative selection → sequence packing, in
@@ -732,7 +733,9 @@ def curated_pack(
     keep_ids = verdicts.filter(F.col("kept")).select("doc_id")
     survivors = t["documents"].join(keep_ids, "doc_id", "left_semi")
     t_surv = {**t, "documents": survivors}
-    clusters = dedup.dedup_clusters(t_surv, threshold=near_dup_threshold)
+    clusters = dedup.dedup_clusters(
+        t_surv, threshold=near_dup_threshold, hash_mode=hash_mode
+    )
     losers = clusters.filter(~F.col("is_representative")).select("doc_id")
     final = survivors.join(losers, "doc_id", "left_anti")
     return pack_sequences({**t, "documents": final}, ctx_len, n_shards)

@@ -625,6 +625,23 @@ register(
     """,
 )
 
+# Per-family recent-N twins of the combined feed above — the consumer
+# keeps four SEPARATE recent:* lists (ref kafka_scripts/consumer.py:
+# 225,261,292,340); Spark side is a salted two-level top-N per
+# event_type (see operators/events.py for the low-cardinality-window
+# rationale).
+register(
+    "recent_events_by_family",
+    events.recent_events_by_family,
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn <= 100
+    """,
+)
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -754,7 +771,7 @@ _MINHASH_CTES = (
 
 register(
     "dedup_minhash_lsh",
-    lambda t: dedup.dedup_minhash_lsh(t, threshold=0.1),
+    lambda t: dedup.dedup_minhash_lsh(t, threshold=0.1, hash_mode="md5"),
     _MINHASH_CTES + "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1",
 )
 
@@ -770,7 +787,7 @@ _SIMHASH_BITS = " + ".join(
 
 register(
     "dedup_simhash",
-    lambda t: dedup.dedup_simhash(t, max_hamming=6),
+    lambda t: dedup.dedup_simhash(t, max_hamming=6, hash_mode="md5"),
     f"""
     WITH toks AS (
         SELECT doc_id,
@@ -798,9 +815,27 @@ _ANN_PLANE_ROWS = ",\n        ".join(
     for i, p in enumerate(_ANN_PLANES)
 )
 
+def _ann_lsh_oracle_guarded(t: Tables) -> DataFrame:
+    """ann_lsh with the oracle's plane-table bound enforced: the SQL
+    mirror inlines 8 tables x 16 max bits (128 planes). ann_params
+    yields bits > 16 once the corpus exceeds ~1M vectors — the oracle's
+    plane join would then silently DROP the missing (tbl, j) rows and
+    compute truncated buckets (ADVICE r4). Fail loudly instead of
+    diverging silently; regenerating _ANN_PLANE_ROWS with more planes
+    lifts the bound."""
+    _, bits = similarity.ann_params(similarity._corpus_size(t["embeddings"]))
+    if bits > 16:
+        raise ValueError(
+            f"ann_lsh oracle mirrors only 16 bits/table but ann_params "
+            f"sized bits={bits} for this corpus (> ~1M vectors); "
+            "regenerate _ANN_PLANE_ROWS with 8*{bits} planes"
+        )
+    return similarity.ann_lsh(t, k=5)
+
+
 register(
     "ann_lsh",
-    lambda t: similarity.ann_lsh(t, k=5),
+    _ann_lsh_oracle_guarded,
     f"""
     WITH params AS (
         SELECT greatest(2, CAST(ceil(log2(greatest(2.0,
@@ -919,24 +954,34 @@ _NEAR_DUP_CTES = f"""
             FROM cand c
             JOIN e ea ON ea.vec_id = c.id_a
             JOIN e eb ON eb.vec_id = c.id_b
-        ) WHERE cosine_sim >= 0.95
+        ) WHERE cosine_sim >= 0.4
     )
 """
 
+# Registered at threshold 0.4, NOT the 0.95 production default: the
+# synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51
+# at sf0.01), so at 0.95 the driver's hash check matched on ZERO rows
+# every round — a vacuous oracle (ADVICE r4). 0.4 exercises the full
+# gate -> exact-verify -> (for the clusters entry) recursive-closure
+# path on real pairs; parity is still structural because the oracle
+# mirrors the deterministic LSH gate at any threshold. The 0.95
+# near-dup semantics are covered by the planted-vector property test
+# (tests/test_operators.py::test_near_dup_gated_matches_exact).
 register(
     "embedding_near_dup",
-    lambda t: similarity.embedding_near_dup(t, threshold=0.95),
+    lambda t: similarity.embedding_near_dup(t, threshold=0.4),
     "WITH " + _NEAR_DUP_CTES + "SELECT id_a, id_b, cosine_sim FROM ndpairs",
 )
 
 # Semantic dedup clusters: the vector-space mirror of dedup_clusters —
-# near-identical embeddings (cosine >= 0.95 through the deterministic
-# LSH gate) clustered into connected components with a
-# keep-representative flag. Oracle reuses the near-dup CTEs plus the
-# same recursive-CTE closure dedup_clusters uses.
+# similar embeddings (through the deterministic LSH gate, registered at
+# the non-vacuous 0.4 threshold — see embedding_near_dup above)
+# clustered into connected components with a keep-representative flag.
+# Oracle reuses the near-dup CTEs plus the same recursive-CTE closure
+# dedup_clusters uses.
 register(
     "embedding_dedup_clusters",
-    lambda t: similarity.embedding_dedup_clusters(t, threshold=0.95),
+    lambda t: similarity.embedding_dedup_clusters(t, threshold=0.4),
     "WITH RECURSIVE "
     + _NEAR_DUP_CTES
     + """,
@@ -1920,7 +1965,7 @@ register(
 # hash-verified.
 register(
     "dedup_clusters",
-    dedup.dedup_clusters,
+    lambda t: dedup.dedup_clusters(t, hash_mode="md5"),
     "WITH RECURSIVE "
     + _MINHASH_CTES.strip().removeprefix("WITH")
     + """,
@@ -3005,7 +3050,7 @@ _MINHASH_ON_SURVIVORS = (
 
 register(
     "curated_pack",
-    textops.curated_pack,
+    lambda t: textops.curated_pack(t, hash_mode="md5"),
     """
     WITH RECURSIVE fp AS (
         SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
@@ -3085,58 +3130,111 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. Every query has a green driver row from r1-r3 (zero failures), so
-# this round-4 ordering spends the slots on queries whose STATUS CHANGED:
-#   slots 1-6    the six queries upgraded this round from rows-only to full
-#                DuckDB oracles (md5-rebased cross-engine hashes, inlined
-#                plane/centroid literals, recursive-CTE closure) — green
-#                hash rows here are the round's headline: only the 5
-#                HLL/KLL sketch twins remain rows-only (their sketch state
-#                is genuinely not reproducible in SQL);
-#   next 6       queries NEW this round (geolocation enrichment, two-pass
-#                running totals, semantic dedup clusters, and three TPC-H
-#                shapes: groupwise argmin, scalar-share filter,
-#                correlated-aggregate comparison);
-#   next 5       queries whose semantics or plan changed this round (ngram
-#                document-frequency cap; dropped forced broadcasts of
-#                customer-cardinality frames; near-dup oracle CTE refactor;
-#                running_totals as the contrast row for its scalable twin);
-#   remainder    re-confirmation of previously-green queries, oldest driver
-#                rows first (r1), then source order. The sketch twins sit
-#                OUTSIDE the top 50 — their r3 rows-only rows stand, and
-#                re-running them yields no new signal.
+# round. Round-5 ordering is a FRESHNESS ROTATION (judge task r5.5): after
+# r4's 50-slot sample, 82 of 132 queries had last been driver-verified in
+# r1-r3, so this round leads with exactly the queries ABSENT from
+# CORRECTNESS_r04's sample — the one NEW query first
+# (recent_events_by_family), then the unsampled queries oldest-verification
+# first (r2 rows, then r3 — VERDICT-table order within a round), then
+# everything r4 already re-confirmed. Result: the driver's 50 slots all go
+# to queries not checked last round, capping every query's staleness at
+# two rounds. Note the dedup/LSH family was re-verified THIS session via
+# tools/compare_oracle.py after the row-local-sketch/hash-mode rewrite
+# even though it sits below the top 50 now.
 _DRIVER_PRIORITY: list[str] = [
-    # upgraded rows-only -> full oracle this round
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_lsh",
-    "ann_ivf",
-    "multimodal_decode",
-    # new this round
-    "sales_geolocation",
-    "running_totals_scalable",
-    "embedding_dedup_clusters",
-    "cheapest_supplier_per_part",
-    "important_parts",
-    "dominant_suppliers",
-    "pack_sequences",
-    "corpus_alignment",
-    "topic_counters",
-    "curated_pack",
-    # semantics or plan changed this round
-    "dedup_ngram_jaccard",
-    "market_share_by_nation",
-    "idle_high_balance_customers",
-    "embedding_near_dup",
-    "running_totals",
-    # oldest driver rows (r1) -- re-confirm
+    "recent_events_by_family",
+    "try_timestamp_parse",
+    "skew_salted_join",
+    "satisfaction_by_delivery",
+    "sales_grouping_sets",
+    "sales_cube",
+    "copurchase_pairs",
+    "price_band_stats",
+    "daily_sales_7d_ma",
+    "top_parts_per_category",
+    "status_month_pivot",
+    "repeat_customer_rate",
+    "delivery_delay_percentiles",
+    "revenue_rollup",
+    "customer_value_deciles",
+    "inactive_customers",
+    "customer_snapshot_diff",
+    "nation_trade_volume",
+    "returned_items_ranking",
+    "ship_priority_buckets",
+    "customer_order_distribution",
+    "promo_revenue_share",
+    "top_supplier",
+    "small_qty_avg_revenue",
+    "large_volume_customers",
+    "brand_supplier_counts",
+    "event_attribution",
+    "event_funnel",
+    "hourly_activity",
+    "event_props_stats",
+    "product_counters",
+    "product_leaderboard",
+    "category_counters",
+    "purchase_click_asof",
+    "product_decay_revenue",
+    "token_count_bpe",
+    "pii_scrub_report",
+    "doc_repetition",
+    "gopher_quality",
+    "ngram_doc_freq",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_winnowing",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "train_val_split",
+    "stratified_sample",
+    "embedding_norms",
+    "quantize_embeddings",
+    "data_profile_customer",
+    "sales_by_geography",
+    "rfm_segments",
+    "seller_performance",
+    "delivery_performance",
+    "order_status_distribution",
+    "event_type_distribution",
+    "quantity_distribution",
+    "top_categories_by_revenue",
+    "top_seller_nations",
+    "category_avg_discount",
+    "cohort_retention",
+    "discount_elasticity",
+    "weekly_sales_pattern",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "events_minutely",
+    "user_activity",
+    "minutely_anomalies",
+    "rolling_active_users",
+    "kpi_overview_approx",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "rfm_segments_approx",
+    "customer_value_deciles_approx",
+    "char_entropy",
+    "curate_corpus",
+    "chunk_documents",
+    "contamination_check",
+    "disjunctive_revenue",
+    "sole_supplier_orders",
+    "corpus_mix_report",
     "ods_typed_load",
     "stg_dedup_rownumber",
     "stg_mean_imputation",
     "stg_dim_key_map",
     "stg_sentinel_timestamps",
     "dwh_audit_load",
+    "sales_master_join",
+    "kpi_overview",
+    "daily_sales",
+    "sales_geolocation",
     "revenue_forecast",
     "order_priority_counts",
     "monthly_sales",
@@ -3145,18 +3243,38 @@ _DRIVER_PRIORITY: list[str] = [
     "part_size_histogram",
     "category_translation",
     "geo_fallback_join",
+    "running_totals",
+    "running_totals_scalable",
+    "recent_events",
     "sessionization",
     "event_value_stats",
+    "topic_counters",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
     "embedding_knn",
+    "embedding_near_dup",
+    "embedding_dedup_clusters",
+    "ann_lsh",
+    "ann_ivf",
     "lang_id",
     "text_quality",
     "token_count",
     "doc_fingerprint",
     "multimodal_meta",
+    "multimodal_decode",
+    "curated_pack",
+    "pack_sequences",
+    "corpus_alignment",
     "top_terms",
     "doc_length_stats",
-    "recent_events",
+    "idle_high_balance_customers",
+    "market_share_by_nation",
+    "cheapest_supplier_per_part",
+    "important_parts",
+    "dominant_suppliers",
 ]
 
 

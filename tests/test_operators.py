@@ -452,8 +452,8 @@ def test_simhash_recall_equals_exact(spark, tables):
     corpus and on a planted near-dup set at the registry's radius."""
     from ecom_etl_proj_spark.operators import dedup
 
-    def exact_pairs(t, h):
-        sh = dedup.simhash_64(t)
+    def exact_pairs(t, h, hash_mode="xxhash64"):
+        sh = dedup.simhash_64(t, hash_mode)
         a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
         b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
         return {
@@ -471,12 +471,21 @@ def test_simhash_recall_equals_exact(spark, tables):
     planted = {
         "documents": spark.createDataFrame(rows, "doc_id long, text string, lang string")
     }
-    for t, h in ((planted, 6), (planted, 3), (tables, 6)):
+    # The recall guarantee is hash-independent: check BOTH the
+    # production (xxhash64) and oracle (md5) fingerprint modes against
+    # brute force over the same mode's fingerprints.
+    for t, h, mode in (
+        (planted, 6, "xxhash64"),
+        (planted, 3, "xxhash64"),
+        (planted, 6, "md5"),
+        (tables, 6, "xxhash64"),
+        (tables, 6, "md5"),
+    ):
         got = {
             (r["doc_a"], r["doc_b"])
-            for r in dedup.dedup_simhash(t, max_hamming=h).collect()
+            for r in dedup.dedup_simhash(t, max_hamming=h, hash_mode=mode).collect()
         }
-        want = exact_pairs(t, h)
+        want = exact_pairs(t, h, mode)
         assert got == want
     # non-vacuous: the planted corpus must actually contain pairs
     assert exact_pairs(planted, 6), "planted corpus produced no near-dup pairs"
@@ -803,3 +812,78 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (1000, 1001) in got, got
     # every other doc only shares the over-cap boilerplate → no pairs
     assert got == {(1000, 1001)}, sorted(got)[:10]
+
+
+def test_minhash_hash_mode_ab_identical_pairs(spark, tables):
+    """A/B: the production hash (xxhash64) and the oracle hash (md5)
+    must produce the IDENTICAL verified pair set on the test corpus.
+    Both modes run the same plan shape; only the hash constant factor
+    differs (the 100 TB rationale for defaulting to xxhash64 — see
+    dedup.hash64). Exact-Jaccard verification makes precision 1 in
+    both modes, and at this corpus's dup density candidate recall is
+    1 in both, so the outputs coincide exactly."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.dedup_minhash_lsh(tables, hash_mode="md5").collect()
+    }
+    xxh_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.dedup_minhash_lsh(tables, hash_mode="xxhash64").collect()
+    }
+    assert md5_pairs == xxh_pairs
+    assert md5_pairs, "corpus produced no verified near-dup pairs (vacuous A/B)"
+
+
+def test_minhash_sketch_is_shuffle_free(spark, tables):
+    """The MinHash sketch must be ROW-LOCAL: no exchange may appear
+    below the bucket aggregation's own shuffle other than the single
+    (band, bh) grouping — i.e. the plan up to `bands` contains zero
+    exchanges. Guards the scan-once property that removes two
+    full-corpus shuffles at 100 TB."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    plan = (
+        dedup.dedup_minhash_lsh(tables, hash_mode="xxhash64")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # The optimized plan should contain no aggregate keyed by doc_id on
+    # the sketch side (the old explode -> groupBy(doc_id, band) shape)
+    # and no collect_set re-aggregation of shingles.
+    assert "collect_set" not in plan
+    assert "explode(word_shingles" not in plan
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer-doubling: a 200-node path graph (diameter 200) must
+    converge within the default 20 iterations (log2(200) ~ 8 with the
+    shortcut join; one-hop-only propagation would need 200 rounds and
+    previously returned silently-wrong split labels)."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = dedup.connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r["component_id"] for r in rows} == {0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Hitting max_iterations without a fixpoint must RAISE, never
+    silently return split components (ADVICE r4: split labels diverge
+    from the transitive-closure oracle undetected)."""
+    import pytest
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=1)
