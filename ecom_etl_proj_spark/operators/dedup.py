@@ -384,24 +384,50 @@ def simhash_64(t: dict[str, DataFrame], hash_mode: str = "xxhash64") -> DataFram
     different fingerprints (different hash bits), but the recall
     guarantee and the verified-pair semantics are hash-independent —
     property-tested per mode against brute force.
+
+    ROW-LOCAL like the MinHash sketch: the fingerprint is a pure
+    function of the doc's own distinct-token array, so each bit comes
+    from a bounded fold over that array and the corpus is NEVER
+    exploded or shuffled here (the previous shape exploded every token
+    and ran a 64-conditional-sum aggregation — one full-corpus shuffle
+    plus a large generated-code stage, both deleted). Per bit:
+    sign(sum over tokens of +/-1) > 0  ⇔  2 * count(bit set) > n.
+    The let-binding (single-element-array transform) evaluates the
+    hashed token array exactly once per doc.
     """
-    toks = t["documents"].select(
-        "doc_id", F.explode(F.array_distinct(X.tokens())).alias("tok")
+    def packed_of(hs):
+        terms = []
+        for i in range(64):
+            cnt = F.size(
+                F.filter(
+                    hs,
+                    lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                )
+            )
+            bit = (
+                F.when((cnt * 2) > F.size(hs), F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            terms.append(F.shiftleft(bit, i))
+        packed = terms[0]
+        for term in terms[1:]:
+            packed = packed.bitwiseXOR(term)
+        return packed
+
+    hs_expr = F.transform(
+        F.array_distinct(X.tokens()), lambda s: hash64(s, hash_mode)
     )
-    toks = toks.withColumn("h", hash64(F.col("tok"), hash_mode))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    packed = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        packed = term if packed is None else packed.bitwiseXOR(term)
-    return agg.select("doc_id", packed.alias("simhash"))
+    sim = F.element_at(
+        F.transform(F.array(hs_expr), lambda hs: packed_of(hs)), 1
+    )
+    # docs with no tokens never produced an aggregation row before —
+    # keep them out of the fingerprint table the same way
+    return (
+        t["documents"]
+        .select("doc_id", F.size(F.array_distinct(X.tokens())).alias("n"), sim.alias("simhash"))
+        .filter(F.col("n") > 0)
+        .select("doc_id", "simhash")
+    )
 
 
 def _simhash_combo_exprs(max_hamming: int, r_exact: int) -> list[str]:

@@ -9,9 +9,9 @@ real Structured Streaming job.
 
 Scale notes: minutely aggregation keys are (minute, type) — high
 cardinality but uniformly distributed, so the shuffle is balanced.
-Running totals use a range-unbounded window ordered by minute; at 100 TB
-the cumulative window would be computed per day-partition then offset by
-per-day totals (two-level scan) — noted here, single window locally.
+``running_totals`` uses a single cumulative window over the minutely
+aggregate; ``running_totals_scalable`` is the two-level form (per-day
+parallel cumulative + per-day-total offsets) for fine-grain backfills.
 """
 
 from __future__ import annotations
@@ -75,24 +75,30 @@ def running_totals(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def running_totals_scalable(t: dict[str, DataFrame], n_parts: int = 32) -> DataFrame:
+def running_totals_scalable(t: dict[str, DataFrame]) -> DataFrame:
     """Two-pass cumulative purchase revenue by minute — the
     parallel form of ``running_totals``.
 
-    The classic distributed prefix-sum: (1) range-partition the
-    minutely aggregate on minute, so partition i holds a contiguous
-    time range and ``spark_partition_id`` is monotone in time; (2)
-    each partition computes its LOCAL cumulative sum in parallel (the
-    window partitions by part — no single-task global sort); (3) the
-    per-partition totals (one row per partition, bounded by the
-    partition count, not the data) go through a tiny offset window and
-    broadcast-join back. The only single-task stage touches ``n_parts``
-    rows instead of every minute in history.
+    The classic distributed prefix-sum: (1) bucket each minute into its
+    UTC DAY — a partition key that is DETERMINISTIC IN THE DATA and
+    monotone in time, so every evaluation of every plan branch agrees
+    on it; (2) each day computes its LOCAL cumulative sum in parallel
+    (the window partitions by day — no single-task global sort); (3)
+    the per-day totals (one row per day — 36.5K rows PER CENTURY, a
+    bounded frame at any corpus size) go through a tiny offset window
+    and broadcast-join back.
+
+    An earlier form derived the key from ``spark_partition_id()`` after
+    ``repartitionByRange`` — range boundaries come from sampling, and
+    both the within-window and the totals aggregate branched off that
+    node, so correctness silently depended on Catalyst reusing one
+    exchange for both branches (ADVICE r4). A calendar bucket removes
+    the whole hazard: re-evaluation cannot disagree.
 
     Sums accumulate in DECIMAL so the split-and-recombine is exact —
-    bit-identical to the sequential window regardless of how the range
-    partitioner splits the timeline (double addition is
-    order-dependent; decimal is associative).
+    bit-identical to the sequential window regardless of how the
+    timeline splits (double addition is order-dependent; decimal is
+    associative).
     """
     per_min = (
         t["events"]
@@ -100,8 +106,8 @@ def running_totals_scalable(t: dict[str, DataFrame], n_parts: int = 32) -> DataF
         .groupBy(F.date_trunc("minute", "ts").alias("minute"))
         .agg(F.round(F.sum("value"), 2).alias("minute_revenue"))
     )
-    ranged = per_min.repartitionByRange(n_parts, "minute").withColumn(
-        "part", F.spark_partition_id()
+    ranged = per_min.withColumn(
+        "part", F.floor(F.unix_timestamp("minute") / F.lit(86400)).cast("long")
     )
     dec = F.col("minute_revenue").cast("decimal(18,2)")
     w_in = (

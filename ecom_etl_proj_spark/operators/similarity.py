@@ -396,26 +396,98 @@ def embedding_norms(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment, ROW-LOCAL.
+
+    The centroid table is folded into ONE array-of-structs row
+    (sqrt(n) * dim floats — tens of MB at 1e9 vectors, comfortably
+    broadcastable), broadcast, and each corpus vector computes its
+    argmin with a transform + array_min fold over that array. One
+    corpus scan, zero shuffle, zero row expansion — a crossJoin +
+    row_number window formulation would shuffle n*sqrt(n) rows
+    (~3e13 at 1e9 vectors). struct comparison is lexicographic, so
+    array_min over (dist, cell) structs gives the deterministic
+    (dist asc, cell asc) tie-break.
+    """
+    cent_arr = cent.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("c_emb"))).alias("cents")
+    )
+    nearest = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-V.cosine(F.col("embedding"), c["c_emb"])).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )["cell"]
+    return (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn("cell", nearest)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def lloyd_refine(
+    emb: DataFrame, cent: DataFrame, iters: int, dim: int = DIM
+) -> DataFrame:
+    """Deterministic Lloyd (k-means) refinement of an IVF centroid set.
+
+    Each iteration is exactly the scale-audited IVF machinery run once
+    more: row-local broadcast argmin assignment (one corpus scan, zero
+    shuffle) followed by ONE groupBy(cell) mean — map-side partial
+    aggregation keeps the shuffle at cells x dim values. Per-dimension
+    means accumulate in DECIMAL, so the result is bit-identical
+    regardless of partitioning or aggregation order (double summation
+    is order-dependent; decimal is associative) — "trained" centroids
+    stay reproducible run to run. Cells that lose every member simply
+    drop out (k shrinks), matching standard k-means behavior.
+
+    Centroid QUALITY is what IVF recall actually depends on at 100 TB:
+    seeded centroids (first sqrt(n) vectors) make cells of uneven
+    radius, and a couple of Lloyd rounds equalizes them — recall vs
+    exact ``embedding_knn`` is asserted to hold-or-improve in
+    tests/test_operators.py::test_ann_ivf_lloyd_recall.
+    """
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cent)
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.avg(
+                    F.element_at("embedding", i + 1).cast("decimal(27,12)")
+                ).alias(f"d{i}")
+                for i in range(dim)
+            ]
+        )
+        cent = means.select(
+            "cell",
+            F.array(
+                *[F.col(f"d{i}").cast("double") for i in range(dim)]
+            ).alias("c_emb"),
+        )
+    return cent
+
+
 def ann_ivf(
     t: dict[str, DataFrame], n_centroids: int | None = None, n_probe: int = 2,
     n_queries: int = 10, k: int = 5, corpus_size: int | None = None,
+    lloyd_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
     The classic IVF index re-expressed relationally:
 
     1. centroids: a deterministic sample of the corpus (first
-       ``n_centroids`` vectors) stands in for trained k-means centers —
-       the Spark plumbing (broadcast centroids, argmin assignment,
-       cell-bucketed search) is identical either way.
-    2. assignment: every vector → nearest centroid, ROW-LOCAL: the
-       centroid table is folded into ONE array-of-structs row,
-       broadcast, and each corpus vector computes its argmin with a
-       transform + array_min fold over that array. One corpus scan,
-       zero shuffle, zero row expansion — the earlier formulation
-       (crossJoin + row_number window over vec_id) expanded the frame
-       to n*sqrt(n) rows and shuffled ALL of them through the window
-       exchange, ~3e13 shuffled rows at 1e9 vectors.
+       ``n_centroids`` vectors), refined by ``lloyd_iters`` rounds of
+       deterministic k-means (``lloyd_refine`` — decimal-exact means,
+       so the trained centers are reproducible). The registry pins
+       ``lloyd_iters=0`` so the DuckDB oracle can mirror the centroid
+       set from first principles; production callers keep the default
+       refinement, which is what cell balance (and therefore recall
+       at a fixed n_probe) depends on at 100 TB.
+    2. assignment: every vector → nearest centroid, ROW-LOCAL
+       (``_assign_cells``: broadcast array-of-structs + argmin fold —
+       one corpus scan, zero shuffle, zero row expansion).
     3. probe: each query searches only its ``n_probe`` nearest cells —
        the join key is the cell id, so work scales with cell population,
        not corpus size. That is the 100 TB path; brute-force
@@ -433,29 +505,9 @@ def ann_ivf(
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    # nearest cell per corpus vector: broadcast ONE row holding every
-    # centroid as an array<struct<cell, c_emb>> (sqrt(n) * dim floats —
-    # tens of MB at 1e9 vectors, comfortably broadcastable), then fold
-    # a row-local argmin. struct comparison is lexicographic, so
-    # array_min over (dist, cell) structs reproduces the old window's
-    # orderBy(dist asc, cell asc) tie-break exactly.
-    cent_arr = cent.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("c_emb"))).alias("cents")
-    )
-    nearest = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (-V.cosine(F.col("embedding"), c["c_emb"])).alias("dist"),
-                c["cell"].alias("cell"),
-            ),
-        )
-    )["cell"]
-    assigned = (
-        emb.crossJoin(F.broadcast(cent_arr))
-        .withColumn("cell", nearest)
-        .select("vec_id", "embedding", "cell")
-    )
+    if lloyd_iters:
+        cent = lloyd_refine(emb, cent, lloyd_iters)
+    assigned = _assign_cells(emb, cent)
     # each query probes its n_probe nearest cells
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

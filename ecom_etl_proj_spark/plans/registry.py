@@ -1593,10 +1593,14 @@ register(
 # vectors) and assignment is pure cosine argmin with (dist, cell)
 # tie-break — both exactly reproducible in SQL, including the
 # sqrt(n) auto-sizing (computed from count(*) so the oracle tracks any
-# scale factor).
+# scale factor). lloyd_iters is pinned to 0 here: the production
+# default refines centroids with decimal-exact k-means rounds
+# (similarity.lloyd_refine), whose iterative means resist a faithful
+# one-shot SQL mirror — the refined path is recall-tested against
+# exact embedding_knn instead (test_ann_ivf_lloyd_recall).
 register(
     "ann_ivf",
-    similarity.ann_ivf,
+    lambda t: similarity.ann_ivf(t, lloyd_iters=0),
     f"""
     WITH params AS (
         SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))

@@ -241,9 +241,9 @@ def test_price_band_no_theta_join(spark, tables):
 def test_running_totals_scalable_parallel_window(spark, tables):
     """The two-pass prefix sum must NOT funnel the minute-grain
     cumulative through one task: its big window partitions by the
-    range-partition id (parallel across partitions), and the only
-    unpartitioned window runs over the per-partition totals (bounded
-    by the partition count). Output must equal the sequential form
+    deterministic day bucket (parallel across days), and the only
+    unpartitioned window runs over the per-day totals (bounded by the
+    calendar, not the data). Output must equal the sequential form
     exactly."""
     from ecom_etl_proj_spark.operators import events
 
@@ -333,7 +333,8 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
 
     Whitelisted (all window inputs bounded, see each docstring):
     - running_totals            minute-grain aggregate (~526K rows/yr)
-    - running_totals_scalable   offsets window over n_parts total rows
+    - running_totals_scalable   offsets window over per-day totals
+                                (36.5K rows per century)
     - daily_sales_7d_ma         day-grain aggregate
     - product_leaderboard       rank over TakeOrdered top-N rows
     - bm25_search               rank over .limit(top) rows
