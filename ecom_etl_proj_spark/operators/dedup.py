@@ -595,8 +595,13 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    changed = 1
-    for _ in range(max_iterations):
+    converged = False
+    # ``max_iterations`` bounds label-CHANGING rounds; one extra pass is
+    # allowed purely to confirm the fixpoint, so a run whose final
+    # permitted round happens to reach convergence confirms instead of
+    # raising spuriously (confirming costs one no-change round by
+    # construction — the check can only observe the round it ran in).
+    for _ in range(max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -606,6 +611,7 @@ def connected_components(
             neighbor_min, labels["node"] == neighbor_min["src"], "left"
         ).select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -620,28 +626,29 @@ def connected_components(
         updated = _save(
             hopped.join(lbl2, hopped["label"] == lbl2["l_node"], "left").select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        labels = updated.select("node", "label")
+        # Convergence check folded into the round's own state: the
+        # pre-round label was carried through the update, so "did any
+        # label change" is a narrow early-exit scan of the blocks the
+        # round just materialized — not the join-plus-count job per
+        # round the previous shape paid (that job re-shuffled the whole
+        # label table against its predecessor every iteration).
+        if updated.filter(F.col("label") != F.col("old_label")).isEmpty():
+            converged = True
             break
     edges.unpersist()
-    if changed != 0:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
-            "iterations — component labels would be split and representatives "
-            "wrong; raise max_iterations (rounds needed are ~log2 of the "
-            "largest component's diameter with pointer-doubling)"
+            "label-changing iterations — component labels would be split and "
+            "representatives wrong; raise max_iterations (rounds needed are "
+            "~log2 of the largest component's diameter with pointer-doubling)"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 

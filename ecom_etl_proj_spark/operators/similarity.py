@@ -408,15 +408,30 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     (~3e13 at 1e9 vectors). struct comparison is lexicographic, so
     array_min over (dist, cell) structs gives the deterministic
     (dist asc, cell asc) tie-break.
+
+    The argmin metric is ``-dot(v, c) / ||c||``: the query vector's own
+    norm is a positive per-row constant across every cell, so dividing
+    by it cannot change the argmin — dropping it (and baking each
+    centroid's norm into the broadcast struct, computed once per
+    centroid instead of once per row x cell) cuts the per-(row, cell)
+    fold from three dim-length aggregates (dot + both norms) to one.
+    The DuckDB oracle mirrors this exact expression so FP comparisons
+    agree engine-to-engine.
     """
     cent_arr = cent.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("c_emb"))).alias("cents")
+        F.collect_list(
+            F.struct(
+                F.col("cell"), F.col("c_emb"), V.norm("c_emb").alias("c_norm")
+            )
+        ).alias("cents")
     )
     nearest = F.array_min(
         F.transform(
             F.col("cents"),
             lambda c: F.struct(
-                (-V.cosine(F.col("embedding"), c["c_emb"])).alias("dist"),
+                (-V.dot(F.col("embedding"), c["c_emb"]) / c["c_norm"]).alias(
+                    "dist"
+                ),
                 c["cell"].alias("cell"),
             ),
         )
@@ -508,16 +523,21 @@ def ann_ivf(
     if lloyd_iters:
         cent = lloyd_refine(emb, cent, lloyd_iters)
     assigned = _assign_cells(emb, cent)
-    # each query probes its n_probe nearest cells
+    # each query probes its n_probe nearest cells — ranked by the same
+    # query-norm-free metric as cell assignment (-dot / ||c||: the query
+    # norm is constant within each window partition, so the ranking is
+    # unchanged and each centroid's norm is computed once on the tiny
+    # broadcast side instead of per (query, cell) pair)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    cent_n = cent.select("cell", "c_emb", V.norm("c_emb").alias("c_norm"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("cell").asc()
     )
     probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .withColumn("dist", -V.cosine("q_emb", "c_emb"))
+        queries.crossJoin(F.broadcast(cent_n))
+        .withColumn("dist", -V.dot("q_emb", "c_emb") / F.col("c_norm"))
         .withColumn("rnk", F.row_number().over(probe_w))
         .filter(F.col("rnk") <= n_probe)
         .select("query_id", "q_emb", "cell")

@@ -667,6 +667,19 @@ _COSINE_SQL = """
                                       i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
 """
 
+# ann_ivf's cell-ranking metric: -dot(a, b) / ||b|| — the query-side
+# norm is a positive constant within each argmin/window partition, so
+# dropping it leaves every ranking unchanged while the Spark side folds
+# one dim-length aggregate per (row, cell) instead of three
+# (similarity._assign_cells). Mirrored here operation-for-operation so
+# FP comparisons agree engine-to-engine.
+_CELL_DIST_SQL = """
+    -(list_sum(list_transform(range(1, len({a}) + 1),
+                              i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                                     i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
 _SHINGLE_SQL = """
     WITH words AS (
         SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
@@ -828,7 +841,7 @@ def _ann_lsh_oracle_guarded(t: Tables) -> DataFrame:
         raise ValueError(
             f"ann_lsh oracle mirrors only 16 bits/table but ann_params "
             f"sized bits={bits} for this corpus (> ~1M vectors); "
-            "regenerate _ANN_PLANE_ROWS with 8*{bits} planes"
+            f"regenerate _ANN_PLANE_ROWS with 8*{bits} planes"
         )
     return similarity.ann_lsh(t, k=5)
 
@@ -1613,7 +1626,7 @@ register(
     ),
     dists AS (
         SELECT e.vec_id, e.embedding, c.cell,
-               -({_COSINE_SQL.format(a='e.embedding', b='c.c_emb')}) AS dist
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
         FROM embeddings e CROSS JOIN cent c
     ),
     assigned AS (
@@ -1628,7 +1641,7 @@ register(
             SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.vec_id
-                       ORDER BY -({_COSINE_SQL.format(a='q.embedding', b='c.c_emb')}) ASC,
+                       ORDER BY {_CELL_DIST_SQL.format(a='q.embedding', b='c.c_emb')} ASC,
                                 c.cell ASC) AS rnk
             FROM embeddings q CROSS JOIN cent c
             WHERE q.vec_id < 10)
