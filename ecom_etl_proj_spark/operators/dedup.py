@@ -407,23 +407,33 @@ def simhash_64(t: dict[str, DataFrame], hash_mode: str = "xxhash64") -> DataFram
     hashed token array exactly once per doc.
     """
     def packed_of(hs):
-        terms = []
-        for i in range(64):
+        # ONE aggregate over bit positions instead of 64 Python-unrolled
+        # majority-count terms (same collapse as the MinHash band
+        # forest): the bit logic is generated once and iterated, so the
+        # expression tree shrinks ~64x while the packed value is
+        # unchanged — XOR-accumulating shiftleft(bit_i, i) over distinct
+        # positions equals the old 64-term XOR chain bit for bit.
+        # call_function routes to the SQL registry because the Python
+        # shiftleft/shiftright helpers only accept literal shift counts,
+        # and here the count is the fold's lambda variable.
+        def term(acc, i):
             cnt = F.size(
                 F.filter(
                     hs,
-                    lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                    lambda h: F.call_function("shiftright", h, i)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
                 )
             )
             bit = (
                 F.when((cnt * 2) > F.size(hs), F.lit(1).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
-            terms.append(F.shiftleft(bit, i))
-        packed = terms[0]
-        for term in terms[1:]:
-            packed = packed.bitwiseXOR(term)
-        return packed
+            return acc.bitwiseXOR(F.call_function("shiftleft", bit, i))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)), F.lit(0).cast("long"), term
+        )
 
     hs_expr = F.transform(
         F.array_distinct(X.tokens()), lambda s: hash64(s, hash_mode)
