@@ -131,25 +131,14 @@ def sales_geolocation(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def rfm_segments(
+def rfm_scored(
     t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
 ) -> DataFrame:
-    """RFM segmentation (utils.py:446-504, run_analytics.py:119-158).
-
-    Recency/Frequency/Monetary per customer, quartile-scored against
-    broadcast percentile boundaries (the scalable replacement for the
-    reference's rank-then-qcut, identical except on boundary ties),
-    CASE-mapped to the reference's segment names, then summarized per
-    segment.
-
-    ``approx=True`` swaps the exact ``percentile`` boundary reduce for
-    ``approx_percentile`` (KLL/GK, bounded state): the exact reduce
-    buffers every customer's value in one aggregation buffer, which is
-    fine at bench scale but not at billions of customers. At the 100 TB
-    target the registered ``rfm_segments_approx`` twin
-    (sketches.rfm_segments_approx) IS the production path; this exact
-    form is the oracle-comparable baseline.
-    """
+    """Per-customer RFM scores + segment (the shared core of
+    ``rfm_segments`` and the boundary-shift audit in
+    operators/sketches.py): one row per customer with recency/
+    frequency/monetary, r/f/m scores against broadcast quartile
+    boundaries, and the CASE-mapped segment name."""
     snapshot = t["orders"].agg(
         F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
     )
@@ -200,8 +189,29 @@ def rfm_segments(
         .when((F.col("r_score") < 2) & (F.col("f_score") < 2), "Hibernating")
         .otherwise("Needs Attention")
     )
+    return scored.withColumn("segment", seg)
+
+
+def rfm_segments(
+    t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """RFM segmentation (utils.py:446-504, run_analytics.py:119-158).
+
+    Recency/Frequency/Monetary per customer, quartile-scored against
+    broadcast percentile boundaries (the scalable replacement for the
+    reference's rank-then-qcut, identical except on boundary ties),
+    CASE-mapped to the reference's segment names, then summarized per
+    segment.
+
+    ``approx=True`` swaps the exact ``percentile`` boundary reduce for
+    ``approx_percentile`` (KLL/GK, bounded state): the exact reduce
+    buffers every customer's value in one aggregation buffer, which is
+    fine at bench scale but not at billions of customers. At the 100 TB
+    target ``sketches.rfm_segments_approx`` IS the production path;
+    this exact form is the oracle-comparable baseline.
+    """
     return (
-        scored.withColumn("segment", seg)
+        rfm_scored(t, approx=approx, accuracy=accuracy)
         .groupBy("segment")
         .agg(
             F.count("*").alias("customer_count"),
@@ -689,24 +699,13 @@ def revenue_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def customer_value_deciles(
+def ltv_deciled(
     t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
 ) -> DataFrame:
-    """Customer lifetime value cut into deciles — the RFM monetary axis
-    at finer grain.
-
-    Decile BOUNDARIES from one percentile reduce, broadcast back,
-    bucket = 1 + boundaries exceeded. (A global NTILE window is the
-    rank-exact alternative but serializes all customers into one task —
-    the boundary form is the 100 TB shape and differs only on ties.)
-    ``approx=True`` computes the boundaries with bounded-state
-    approx_percentile. At the 100 TB target the registered
-    ``customer_value_deciles_approx`` twin
-    (sketches.customer_value_deciles_approx) IS the production path —
-    the exact ``percentile`` reduce here buffers every customer value
-    in one aggregation buffer and exists as the oracle-comparable
-    baseline.
-    """
+    """Per-customer (o_custkey, ltv, decile) — the shared core of
+    ``customer_value_deciles`` and the boundary-shift audit in
+    operators/sketches.py. Decile boundaries come from one broadcast
+    percentile reduce (exact or KLL/GK approx per ``approx``)."""
     ltv = (
         t["orders"]
         .groupBy("o_custkey")
@@ -726,6 +725,30 @@ def customer_value_deciles(
     return (
         ltv.crossJoin(F.broadcast(bounds))
         .withColumn("decile", dec)
+        .select("o_custkey", "ltv", "decile")
+    )
+
+
+def customer_value_deciles(
+    t: dict[str, DataFrame], approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """Customer lifetime value cut into deciles — the RFM monetary axis
+    at finer grain.
+
+    Decile BOUNDARIES from one percentile reduce, broadcast back,
+    bucket = 1 + boundaries exceeded. (A global NTILE window is the
+    rank-exact alternative but serializes all customers into one task —
+    the boundary form is the 100 TB shape and differs only on ties.)
+    ``approx=True`` computes the boundaries with bounded-state
+    approx_percentile. At the 100 TB target the registered
+    ``customer_value_deciles_approx`` twin
+    (sketches.customer_value_deciles_approx) IS the production path —
+    the exact ``percentile`` reduce here buffers every customer value
+    in one aggregation buffer and exists as the oracle-comparable
+    baseline.
+    """
+    return (
+        ltv_deciled(t, approx=approx, accuracy=accuracy)
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -1813,18 +1813,88 @@ register(
 )
 
 # --------------------------------------------------------------------------
-# Sketch twins (HLL / KLL / frequent-items): approximate algorithms are
-# engine-specific → rows-only driver check; error bounds vs the exact
-# operators are asserted in tests/test_operators.py.
+# Sketch twins (HLL / KLL / frequent-items): approximate VALUES are
+# engine-specific, so the registered queries are the deterministic
+# audit forms (operators/sketches.py): Spark computes approx + exact in
+# one plan and emits exact anchors plus within_bound booleans; the
+# oracle recomputes the anchors and emits literal-TRUE bounds. A sketch
+# outside its bound hash-mismatches. term_heavy_hitters needs no audit
+# form — its KSP-superset + exact-recount + threshold output is already
+# the deterministic heavy-hitter set, oracle'd as plain GROUP BY +
+# HAVING. Raw sketch outputs keep error-bound pytest coverage
+# (tests/test_operators.py).
 # --------------------------------------------------------------------------
 from ecom_etl_proj_spark.operators import sketches  # noqa: E402
 
-register("kpi_overview_approx", sketches.kpi_overview_approx, None)
-register("delay_quantiles_approx", sketches.delay_quantiles_approx, None)
-register("term_heavy_hitters", sketches.term_heavy_hitters, None)
-register("rfm_segments_approx", sketches.rfm_segments_approx, None)
 register(
-    "customer_value_deciles_approx", sketches.customer_value_deciles_approx, None
+    "kpi_overview_approx",
+    sketches.kpi_overview_audit,
+    """
+    SELECT 'total_revenue' AS metric,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS exact_value,
+           TRUE AS within_bound
+    FROM orders
+    UNION ALL
+    SELECT 'unique_orders',
+           CAST(count(DISTINCT o_orderkey) AS DOUBLE), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'unique_customers',
+           CAST(count(DISTINCT o_custkey) AS DOUBLE), TRUE
+    FROM orders
+    """,
+)
+register(
+    "delay_quantiles_approx",
+    sketches.delay_quantiles_audit,
+    """
+    WITH d AS (
+        SELECT n.n_name AS nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nation, m.metric, count(*) AS n_items, TRUE AS within_bound
+    FROM d CROSS JOIN (VALUES ('p50'), ('p90'), ('p99')) m(metric)
+    GROUP BY nation, m.metric
+    """,
+)
+register(
+    "term_heavy_hitters",
+    sketches.term_heavy_hitters,
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT term, count(*) AS freq
+    FROM toks
+    GROUP BY term
+    HAVING count(*) > CAST(0.004 AS DOUBLE) * (SELECT total FROM tot)
+    ORDER BY freq DESC, term
+    """,
+)
+register(
+    "rfm_segments_approx",
+    sketches.rfm_segments_audit,
+    """
+    SELECT 'rfm_segment_shift' AS metric,
+           count(DISTINCT o_custkey) AS n_customers,
+           TRUE AS within_bound
+    FROM orders
+    """,
+)
+register(
+    "customer_value_deciles_approx",
+    sketches.customer_value_deciles_audit,
+    """
+    SELECT 'ltv_decile_shift' AS metric,
+           count(DISTINCT o_custkey) AS n_customers,
+           TRUE AS within_bound
+    FROM orders
+    """,
 )
 
 register(

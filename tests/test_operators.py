@@ -200,6 +200,26 @@ def test_sketches_error_bounds(spark, tables):
         assert abs(ap_delay[nation] - p90) <= max(2, 0.05 * abs(p90)), nation
 
 
+def test_sketch_audit_twins_within_bound(spark, tables):
+    """The registered audit forms of the sketch twins must emit
+    all-TRUE within_bound rows (that is exactly what the DuckDB oracle
+    asserts via hash match — this is the same contract, in-repo)."""
+    from ecom_etl_proj_spark.operators import sketches
+
+    for fn in (
+        sketches.kpi_overview_audit,
+        sketches.delay_quantiles_audit,
+        sketches.rfm_segments_audit,
+        sketches.customer_value_deciles_audit,
+    ):
+        rows = fn(tables).collect()
+        assert rows, fn.__name__
+        assert all(r["within_bound"] for r in rows), (
+            fn.__name__,
+            [r.asDict() for r in rows if not r["within_bound"]][:5],
+        )
+
+
 def test_heavy_hitters_superset_of_top_terms(spark, tables):
     from ecom_etl_proj_spark.operators import sketches, textops
 
