@@ -3217,18 +3217,109 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. Round-5 ordering is a FRESHNESS ROTATION (judge task r5.5): after
-# r4's 50-slot sample, 82 of 132 queries had last been driver-verified in
-# r1-r3, so this round leads with exactly the queries ABSENT from
-# CORRECTNESS_r04's sample — the one NEW query first
-# (recent_events_by_family), then the unsampled queries oldest-verification
-# first (r2 rows, then r3 — VERDICT-table order within a round), then
-# everything r4 already re-confirmed. Result: the driver's 50 slots all go
-# to queries not checked last round, capping every query's staleness at
-# two rounds. Note the dedup/LSH family was re-verified THIS session via
-# tools/compare_oracle.py after the row-local-sketch/hash-mode rewrite
-# even though it sits below the top 50 now.
+# round. Round-6 ordering continues the freshness rotation (judge task
+# r6.2): the 33 queries last verified in r3 lead (including the five sketch
+# twins, now registered as hash-verifiable audit forms), followed by the
+# seven queries whose implementation changed this round (HOF collapses, CC
+# convergence fold, IVF cell metric, rfm/ltv refactor — re-verify on
+# change, regardless of staleness), then r4-verified queries oldest-first
+# to fill the 50 slots, then the r5-verified tail. With 133 queries and 50
+# slots per round the rotation keeps every query verified within the last
+# 3 rounds. Everything in this round's top 50 was also re-verified THIS
+# session via tools/compare_oracle.py where its code changed.
 _DRIVER_PRIORITY: list[str] = [
+    # --- r6 head: the 33 queries last verified in r3 (staleness cap),
+    # with the 5 sketch twins now in their hash-verifiable audit form —
+    "data_profile_customer",
+    "sales_by_geography",
+    "rfm_segments",
+    "seller_performance",
+    "delivery_performance",
+    "order_status_distribution",
+    "event_type_distribution",
+    "quantity_distribution",
+    "top_categories_by_revenue",
+    "top_seller_nations",
+    "category_avg_discount",
+    "cohort_retention",
+    "discount_elasticity",
+    "weekly_sales_pattern",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "events_minutely",
+    "user_activity",
+    "minutely_anomalies",
+    "rolling_active_users",
+    "kpi_overview_approx",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "rfm_segments_approx",
+    "customer_value_deciles_approx",
+    "char_entropy",
+    "curate_corpus",
+    "chunk_documents",
+    "contamination_check",
+    "disjunctive_revenue",
+    "sole_supplier_orders",
+    "corpus_mix_report",
+    # --- queries whose implementation changed in r6 (HOF band/bit
+    # collapse, CC convergence fold, IVF cell metric, rfm/ltv helper
+    # refactor) — re-verify regardless of staleness —
+    "customer_value_deciles",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_dedup_clusters",
+    "curated_pack",
+    "ann_ivf",
+    # --- r4-verified queries, oldest-first fill of the top-50 sample —
+    "ods_typed_load",
+    "stg_dedup_rownumber",
+    "stg_mean_imputation",
+    "stg_dim_key_map",
+    "stg_sentinel_timestamps",
+    "dwh_audit_load",
+    "sales_master_join",
+    "kpi_overview",
+    "daily_sales",
+    "sales_geolocation",
+    # --- top-50 boundary: everything below rotates up next round —
+    "revenue_forecast",
+    "order_priority_counts",
+    "monthly_sales",
+    "market_segment_share",
+    "top_customers",
+    "part_size_histogram",
+    "category_translation",
+    "geo_fallback_join",
+    "running_totals",
+    "running_totals_scalable",
+    "recent_events",
+    "sessionization",
+    "event_value_stats",
+    "topic_counters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embedding_knn",
+    "embedding_near_dup",
+    "ann_lsh",
+    "lang_id",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode",
+    "pack_sequences",
+    "corpus_alignment",
+    "top_terms",
+    "doc_length_stats",
+    "idle_high_balance_customers",
+    "market_share_by_nation",
+    "cheapest_supplier_per_part",
+    "important_parts",
+    "dominant_suppliers",
+    # --- r5-verified queries (freshest) —
     "recent_events_by_family",
     "try_timestamp_parse",
     "skew_salted_join",
@@ -3243,7 +3334,6 @@ _DRIVER_PRIORITY: list[str] = [
     "repeat_customer_rate",
     "delivery_delay_percentiles",
     "revenue_rollup",
-    "customer_value_deciles",
     "inactive_customers",
     "customer_snapshot_diff",
     "nation_trade_volume",
@@ -3279,89 +3369,6 @@ _DRIVER_PRIORITY: list[str] = [
     "stratified_sample",
     "embedding_norms",
     "quantize_embeddings",
-    "data_profile_customer",
-    "sales_by_geography",
-    "rfm_segments",
-    "seller_performance",
-    "delivery_performance",
-    "order_status_distribution",
-    "event_type_distribution",
-    "quantity_distribution",
-    "top_categories_by_revenue",
-    "top_seller_nations",
-    "category_avg_discount",
-    "cohort_retention",
-    "discount_elasticity",
-    "weekly_sales_pattern",
-    "pricing_summary",
-    "top_revenue_orders",
-    "revenue_by_nation",
-    "events_minutely",
-    "user_activity",
-    "minutely_anomalies",
-    "rolling_active_users",
-    "kpi_overview_approx",
-    "delay_quantiles_approx",
-    "term_heavy_hitters",
-    "rfm_segments_approx",
-    "customer_value_deciles_approx",
-    "char_entropy",
-    "curate_corpus",
-    "chunk_documents",
-    "contamination_check",
-    "disjunctive_revenue",
-    "sole_supplier_orders",
-    "corpus_mix_report",
-    "ods_typed_load",
-    "stg_dedup_rownumber",
-    "stg_mean_imputation",
-    "stg_dim_key_map",
-    "stg_sentinel_timestamps",
-    "dwh_audit_load",
-    "sales_master_join",
-    "kpi_overview",
-    "daily_sales",
-    "sales_geolocation",
-    "revenue_forecast",
-    "order_priority_counts",
-    "monthly_sales",
-    "market_segment_share",
-    "top_customers",
-    "part_size_histogram",
-    "category_translation",
-    "geo_fallback_join",
-    "running_totals",
-    "running_totals_scalable",
-    "recent_events",
-    "sessionization",
-    "event_value_stats",
-    "topic_counters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    "embedding_knn",
-    "embedding_near_dup",
-    "embedding_dedup_clusters",
-    "ann_lsh",
-    "ann_ivf",
-    "lang_id",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_meta",
-    "multimodal_decode",
-    "curated_pack",
-    "pack_sequences",
-    "corpus_alignment",
-    "top_terms",
-    "doc_length_stats",
-    "idle_high_balance_customers",
-    "market_share_by_nation",
-    "cheapest_supplier_per_part",
-    "important_parts",
-    "dominant_suppliers",
 ]
 
 
