@@ -145,6 +145,30 @@ def test_dag_failure_skips_downstream():
     assert "d" in calls and "c" not in calls
 
 
+def test_lakehouse_probe_matches_environment(spark):
+    """lakehouse_formats must report exactly what is loadable: in this
+    build container that is nothing (no delta-spark package, no
+    delta/iceberg jars), which is the documented reason
+    merge_dimension ships the staged-swap parquet path instead of an
+    untestable MERGE INTO branch. If this env ever gains the jars,
+    this test flags that the MERGE INTO path should be added."""
+    from ecom_etl_proj_spark.pipelines import incremental
+
+    fmts = incremental.lakehouse_formats(spark)
+    try:
+        import delta  # noqa: F401
+
+        has_delta_py = True
+    except ImportError:
+        has_delta_py = False
+    assert ("delta" in fmts) <= has_delta_py
+    assert fmts == [], (
+        "lakehouse format(s) now available: %s — implement "
+        "merge_dimension MERGE INTO branch and parameterize the "
+        "equivalence/idempotency tests over formats" % fmts
+    )
+
+
 def test_incremental_merge_equals_full_reload(spark, tables, tmp_path):
     """Applying a CDC merge must land exactly where a full reload of
     the new snapshot would, with audit dates telling the true story."""

@@ -370,6 +370,62 @@ def test_product_counters_stream_match_batch(spark, tables, events_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_kafka_source_config_path(spark):
+    """Exercise kafka_json_source as far as a broker-less container
+    allows: (a) the reader construction runs our whole config path
+    (format/options/subscribe) and fails ONLY at connector resolution —
+    the sandbox bakes no spark-sql-kafka jar, so the DSv2 lookup is the
+    first thing that CAN fail — and (b) parse_event_payload decodes a
+    frame with the real Kafka source's full output schema (key/value
+    binary + topic/partition/offset/timestamp/timestampType), not just
+    a bare value column, with the value JSON shaped like the reference
+    producer's payload (ref kafka_scripts/producer.py: JSON-serialized
+    value, stringified key)."""
+    import datetime
+    import json
+
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        pipeline.kafka_json_source(
+            spark, "localhost:9092", "ecommerce.product.views"
+        )
+    assert "kafka" in str(ei.value).lower()
+
+    payload = json.dumps(
+        {
+            "event_id": 7,
+            "ts": "2026-03-01T10:15:30.000Z",
+            "user_id": 42,
+            "event_type": "view",
+            "value": 3.5,
+            "props": json.dumps({"product_id": 11}),
+        }
+    ).encode()
+    raw = spark.createDataFrame(
+        [
+            (
+                b"42",
+                payload,
+                "ecommerce.product.views",
+                0,
+                7,
+                datetime.datetime(2026, 3, 1, 10, 15, 31),
+                0,
+            )
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    out = pipeline.parse_event_payload(raw)
+    from ecom_etl_proj_spark.catalog import SCHEMAS
+
+    assert out.schema == SCHEMAS["events"]
+    row = out.collect()[0]
+    assert row["event_id"] == 7 and row["event_type"] == "view"
+    assert row["ts"] == datetime.datetime(2026, 3, 1, 10, 15, 30)
+
+
 def test_kafka_payload_parse_roundtrip(spark):
     """The exact Kafka-source projection (parse_event_payload) decoded
     over producer-shaped JSON lines in batch — the broker-free half of
