@@ -474,12 +474,19 @@ def lloyd_refine(
                 for i in range(dim)
             ]
         )
+        # Materialize each iteration's centroids (a tiny ~sqrt(n)-row
+        # frame) and truncate lineage: without this, iteration k's
+        # means re-execute iterations 1..k-1's assignments (no cache
+        # anywhere in the chain), making refinement QUADRATIC in iters
+        # — k corpus scans become k(k+3)/2 once the final assignment
+        # re-derives the whole chain again. With the checkpoint each
+        # iteration is exactly one corpus scan + one bounded groupBy.
         cent = means.select(
             "cell",
             F.array(
                 *[F.col(f"d{i}").cast("double") for i in range(dim)]
             ).alias("c_emb"),
-        )
+        ).localCheckpoint()
     return cent
 
 
