@@ -603,18 +603,42 @@ def connected_components(
         sc = pairs.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(checkpoint_dir)
+    # Symmetric edge expansion in ONE scan of the pair list (explode of
+    # both orientations) — the union-of-two-selects form executed the
+    # whole upstream pair plan TWICE on first materialization, which
+    # for LSH-derived pairs meant a second full candidate generation.
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
+    # Seed labels with min(self, neighbors) in ONE aggregation over the
+    # symmetric edge list — exactly what the first hop round would
+    # compute, for one bounded groupBy instead of that round's two
+    # joins. Any componentwise upper bound converges to the component
+    # minimum under min-propagation, so semantics are unchanged; for
+    # pair/star-shaped components (the overwhelming near-dup case) the
+    # seed is already the fixpoint and the loop's first round is the
+    # confirmation.
     labels = _save(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("mn")).alias("label"),
+        )
     )
     converged = False
     # ``max_iterations`` bounds label-CHANGING rounds; one extra pass is

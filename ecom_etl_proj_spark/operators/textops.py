@@ -730,7 +730,14 @@ def curated_pack(
     from ecom_etl_proj_spark.operators import dedup
 
     verdicts = curate_corpus(t, min_quality, min_tokens)
-    keep_ids = verdicts.filter(F.col("kept")).select("doc_id")
+    # The kept-id list is consumed by THREE downstream lineages (the
+    # LSH edge materialization inside dedup_clusters, the loser
+    # anti-join, and the final pack scan); persisting it makes the
+    # curation verdicts — fingerprint groupBy + quality expressions
+    # over every document — run once instead of once per consumer.
+    # State is doc_id longs only, bounded at any corpus size (the
+    # full surviving TEXT is deliberately NOT cached).
+    keep_ids = verdicts.filter(F.col("kept")).select("doc_id").persist()
     survivors = t["documents"].join(keep_ids, "doc_id", "left_semi")
     t_surv = {**t, "documents": survivors}
     clusters = dedup.dedup_clusters(
