@@ -474,19 +474,24 @@ def lloyd_refine(
                 for i in range(dim)
             ]
         )
-        # Materialize each iteration's centroids (a tiny ~sqrt(n)-row
-        # frame) and truncate lineage: without this, iteration k's
-        # means re-execute iterations 1..k-1's assignments (no cache
-        # anywhere in the chain), making refinement QUADRATIC in iters
-        # — k corpus scans become k(k+3)/2 once the final assignment
-        # re-derives the whole chain again. With the checkpoint each
-        # iteration is exactly one corpus scan + one bounded groupBy.
+        # Cache each iteration's centroids (a tiny ~sqrt(n)-row frame):
+        # without this, iteration k's means re-execute iterations
+        # 1..k-1's assignments (nothing in the chain is reused), making
+        # refinement QUADRATIC in iters — k corpus scans become
+        # k(k+3)/2 once the final assignment re-derives the whole chain
+        # again. With the cache each iteration is exactly one corpus
+        # scan + one bounded groupBy. persist() rather than
+        # localCheckpoint: the lazy cache keeps plan building
+        # action-free (test_ann_plan_build_action_free — with AQE even
+        # a lazy checkpoint executes the shuffle stages at build), and
+        # the CacheManager substitutes the materialized centroids into
+        # every downstream reference after the first action.
         cent = means.select(
             "cell",
             F.array(
                 *[F.col(f"d{i}").cast("double") for i in range(dim)]
             ).alias("c_emb"),
-        ).localCheckpoint()
+        ).persist()
     return cent
 
 

@@ -640,6 +640,90 @@ def corpus_mix_report(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def doc_dup_spans(
+    t: dict[str, DataFrame], k: int = 10, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Cross-document duplicated-span statistics: per doc, how much of
+    it is verbatim k-token text shared with ANY other document.
+
+    The substring-level contamination diagnostic behind suffix-array
+    training-data dedup (public "deduplicating training data" line of
+    work), re-expressed relationally: positional k-gram hashes are
+    computed ROW-LOCALLY (one transform over the token array — no
+    corpus-sized intermediate before the explode), then a gram is
+    "duplicated" iff it occurs in >= 2 DISTINCT docs. That predicate is
+    evaluated as min(doc_id) != max(doc_id) per gram hash — O(1)
+    aggregation state per gram where count_distinct would buffer doc
+    ids (a boilerplate gram shared by 1e6 crawl pages would otherwise
+    hold a 1e6-entry sketch in ONE aggregation buffer). One shuffle
+    keyed on the gram hash builds the inverted index; the dup-flag join
+    reuses that key, and AQE's skew split handles mega-hot boilerplate
+    grams. Run-length of consecutive duplicated grams comes from a
+    gaps-and-islands window PARTITIONED BY doc (grain-bounded — never
+    a global window).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_fraction, max_dup_run).
+    Docs shorter than ``k`` tokens have no k-grams and emit no row
+    (mirrored in the oracle). ``hash_mode`` as in the dedup family:
+    xxhash64 production, md5 pinned by the registry so DuckDB rebuilds
+    identical gram hashes.
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    toks = "split(lower(trim(text)), ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+    )
+    g = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.transform(grams, lambda s: hash64(s, hash_mode))).alias(
+            "pos", "h"
+        ),
+    )
+    hot = (
+        g.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h", F.lit(True).alias("dup0"))
+    )
+    f = g.join(hot, "h", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("dup0"), F.lit(False)).alias("is_dup")
+    )
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id", "is_dup").orderBy("pos")
+    )
+    runs = (
+        f.filter(F.col("is_dup"))
+        .withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("rl"))
+        .groupBy("doc_id")
+        .agg(F.max("rl").alias("mr"))
+    )
+    stats = f.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_grams"),
+    )
+    return (
+        stats.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_fraction"),
+            F.coalesce(F.col("mr"), F.lit(0).cast("bigint")).alias(
+                "max_dup_run"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     t: dict[str, DataFrame], ctx_len: int = 512, n_shards: int = 32
 ) -> DataFrame:

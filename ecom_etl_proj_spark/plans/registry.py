@@ -1812,6 +1812,56 @@ register(
     """,
 )
 
+# Substring-level cross-doc duplication: k pinned to 10, md5 hash mode so
+# DuckDB rebuilds identical gram hashes (hash64/md5_60 pattern as the
+# dedup family). range(1, len-8) is end-exclusive → len-9 = len-k+1 grams.
+register(
+    "doc_dup_spans",
+    lambda t: textops.doc_dup_spans(t, k=10, hash_mode="md5"),
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+               CAST('0x' || substring(md5(array_to_string(w[u.i:u.i+9], ' ')),
+                    1, 15) AS BIGINT) AS h
+        FROM words, unnest(range(1, len(w) - 8)) AS u(i)
+        WHERE len(w) >= 10
+    ),
+    hot AS (
+        SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    f AS (
+        SELECT g.doc_id, g.pos, (hot.h IS NOT NULL) AS is_dup
+        FROM g LEFT JOIN hot ON g.h = hot.h
+    ),
+    runs AS (
+        SELECT doc_id, count(*) AS rl
+        FROM (
+            SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM f WHERE is_dup
+        )
+        GROUP BY doc_id, grp
+    ),
+    mr AS (SELECT doc_id, max(rl) AS mr FROM runs GROUP BY doc_id),
+    stats AS (
+        SELECT doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams
+        FROM f GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_grams, s.n_dup_grams,
+           round(s.n_dup_grams / CAST(s.n_grams AS DOUBLE), 6) AS dup_fraction,
+           CAST(coalesce(m.mr, 0) AS BIGINT) AS max_dup_run
+    FROM stats s LEFT JOIN mr m ON s.doc_id = m.doc_id
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Sketch twins (HLL / KLL / frequent-items): approximate VALUES are
 # engine-specific, so the registered queries are the deterministic
@@ -3228,6 +3278,8 @@ register(
 # 3 rounds. Everything in this round's top 50 was also re-verified THIS
 # session via tools/compare_oracle.py where its code changed.
 _DRIVER_PRIORITY: list[str] = [
+    # --- NEW in r6: verify first —
+    "doc_dup_spans",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

@@ -253,6 +253,38 @@ def test_quantize_zero_vector(spark):
     assert rows[2]["q_min"] == -127
 
 
+def test_doc_dup_spans_known_corpus(spark):
+    """doc_dup_spans semantics on a hand-computed micro-corpus: a gram
+    counts as duplicated only when it occurs in >= 2 DISTINCT docs;
+    run-length tracks consecutive duplicated grams; sub-k docs emit no
+    row; and the statistic is hash-mode independent."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: abc bcd cde def
+            (2, "x y a b c d q"),    # shares abc, bcd with doc 1
+            (3, "p q r s"),          # no overlap
+            (4, "zz"),               # shorter than k -> no row
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("md5", "xxhash64"):
+        rows = {
+            r["doc_id"]: r
+            for r in textops.doc_dup_spans(
+                {"documents": docs}, k=3, hash_mode=mode
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 3}, mode
+        assert (rows[1]["n_grams"], rows[1]["n_dup_grams"]) == (4, 2)
+        assert rows[1]["max_dup_run"] == 2
+        assert rows[1]["dup_fraction"] == 0.5
+        assert (rows[2]["n_grams"], rows[2]["n_dup_grams"]) == (5, 2)
+        assert rows[2]["max_dup_run"] == 2
+        assert (rows[3]["n_dup_grams"], rows[3]["max_dup_run"]) == (0, 0)
+
+
 def test_winnowing_shared_run_guarantee(spark):
     """Winnowing's core property (Schleimer et al.): two documents that
     share a token run of length >= k+w-1 (= 6 for k=3, w=4) must share
