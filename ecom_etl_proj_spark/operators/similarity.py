@@ -573,6 +573,50 @@ def ann_ivf(
     )
 
 
+def ann_recall_audit(
+    t: dict[str, DataFrame],
+    n_queries: int = 10,
+    k: int = 5,
+    min_recall: float = 0.6,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """One (metric, n_exact_pairs, within_bound) row: PRODUCTION-mode
+    IVF (Lloyd-refined centroids) recall@k vs the exact brute-force
+    top-k, computed in ONE plan — the same audit-twin pattern as
+    operators/sketches.py, giving the driver a hash-verifiable recall
+    guarantee instead of a pytest-only one. Deterministic end to end:
+    the exact side is deterministic, and Lloyd refinement accumulates
+    in decimal (order-independent), so the approx side is bit-stable
+    under any partitioning. ``min_recall`` = 0.6 against observed
+    0.88-0.98 across sf0.001-0.1 in both Lloyd modes (the pytest floor
+    is 0.3); the hold-or-improve Lloyd test keeps refinement from
+    degrading it silently. Cost = one exact kNN over
+    the bounded query batch + one IVF run — audit-scale, not a
+    corpus-wide all-pairs."""
+    ex = embedding_knn(t, n_queries, k).select("query_id", "neighbor_id")
+    ap = ann_ivf(
+        t, n_queries=n_queries, k=k, lloyd_iters=lloyd_iters
+    ).select(
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("n2"),
+        F.lit(True).alias("hit0"),
+    )
+    j = ex.join(
+        ap,
+        (F.col("query_id") == F.col("q2")) & (F.col("neighbor_id") == F.col("n2")),
+        "left",
+    )
+    return j.agg(
+        F.lit("ivf_recall_at_k").alias("metric"),
+        F.count("*").alias("n_exact_pairs"),
+        (
+            F.sum(F.when(F.col("hit0"), 1).otherwise(0))
+            / F.count("*").cast("double")
+            >= F.lit(min_recall)
+        ).alias("within_bound"),
+    )
+
+
 def quantize_embeddings(t: dict[str, DataFrame]) -> DataFrame:
     """Symmetric int8 quantization of the embedding column.
 

@@ -1812,6 +1812,21 @@ register(
     """,
 )
 
+# IVF recall audit: production-mode (Lloyd-refined) ANN recall@k vs the
+# exact brute-force top-k as a hash-verified within-bound row — n_exact
+# = n_queries * min(k, corpus-1) since row_number caps each query's
+# exact list.
+register(
+    "ann_recall_audit",
+    similarity.ann_recall_audit,
+    """
+    SELECT 'ivf_recall_at_k' AS metric,
+           CAST(10 * least(5, (SELECT count(*) FROM embeddings) - 1)
+                AS BIGINT) AS n_exact_pairs,
+           TRUE AS within_bound
+    """,
+)
+
 # Substring-level cross-doc duplication: k pinned to 10, md5 hash mode so
 # DuckDB rebuilds identical gram hashes (hash64/md5_60 pattern as the
 # dedup family). range(1, len-8) is end-exclusive → len-9 = len-k+1 grams.
@@ -3280,6 +3295,7 @@ register(
 _DRIVER_PRIORITY: list[str] = [
     # --- NEW in r6: verify first —
     "doc_dup_spans",
+    "ann_recall_audit",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

@@ -135,6 +135,10 @@ def test_ann_ivf_recall_vs_exact(spark, tables):
     recall = len(set(ivf) & set(exact)) / len(exact)
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
+    # the registered audit twin must agree that recall clears its floor
+    row = similarity.ann_recall_audit(tables).collect()[0]
+    assert row["within_bound"] and row["n_exact_pairs"] == len(exact)
+
 
 def test_snapshot_diff_semantics(spark):
     """insert/delete/update/unchanged classification on literal frames."""
