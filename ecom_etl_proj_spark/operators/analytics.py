@@ -1520,3 +1520,70 @@ def dominant_suppliers(t: dict[str, DataFrame]) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "parts_dominated")
     )
+
+
+def suppliers_kept_waiting(t: dict[str, DataFrame]) -> DataFrame:
+    """Suppliers who were the UNIQUE last shipper on multi-supplier
+    orders — TPC-H Q21's blame-assignment shape (EXISTS another
+    supplier on the order / NOT EXISTS another supplier who shipped
+    as late) adapted to this schema's shipdate grain.
+
+    Spark-first formulation: the correlated EXISTS pair collapses into
+    ONE order-grain aggregation — per (order, supplier) latest
+    shipdate, then per order the max, the count of suppliers tied at
+    the max, and the supplier count. Blame attaches iff the order has
+    >= 2 suppliers and exactly ONE supplier achieved the latest date
+    (a tie exonerates everyone, exactly like Q21's NOT EXISTS
+    l3.l_receiptdate > l1.l_receiptdate). Two aggregations over the
+    same l_orderkey shuffle key (exchange reused, as in
+    dominant_suppliers) replace the self-join-twice EXISTS plan a
+    row-store would run; the supplier/nation decoration is a
+    broadcast. Order-grain state is a date + two small counts — never
+    a per-order row buffer.
+
+    Output: top 20 (s_name, nation, n_orders_blamed) by blame count
+    (ref analysis parity: run_analytics.py's seller-performance family;
+    TPC-H Q21 for the shape).
+    """
+    per_supp = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.max("supp_last").alias("order_last"),
+        F.count("*").alias("n_supps"),
+    )
+    blamed = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter(F.col("n_supps") >= 2)
+        .withColumn(
+            "n_at_max",
+            F.count(
+                F.when(F.col("supp_last") == F.col("order_last"), 1)
+            ).over(Window.partitionBy("l_orderkey")),
+        )
+        .filter(
+            (F.col("supp_last") == F.col("order_last"))
+            & (F.col("n_at_max") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_orders_blamed"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(
+                t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_orders_blamed",
+        )
+        .orderBy(F.col("n_orders_blamed").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

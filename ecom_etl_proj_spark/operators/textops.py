@@ -724,6 +724,176 @@ def doc_dup_spans(
     )
 
 
+def dedup_spans_removal(
+    t: dict[str, DataFrame], k: int = 10, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM: rewrite each document with
+    every cross-document-duplicated k-token span cut out.
+
+    The removal stage of suffix-array training-data dedup (the public
+    "deduplicating training data makes language models better" recipe;
+    cf. ref spark_scripts/silver_layer.py's drop-duplicates cleaning
+    stage, which the reference only does row-wise), re-expressed
+    relationally at k-gram granularity: a positional k-gram is
+    "duplicated" iff its hash occurs in >= 2 distinct docs (same
+    min!=max O(1)-state predicate as ``doc_dup_spans``), and a token
+    survives iff NO duplicated gram window covers its position.
+
+    Scale shape: one gram-hash shuffle builds the inverted index
+    (AQE-skew-split for mega-hot boilerplate grams), the per-doc list
+    of duplicated span STARTS comes back through a (doc_id) groupBy
+    whose payload is only the duplicated starts (boilerplate-bounded,
+    not corpus-bounded), and the rewrite itself is ROW-LOCAL: a
+    coverage test of each token position against the sorted start
+    array (O(tokens x dup-spans) per doc — both grain-bounded; no
+    corpus-wide window, no second text shuffle). Docs shorter than
+    ``k`` tokens have no k-grams and pass through verbatim.
+
+    Output: (doc_id, n_tokens, n_removed, removed_frac, clean_text),
+    every input doc exactly once. ``hash_mode`` as in the dedup
+    family: xxhash64 production, md5 pinned by the registry oracle.
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    toks = "split(lower(trim(text)), ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+    )
+    g = t["documents"].select(
+        "doc_id",
+        F.posexplode(F.transform(grams, lambda s: hash64(s, hash_mode))).alias(
+            "pos", "h"
+        ),
+    )
+    hot = (
+        g.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h", F.lit(True).alias("dup0"))
+    )
+    starts = (
+        g.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    d = t["documents"].join(starts, "doc_id", "left").select(
+        "doc_id",
+        F.expr(toks).alias("w"),
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias(
+            "starts"
+        ),
+    )
+    # Token at 0-based position p is covered iff some duplicated gram
+    # starts in (p-k, p]. `kept` indexes the surviving positions so the
+    # rebuilt text preserves original token order.
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("w") - 1),
+        lambda p: ~F.exists(
+            F.col("starts"), lambda s: (s > p - k) & (s <= p)
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.round(
+            (F.size("w") - F.size(kept)) / F.size("w").cast("double"), 6
+        ).alias("removed_frac"),
+        F.array_join(
+            F.transform(kept, lambda p: F.element_at(F.col("w"), p + 1)), " "
+        ).alias("clean_text"),
+    )
+
+
+def shard_manifest(
+    t: dict[str, DataFrame], n_shards: int = 16, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """Training-dataset shard manifest: hash-assign every document to
+    one of ``n_shards`` output shards and report per-shard volume.
+
+    This is the bookkeeping a distributed dataset writer emits next to
+    its files (docs / tokens / chars per shard, id range): shard
+    assignment is a pure row-local hash — `pmod(hash(doc_id), n)` — so
+    the layout is reproducible from the manifest alone, stays balanced
+    under skewed id ranges (unlike range-partitioning on doc_id), and
+    at write time maps 1:1 onto ``df.repartition(n, shard)`` so each
+    task writes exactly one shard file. One bounded-key (n_shards)
+    shuffle; no windows.
+
+    Output: (shard, n_docs, n_tokens, n_chars, min_doc_id, max_doc_id)
+    ordered by shard. ``hash_mode``: xxhash64 production / md5 oracle,
+    as in the dedup family.
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    d = t["documents"].select(
+        "doc_id",
+        F.pmod(
+            hash64(F.concat(F.lit("shard:"), F.col("doc_id")), hash_mode),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+def training_order(
+    t: dict[str, DataFrame],
+    n_shards: int = 16,
+    seed: int = 7,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global shuffle for training: give every document a
+    reproducible pseudo-random position without a global sort.
+
+    A training run wants documents in an order that is (a) effectively
+    random, (b) identical on every rerun, and (c) producible at 100 TB.
+    A global ``orderBy(rand())`` is neither reproducible nor scalable —
+    it funnels a total order through a range-partitioned sort of the
+    whole corpus. Instead: a hash of (seed, doc_id) IS the shuffle key
+    (reproducible, uniform), the shard is its low bits, and the
+    position is a row_number PARTITIONED BY shard in hash order —
+    per-shard windows over ~corpus/n_shards rows, embarrassingly
+    parallel, exactly the order a reader consuming shard files in
+    round-robin would see. Changing ``seed`` re-deals the entire order.
+
+    Output: (doc_id, shard, position) — position is 0-based within
+    shard. Hash ties (astronomically unlikely at 64 bits, but the
+    oracle must match bit-for-bit) break by doc_id.
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    key = hash64(
+        F.concat(F.lit(f"ord:{seed}:"), F.col("doc_id")), hash_mode
+    )
+    d = t["documents"].select(
+        "doc_id",
+        key.alias("key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return d.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("position"),
+    )
+
+
 def pack_sequences(
     t: dict[str, DataFrame], ctx_len: int = 512, n_shards: int = 32
 ) -> DataFrame:

@@ -1877,6 +1877,120 @@ register(
     """,
 )
 
+register(
+    "dedup_spans_removal",
+    lambda t: textops.dedup_spans_removal(t, k=10, hash_mode="md5"),
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+               CAST('0x' || substring(md5(array_to_string(w[u.i:u.i+9], ' ')),
+                    1, 15) AS BIGINT) AS h
+        FROM words, unnest(range(1, len(w) - 8)) AS u(i)
+        WHERE len(w) >= 10
+    ),
+    hot AS (
+        SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    ds AS (SELECT g.doc_id, g.pos FROM g JOIN hot ON g.h = hot.h),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + CAST(u.i AS INT) AS p
+        FROM ds, unnest(range(0, 10)) AS u(i)
+    ),
+    toks AS (
+        SELECT doc_id, CAST(u.i - 1 AS INT) AS p, w[u.i] AS word
+        FROM words, unnest(range(1, len(w) + 1)) AS u(i)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           round(sum(CASE WHEN c.p IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS removed_frac,
+           coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.word END,
+                               ' ' ORDER BY t.p), '') AS clean_text
+    FROM toks t
+    LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+    GROUP BY t.doc_id
+    """,
+)
+
+register(
+    "shard_manifest",
+    lambda t: textops.shard_manifest(t, n_shards=16, hash_mode="md5"),
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(md5('shard:' || doc_id), 1, 15)
+                    AS BIGINT) % 16 AS INT) AS shard,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_toks,
+               CAST(length(text) AS BIGINT) AS nc
+        FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM d GROUP BY shard ORDER BY shard
+    """,
+)
+
+register(
+    "training_order",
+    lambda t: textops.training_order(t, n_shards=16, seed=7, hash_mode="md5"),
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5('ord:7:' || doc_id), 1, 15)
+                    AS BIGINT) AS key
+        FROM documents
+    )
+    SELECT doc_id, CAST(key % 16 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY key % 16 ORDER BY key, doc_id) - 1 AS BIGINT)
+               AS position
+    FROM d
+    """,
+)
+
+register(
+    "suppliers_kept_waiting",
+    analytics.suppliers_kept_waiting,
+    """
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey, max(supp_last) AS order_last,
+               count(*) AS n_supps
+        FROM per_supp GROUP BY l_orderkey
+    ),
+    cand AS (
+        SELECT s.l_suppkey, s.supp_last, o.order_last,
+               count(CASE WHEN s.supp_last = o.order_last THEN 1 END)
+                   OVER (PARTITION BY s.l_orderkey) AS n_at_max
+        FROM per_supp s JOIN per_order o ON s.l_orderkey = o.l_orderkey
+        WHERE o.n_supps >= 2
+    ),
+    blamed AS (
+        SELECT l_suppkey, count(*) AS n_orders_blamed
+        FROM cand
+        WHERE supp_last = order_last AND n_at_max = 1
+        GROUP BY l_suppkey
+    )
+    SELECT su.s_name, n.n_name AS nation, b.n_orders_blamed
+    FROM blamed b
+    JOIN supplier su ON b.l_suppkey = su.s_suppkey
+    JOIN nation n ON su.s_nationkey = n.n_nationkey
+    ORDER BY n_orders_blamed DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Sketch twins (HLL / KLL / frequent-items): approximate VALUES are
 # engine-specific, so the registered queries are the deterministic
@@ -3296,6 +3410,11 @@ _DRIVER_PRIORITY: list[str] = [
     # --- NEW in r6: verify first —
     "doc_dup_spans",
     "ann_recall_audit",
+    # --- r6 additions (first verification this round) ---
+    "dedup_spans_removal",
+    "shard_manifest",
+    "training_order",
+    "suppliers_kept_waiting",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

@@ -1016,3 +1016,114 @@ def test_ann_ivf_lloyd_recall(spark, tables):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_spans_removal_known_corpus(spark):
+    """dedup_spans_removal semantics on a hand-computed micro-corpus:
+    only tokens covered by a CROSS-document duplicated k-gram window
+    are cut, sub-k docs pass through verbatim, every input doc emits
+    exactly one row, and the transform is hash-mode independent."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # grams abc bcd cde def; abc+bcd dup with 2
+            (2, "x y a b c d q"), # shares abc, bcd -> tokens a b c d covered
+            (3, "p q r s"),       # no overlap -> untouched
+            (4, "zz"),            # shorter than k -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("md5", "xxhash64"):
+        rows = {
+            r["doc_id"]: r
+            for r in textops.dedup_spans_removal(
+                {"documents": docs}, k=3, hash_mode=mode
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}, mode
+        # doc 1: dup gram starts {0, 1} cover token positions 0..3
+        assert rows[1]["clean_text"] == "e f"
+        assert (rows[1]["n_tokens"], rows[1]["n_removed"]) == (6, 4)
+        # doc 2: dup starts {2, 3} cover positions 2..5, keeping x y q
+        assert rows[2]["clean_text"] == "x y q"
+        assert rows[2]["n_removed"] == 4
+        assert rows[3]["clean_text"] == "p q r s"
+        assert rows[3]["n_removed"] == 0
+        assert rows[4]["clean_text"] == "zz"
+        assert rows[4]["removed_frac"] == 0.0
+
+
+def test_shard_manifest_and_training_order(spark):
+    """Shard assignment is a pure hash: manifest totals reconcile with
+    the corpus, training_order emits one contiguous 0-based position
+    sequence per shard, both agree on the shard partitioning's
+    reproducibility, and changing the seed re-deals the order."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 5 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    t = {"documents": docs}
+    man = textops.shard_manifest(t, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in man) == 40
+    assert sum(r["n_tokens"] for r in man) == sum(i % 5 + 1 for i in range(40))
+    assert [r["shard"] for r in man] == sorted(r["shard"] for r in man)
+    # reproducible: a second run yields the identical manifest
+    assert man == textops.shard_manifest(t, n_shards=4).collect()
+
+    order = textops.training_order(t, n_shards=4, seed=7).collect()
+    assert len(order) == 40 and len({r["doc_id"] for r in order}) == 40
+    by_shard: dict[int, list[int]] = {}
+    for r in order:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # same seed -> identical order; different seed -> different deal
+    again = textops.training_order(t, n_shards=4, seed=7).collect()
+    assert sorted(map(tuple, order)) == sorted(map(tuple, again))
+    other = textops.training_order(t, n_shards=4, seed=8).collect()
+    assert sorted(map(tuple, order)) != sorted(map(tuple, other))
+
+
+def test_suppliers_kept_waiting_blame_semantics(spark):
+    """Q21-shape blame: only the UNIQUE latest shipper on a
+    multi-supplier order is blamed — ties exonerate, single-supplier
+    orders never blame."""
+    import datetime
+
+    from ecom_etl_proj_spark.operators import analytics
+
+    d = datetime.datetime
+    li = spark.createDataFrame(
+        [
+            # order 1: supp 10 ships last alone -> blamed
+            (1, 10, d(2024, 1, 5)), (1, 20, d(2024, 1, 2)),
+            # order 2: supps 10 and 20 tie at the max -> nobody blamed
+            (2, 10, d(2024, 2, 1)), (2, 20, d(2024, 2, 1)),
+            # order 3: single supplier -> never blamed
+            (3, 10, d(2024, 3, 1)),
+            # order 4: supp 20 last (multiple lines per supp collapse)
+            (4, 20, d(2024, 4, 9)), (4, 20, d(2024, 4, 1)),
+            (4, 10, d(2024, 4, 5)),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(10, "Supplier#10", 0), (20, "Supplier#20", 1)],
+        "s_suppkey long, s_name string, s_nationkey long",
+    )
+    nat = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    )
+    rows = {
+        r["s_name"]: r
+        for r in analytics.suppliers_kept_waiting(
+            {"lineitem": li, "supplier": supp, "nation": nat}
+        ).collect()
+    }
+    assert rows["Supplier#10"]["n_orders_blamed"] == 1
+    assert rows["Supplier#10"]["nation"] == "ALPHA"
+    assert rows["Supplier#20"]["n_orders_blamed"] == 1
+    assert set(rows) == {"Supplier#10", "Supplier#20"}
