@@ -175,50 +175,26 @@ def shingle_sets(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
     return t["documents"].select("doc_id", X.word_shingles(n).alias("sh"))
 
 
-def dedup_minhash_lsh(
-    t: dict[str, DataFrame],
-    n: int = 3,
-    threshold: float = 0.1,
-    hash_mode: str = "xxhash64",
-) -> DataFrame:
-    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+def minhash_bands(sets: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
+    """(doc_id, band, bh): one-permutation MinHash band keys, ROW-LOCAL.
 
-    The MinHash variant is ONE-PERMUTATION HASHING (Li/Owen/Zhang, NIPS
-    2012): instead of k independent permutations, each shingle hash
-    lands in one of k bins (h mod k) and each bin keeps its minimum.
-    Bins are grouped into bands; band hash = hash of the bin:min pairs
-    in fixed bin order. Same-band-hash docs become candidates —
-    candidate count scales with true near-dup density, not |docs|^2.
+    The sketch stage shared by ``dedup_minhash_lsh`` (corpus-wide
+    self-dedup) and ``incremental_dedup`` (new-batch-vs-corpus): each
+    shingle hash lands in one of BANDS x ROWS bins (h mod bins), each
+    bin keeps its minimum, and each band's key is the hash of its
+    "slot:min" pairs in fixed slot order. Everything up to the emitted
+    (doc_id, band, bh) rows is a single row-local expression over the
+    per-doc distinct-shingle array — the corpus is never exploded, so
+    the FIRST shuffle any caller pays is its own (band, bh) join or
+    groupBy, whose input is at most BANDS bounded rows per doc.
 
-    The whole sketch is ROW-LOCAL: ``word_shingles`` already yields each
-    doc's distinct shingle array, so per-bin minimums are higher-order
-    array folds over that array and the 16 band keys are derived in the
-    same projection — the corpus is never exploded and the FIRST shuffle
-    in the plan is the (band, band-hash) bucket groupBy, whose input is
-    16 bounded rows per doc. (The previous shape exploded the corpus
-    and shuffled it through a (doc_id, band) aggregation first — fine
-    with map-side combine, but a whole extra stage of generated code
-    and, at 100 TB, a full corpus re-scan; the row-local form deletes
-    that stage and the duplicate explode the verify path used to pay.)
-
-    Candidates are then re-scored with exact Jaccard — but ONLY the
-    candidate pairs: the per-doc shingle arrays come straight from the
-    scan projection (``shingle_sets``, row-local) and are joined onto
-    the pair list, so verification cost is O(candidates), never the
-    all-pairs inverted-index join the LSH existed to avoid.
-
-    ``hash_mode``: 'xxhash64' (default) is the production hash — see
-    ``hash64`` for the 100 TB CPU rationale; 'md5' makes every hash
-    cross-engine reproducible so the DuckDB oracle rebuilds the
-    IDENTICAL candidate set (registry pins it). Both modes are
-    A/B-tested for identical verified output.
+    Band key = hash of the "bin:min" pair string — a bounded shuffle
+    key (vs the unbounded concat string). md5 mode is byte-identical in
+    DuckDB, so oracles group on the very same keys. Bands that saw no
+    shingle emit no row (without the filter, every short doc would
+    collide in one giant empty-band bucket).
     """
     n_bins = MINHASH_BANDS * MINHASH_ROWS
-    sets = shingle_sets(t, n)
-
-    # Band key = hash of the "bin:min" pair string — a bounded shuffle
-    # key (vs the unbounded concat string). md5 mode is byte-identical
-    # in DuckDB, so the oracle groups on the very same keys.
     band_key = (
         F.md5 if hash_mode == "md5" else (lambda c: F.xxhash64(c).cast("string"))
     )
@@ -289,13 +265,51 @@ def dedup_minhash_lsh(
         lambda hs: F.transform(F.array(mins_of(hs)), band_structs),
     )
     bands_arr = F.element_at(F.element_at(bands_nested, 1), 1)
-    # A (doc, band) row is emitted only if the band saw at least one
-    # shingle (mirrors the aggregation form, where empty bands simply
-    # had no rows — without the ne-filter, every short doc would
-    # collide in one giant empty-band bucket).
-    bands = sets.select("doc_id", F.explode(bands_arr).alias("b")).select(
+    return sets.select("doc_id", F.explode(bands_arr).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+def dedup_minhash_lsh(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, verified with exact Jaccard.
+
+    The MinHash variant is ONE-PERMUTATION HASHING (Li/Owen/Zhang, NIPS
+    2012): instead of k independent permutations, each shingle hash
+    lands in one of k bins (h mod k) and each bin keeps its minimum.
+    Bins are grouped into bands; band hash = hash of the bin:min pairs
+    in fixed bin order. Same-band-hash docs become candidates —
+    candidate count scales with true near-dup density, not |docs|^2.
+
+    The whole sketch is ROW-LOCAL: ``word_shingles`` already yields each
+    doc's distinct shingle array, so per-bin minimums are higher-order
+    array folds over that array and the 16 band keys are derived in the
+    same projection — the corpus is never exploded and the FIRST shuffle
+    in the plan is the (band, band-hash) bucket groupBy, whose input is
+    16 bounded rows per doc. (The previous shape exploded the corpus
+    and shuffled it through a (doc_id, band) aggregation first — fine
+    with map-side combine, but a whole extra stage of generated code
+    and, at 100 TB, a full corpus re-scan; the row-local form deletes
+    that stage and the duplicate explode the verify path used to pay.)
+
+    Candidates are then re-scored with exact Jaccard — but ONLY the
+    candidate pairs: the per-doc shingle arrays come straight from the
+    scan projection (``shingle_sets``, row-local) and are joined onto
+    the pair list, so verification cost is O(candidates), never the
+    all-pairs inverted-index join the LSH existed to avoid.
+
+    ``hash_mode``: 'xxhash64' (default) is the production hash — see
+    ``hash64`` for the 100 TB CPU rationale; 'md5' makes every hash
+    cross-engine reproducible so the DuckDB oracle rebuilds the
+    IDENTICAL candidate set (registry pins it). Both modes are
+    A/B-tested for identical verified output.
+    """
+    sets = shingle_sets(t, n)
+    bands = minhash_bands(sets, hash_mode)
     # Pair generation is a groupBy on (band, band-hash) — ONE shuffle —
     # followed by a row-local expansion of each bucket's sorted doc_id
     # array that is SIZE-AWARE:
@@ -379,6 +393,123 @@ def dedup_minhash_lsh(
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_dedup(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+    batch_mod: int = 10,
+    batch_rem: int = 9,
+) -> DataFrame:
+    """Dedupe an INCOMING batch against an existing corpus — the shape
+    continuous 100 TB ingestion actually runs, where re-clustering the
+    whole corpus per arrival is a non-starter.
+
+    The batch is the docs with ``doc_id % batch_mod == batch_rem``
+    (stand-in for "today's crawl"); everything else is the existing
+    corpus. Verdict per batch doc:
+
+    - ``exact_dup``  — canonical fingerprint already present in the
+      corpus (matched = smallest such corpus doc, jaccard = 1.0);
+    - ``near_dup``   — a MinHash band key collides with a corpus doc
+      AND exact shingle Jaccard >= ``threshold`` (matched = the
+      corpus doc with the highest jaccard, ties to the smaller id);
+    - ``new``        — neither (matched/jaccard null).
+
+    Exact-dup wins over near-dup. Every batch doc emits exactly one
+    row: (doc_id, verdict, matched_doc_id, jaccard).
+
+    Scale shape: the corpus side of both probes — the fingerprint set
+    and the ``minhash_bands`` table — is STATE a production pipeline
+    computes once and appends to per batch (here derived in-plan from
+    the same scan, purely for self-containedness; the join topology is
+    what matters). Every join is keyed by the batch: band collisions
+    shuffle (band, bh) rows — bounded per doc — and only COLLIDING
+    pairs are verified with exact Jaccard, so per-batch cost is
+    O(batch + collisions) regardless of corpus size; with the state
+    table bucketed by (band, bh) on disk, the probe becomes a
+    zero-exchange bucket join. No corpus self-join anywhere — this is
+    deliberately NOT dedup_minhash_lsh over (corpus + batch), which
+    would re-verify every historical pair on every arrival.
+    """
+    from ecom_etl_proj_spark.functions import text as X
+
+    is_batch = F.pmod(F.col("doc_id"), F.lit(batch_mod)) == batch_rem
+    docs = t["documents"]
+    batch_ids = docs.filter(is_batch).select("doc_id")
+
+    # --- exact probe: batch fingerprints vs the corpus fingerprint set
+    fps = docs.select("doc_id", X.fingerprint().alias("fp"))
+    exact = (
+        fps.filter(is_batch)
+        .join(
+            fps.filter(~is_batch).select(
+                F.col("fp"), F.col("doc_id").alias("corpus_id")
+            ),
+            "fp",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("exact_id"))
+    )
+
+    # --- near probe: band-key collisions, then exact-Jaccard verify of
+    # ONLY the colliding (batch, corpus) pairs
+    sets = shingle_sets(t, n)
+    bands = minhash_bands(sets, hash_mode)
+    cand = (
+        bands.filter(is_batch)
+        .join(
+            bands.filter(~is_batch).select(
+                "band", "bh", F.col("doc_id").alias("cand_id")
+            ),
+            ["band", "bh"],
+        )
+        .select("doc_id", "cand_id")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    near = (
+        cand.join(sa, "doc_id")
+        .join(sb, "cand_id")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        # best match = highest jaccard, smallest corpus id on ties —
+        # one max over a (jaccard, -id) struct, no per-doc row buffer
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("cand_id")).alias("nid"))
+            ).alias("best")
+        )
+        .select(
+            "doc_id",
+            (-F.col("best.nid")).alias("near_id"),
+            F.col("best.jaccard").alias("near_jaccard"),
+        )
+    )
+
+    return (
+        batch_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce(F.col("exact_id"), F.col("near_id")).alias(
+                "matched_doc_id"
+            ),
+            F.when(F.col("exact_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_jaccard"))
+            .alias("jaccard"),
+        )
     )
 
 

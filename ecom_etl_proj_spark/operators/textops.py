@@ -894,6 +894,60 @@ def training_order(
     )
 
 
+def mixture_sample(
+    t: dict[str, DataFrame],
+    hash_mode: str = "xxhash64",
+    grain: int = 1_000_000,
+    target_num: int = 1,
+    target_den: int = 1,
+) -> DataFrame:
+    """Deterministic balanced mixture sampling: downsample every source
+    to ``target_num/target_den`` of the rarest source's size (in
+    expectation) with a hash-Bernoulli keep rule — the data-mixing step
+    in front of training-corpus assembly, where one over-crawled source
+    would otherwise dominate the token budget.
+
+    Keep rule: doc survives iff ``hash(doc) mod grain < grain *
+    (min_count * num / den) / count(source)``, evaluated as the
+    ALL-INTEGER comparison ``h * count(source) * den < grain *
+    min_count * num`` — exact in both engines, no float boundary to
+    flip, reproducible run to run (rerunning selects the SAME docs,
+    unlike rand()-based sampling, so downstream shards and dedup state
+    stay stable). The rational target keeps the rule meaningful on an
+    already-balanced corpus too (den=2 halves every source).
+
+    Scale shape: per-source counts are one bounded-key aggregation
+    broadcast back onto the scan; the keep test itself is row-local —
+    the corpus is never shuffled. The rarest source passes through
+    whole (its rate is 1).
+
+    Output: kept (doc_id, source, n_tokens). ``hash_mode``: xxhash64
+    production / md5 pinned by the registry oracle.
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.pmod(
+            hash64(F.concat(F.lit("mix:"), F.col("doc_id")), hash_mode),
+            F.lit(grain),
+        ).alias("h"),
+    )
+    per_src = d.groupBy("source").agg(F.count("*").alias("src_cnt"))
+    min_cnt = per_src.agg(F.min("src_cnt").alias("min_cnt"))
+    return (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(min_cnt))
+        .filter(
+            F.col("h") * F.col("src_cnt") * F.lit(target_den)
+            < F.lit(grain) * F.col("min_cnt") * F.lit(target_num)
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
 def pack_sequences(
     t: dict[str, DataFrame], ctx_len: int = 512, n_shards: int = 32
 ) -> DataFrame:

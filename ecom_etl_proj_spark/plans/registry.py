@@ -788,6 +788,93 @@ register(
     _MINHASH_CTES + "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1",
 )
 
+register(
+    "incremental_dedup",
+    lambda t: dedup.incremental_dedup(t, threshold=0.1, hash_mode="md5"),
+    _SHINGLE_SQL
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    hh AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+           FROM ex),
+    bb AS (SELECT doc_id, h,
+                  CAST((h % {dedup.MINHASH_BANDS * dedup.MINHASH_ROWS}) // {dedup.MINHASH_ROWS} AS INT) AS band,
+                  CAST((h % {dedup.MINHASH_BANDS * dedup.MINHASH_ROWS}) % {dedup.MINHASH_ROWS} AS INT) AS r
+           FROM hh),
+    pb AS (SELECT doc_id, band,
+                  min(CASE WHEN r = 0 THEN h END) AS m0,
+                  min(CASE WHEN r = 1 THEN h END) AS m1,
+                  min(CASE WHEN r = 2 THEN h END) AS m2,
+                  min(CASE WHEN r = 3 THEN h END) AS m3
+           FROM bb GROUP BY 1, 2),
+    bkeys AS (SELECT doc_id, band, md5(concat_ws(',',
+                  CASE WHEN m0 IS NOT NULL THEN concat(band*4 + 0, ':', m0) END,
+                  CASE WHEN m1 IS NOT NULL THEN concat(band*4 + 1, ':', m1) END,
+                  CASE WHEN m2 IS NOT NULL THEN concat(band*4 + 2, ':', m2) END,
+                  CASE WHEN m3 IS NOT NULL THEN concat(band*4 + 3, ':', m3) END))
+               AS bh FROM pb),
+    cand AS (
+        SELECT DISTINCT b.doc_id, e.doc_id AS cand_id
+        FROM bkeys b JOIN bkeys e ON b.band = e.band AND b.bh = e.bh
+        WHERE b.doc_id % 10 = 9 AND e.doc_id % 10 <> 9
+    ),
+    jac AS (
+        SELECT * FROM (
+            SELECT c.doc_id, c.cand_id,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / (len(a.s) + len(b.s)
+                            - len(list_intersect(a.s, b.s))), 4) AS jaccard
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_id
+            JOIN sh b ON b.doc_id = c.cand_id
+        ) WHERE jaccard >= 0.1
+    ),
+    near AS (
+        SELECT doc_id, cand_id AS near_id, jaccard AS near_jaccard
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY jaccard DESC, cand_id ASC) AS rn FROM jac)
+        WHERE rn = 1
+    ),
+    fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+    exact AS (
+        SELECT b.doc_id, min(e.doc_id) AS exact_id
+        FROM fp b JOIN fp e ON b.fp = e.fp AND e.doc_id % 10 <> 9
+        WHERE b.doc_id % 10 = 9
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN x.exact_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           coalesce(x.exact_id, nr.near_id) AS matched_doc_id,
+           CASE WHEN x.exact_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                ELSE nr.near_jaccard END AS jaccard
+    FROM documents d
+    LEFT JOIN exact x ON d.doc_id = x.doc_id
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % 10 = 9
+    """,
+)
+
+register(
+    "mixture_sample",
+    lambda t: textops.mixture_sample(t, hash_mode="md5", target_den=2),
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST('0x' || substring(md5('mix:' || doc_id), 1, 15) AS BIGINT)
+                   % 1000000 AS h
+        FROM documents
+    ),
+    ps AS (SELECT source, count(*) AS src_cnt FROM d GROUP BY source),
+    mn AS (SELECT min(src_cnt) AS min_cnt FROM ps)
+    SELECT d.doc_id, d.source, d.n_tokens
+    FROM d JOIN ps ON d.source = ps.source CROSS JOIN mn
+    WHERE d.h * ps.src_cnt * 2 < 1000000 * mn.min_cnt
+    """,
+)
+
 # SimHash's banded candidate generation has GUARANTEED recall at the
 # registered radius and exact bit_count verification, so its output
 # EQUALS the exact all-pairs answer — the oracle is the brute-force
@@ -3415,6 +3502,8 @@ _DRIVER_PRIORITY: list[str] = [
     "shard_manifest",
     "training_order",
     "suppliers_kept_waiting",
+    "incremental_dedup",
+    "mixture_sample",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

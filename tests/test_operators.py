@@ -1127,3 +1127,67 @@ def test_suppliers_kept_waiting_blame_semantics(spark):
     assert rows["Supplier#10"]["nation"] == "ALPHA"
     assert rows["Supplier#20"]["n_orders_blamed"] == 1
     assert set(rows) == {"Supplier#10", "Supplier#20"}
+
+
+def test_incremental_dedup_verdicts(spark):
+    """incremental_dedup on a hand-built corpus+batch: exact-dup wins
+    over near-dup, near-dup picks the highest-jaccard corpus match,
+    unseen docs come back 'new', and corpus docs never emit rows."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            # corpus (doc_id % 10 != 9)
+            (1, base),
+            (2, "completely different corpus material here entirely"),
+            # batch (doc_id % 10 == 9)
+            (9, base),                                   # exact dup of 1
+            (19, base + " with a small twist at the end"),  # near dup of 1
+            (29, "nothing like anything stored before xyzzy plugh"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("md5", "xxhash64"):
+        rows = {
+            r["doc_id"]: r
+            for r in dedup.incremental_dedup(
+                {"documents": docs}, threshold=0.1, hash_mode=mode
+            ).collect()
+        }
+        assert set(rows) == {9, 19, 29}, mode
+        assert rows[9]["verdict"] == "exact_dup"
+        assert rows[9]["matched_doc_id"] == 1
+        assert rows[9]["jaccard"] == 1.0
+        assert rows[19]["verdict"] == "near_dup"
+        assert rows[19]["matched_doc_id"] == 1
+        assert 0.1 <= rows[19]["jaccard"] < 1.0
+        assert rows[29]["verdict"] == "new"
+        assert rows[29]["matched_doc_id"] is None
+        assert rows[29]["jaccard"] is None
+
+
+def test_mixture_sample_balances_sources(spark):
+    """mixture_sample downsamples over-represented sources toward the
+    rarest source's size: the rare source survives whole at num/den=1,
+    the 10x source keeps roughly a tenth, and the selection is
+    deterministic across reruns."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [(i, "w " * (i % 3 + 1), "big") for i in range(400)]
+    rows += [(1000 + i, "w w", "rare") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    t = {"documents": docs}
+    kept = textops.mixture_sample(t).collect()
+    by_src: dict[str, int] = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["rare"] == 40            # rate 1: rarest passes whole
+    assert 15 <= by_src["big"] <= 70       # E=40 of 400; hash-Bernoulli spread
+    assert sorted(map(tuple, kept)) == sorted(
+        map(tuple, textops.mixture_sample(t).collect())
+    )
+    # halving target: rare source now also thins (E=20)
+    half = textops.mixture_sample(t, target_den=2).collect()
+    n_rare = sum(1 for r in half if r["source"] == "rare")
+    assert 8 <= n_rare <= 32
