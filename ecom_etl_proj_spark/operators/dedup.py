@@ -435,20 +435,37 @@ def incremental_dedup(
     deliberately NOT dedup_minhash_lsh over (corpus + batch), which
     would re-verify every historical pair on every arrival.
     """
-    from ecom_etl_proj_spark.functions import text as X
-
     is_batch = F.pmod(F.col("doc_id"), F.lit(batch_mod)) == batch_rem
     docs = t["documents"]
-    batch_ids = docs.filter(is_batch).select("doc_id")
+    return incremental_probe(
+        docs.filter(is_batch), docs.filter(~is_batch), n, threshold, hash_mode
+    )
+
+
+def incremental_probe(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The probe core behind ``incremental_dedup``: verdicts for
+    ``batch_docs`` (doc_id, text) against ``corpus_docs`` — callable
+    with ANY two document frames, which is exactly what a
+    ``foreachBatch`` streaming micro-batch hands you (see
+    streaming/pipeline.py incremental_dedup_stream). Semantics and
+    scale shape documented on ``incremental_dedup``.
+    """
+    from ecom_etl_proj_spark.functions import text as X
+
+    batch_ids = batch_docs.select("doc_id")
 
     # --- exact probe: batch fingerprints vs the corpus fingerprint set
-    fps = docs.select("doc_id", X.fingerprint().alias("fp"))
+    fp = X.fingerprint().alias("fp")
     exact = (
-        fps.filter(is_batch)
+        batch_docs.select("doc_id", fp)
         .join(
-            fps.filter(~is_batch).select(
-                F.col("fp"), F.col("doc_id").alias("corpus_id")
-            ),
+            corpus_docs.select(fp, F.col("doc_id").alias("corpus_id")),
             "fp",
         )
         .groupBy("doc_id")
@@ -457,12 +474,12 @@ def incremental_dedup(
 
     # --- near probe: band-key collisions, then exact-Jaccard verify of
     # ONLY the colliding (batch, corpus) pairs
-    sets = shingle_sets(t, n)
-    bands = minhash_bands(sets, hash_mode)
+    bsets = shingle_sets({"documents": batch_docs}, n)
+    csets = shingle_sets({"documents": corpus_docs}, n)
     cand = (
-        bands.filter(is_batch)
+        minhash_bands(bsets, hash_mode)
         .join(
-            bands.filter(~is_batch).select(
+            minhash_bands(csets, hash_mode).select(
                 "band", "bh", F.col("doc_id").alias("cand_id")
             ),
             ["band", "bh"],
@@ -470,8 +487,8 @@ def incremental_dedup(
         .select("doc_id", "cand_id")
         .distinct()
     )
-    sa = sets.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_b"))
+    sa = bsets.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
+    sb = csets.select(F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     near = (

@@ -442,3 +442,48 @@ def serve_latest(df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+):
+    """Continuous-ingestion dedup: every arriving micro-batch of
+    documents is probed against the EXISTING corpus state and its
+    verdicts appended to ``out_path``.
+
+    This is the streaming face of ``operators.dedup.incremental_probe``
+    — the same batch-keyed join topology (fingerprint probe + MinHash
+    band-collision probe + collision-only Jaccard verify), driven by
+    ``foreachBatch``: the probe needs a windowless best-match
+    aggregation over the micro-batch, which append-mode streaming
+    aggregation can't express but a per-batch BATCH plan can — exactly
+    what foreachBatch exists for (and how production incremental
+    pipelines run their upsert step). The corpus side is a static
+    frame (in production: the persisted, (band, bh)-bucketed state
+    table, appended to per batch); per-micro-batch cost is
+    O(batch + collisions) regardless of corpus size. Append-mode
+    parquet sink + checkpoint give exactly-once verdict delivery per
+    epoch.
+    """
+    from ecom_etl_proj_spark.operators.dedup import incremental_probe
+
+    def probe_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_probe(
+            batch_df, corpus_docs, n, threshold, hash_mode
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(probe_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -609,3 +609,41 @@ def test_stateful_counters_survive_restart(spark, tables, events_dir):
     assert latest == expect
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tables):
+    """Streaming a document batch through incremental_dedup_stream's
+    foreachBatch probe yields exactly the batch incremental_dedup
+    verdicts, regardless of how the files split into micro-batches."""
+    import tempfile
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    docs = tables["documents"]
+    batch = docs.filter(F.pmod("doc_id", F.lit(10)) == 9)
+    corpus = docs.filter(F.pmod("doc_id", F.lit(10)) != 9)
+
+    with tempfile.TemporaryDirectory(prefix="incdedup_") as d:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        batch.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)  # force several micro-batches
+            .parquet(src)
+        )
+        q = pipeline.incremental_dedup_stream(
+            stream, corpus, out, ckpt, hash_mode="md5"
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.read.parquet(out).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                dedup.incremental_dedup(
+                    {"documents": docs}, hash_mode="md5"
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
