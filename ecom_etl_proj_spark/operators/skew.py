@@ -51,19 +51,25 @@ def salted_join(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_key: str, n_buckets: int = 32
+    df: DataFrame, table_name: str, bucket_key, n_buckets: int = 32
 ) -> None:
-    """Persist a table bucketed by its join key.
+    """Persist a table bucketed by its join key(s).
 
     Two tables bucketed by the same key with the same bucket count join
     with ZERO exchanges — the physical plan reads pre-hashed files and
     sort-merge-joins in place. This is the lake-layout answer to the
     orders⋈lineitem fact-fact shuffle; asserted in tests/test_plans.py.
+    A bucketed table joined against an UNbucketed probe still saves its
+    own exchange (only the probe side shuffles) — the incremental-dedup
+    state-table layout. ``bucket_key`` may be one column name or a list
+    (Spark requires the bucket spec to cover ALL join keys for exchange
+    elimination — spark.sql.requireAllClusterKeysForCoPartition).
     """
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     (
         df.write.mode("overwrite")
         .format("parquet")
-        .bucketBy(n_buckets, bucket_key)
-        .sortBy(bucket_key)
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
         .saveAsTable(table_name)
     )

@@ -401,3 +401,56 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_incremental_probe_bucketed_state_single_exchange(spark, tables):
+    """incremental_dedup's docstring claims the corpus band state, once
+    persisted bucketed by its probe key, joins with NO exchange on the
+    state side — only the (batch-sized) probe side shuffles. Assert it:
+    the collision join's plan has exactly ONE Exchange, and it is not
+    above the bucketed state scan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import dedup, skew
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.pmod("doc_id", F.lit(10)) != 9)
+    batch = docs.filter(F.pmod("doc_id", F.lit(10)) == 9)
+    state = dedup.minhash_bands(
+        dedup.shingle_sets({"documents": corpus}), "md5"
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+
+    def drop():
+        spark.sql("DROP TABLE IF EXISTS band_state")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/band_state", ignore_errors=True)
+
+    drop()
+    skew.write_bucketed(state, "band_state", ["band", "bh"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = dedup.minhash_bands(
+            dedup.shingle_sets({"documents": batch}), "md5"
+        )
+        j = spark.table("band_state").select(
+            "band", "bh", F.col("doc_id").alias("cand_id")
+        ).join(probe, ["band", "bh"])
+        plan = plan_of(j)
+        # formatted tree prefixes every line of the join's LEFT (state)
+        # subtree with ':' — the bucketed state must sort-merge in place
+        state_subtree = [
+            ln for ln in plan.splitlines() if ln.lstrip().startswith(":")
+        ]
+        assert state_subtree and not any(
+            "Exchange" in ln for ln in state_subtree
+        ), plan
+        assert "SortMergeJoin" in plan and "Exchange" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop()
