@@ -80,6 +80,19 @@ LLM_HEADLINE = [
     "gopher_quality",
 ]
 
+# Third stable-keyed ring (round 6): the continuous-ingestion path —
+# batch-vs-corpus dedup probe, duplicated-span removal, mixture
+# sampling, shard layout. Distinct "ingest_*" keys; first series this
+# round, so r5 totals are unaffected. Registry callables (oracle-pinned
+# md5 modes), semi-warm like the llm ring.
+INGEST_HEADLINE = [
+    "incremental_dedup",
+    "dedup_spans_removal",
+    "mixture_sample",
+    "shard_manifest",
+    "training_order",
+]
+
 
 def _llm_prod_queries():
     """PRODUCTION-mode callables for the llm ring: the registry pins
@@ -141,11 +154,15 @@ def main() -> None:
     t2, _ = one_pass("warm2", HEADLINE)
     l2, _ = one_pass("llm-warm2", LLM_HEADLINE)
     p2, _ = one_pass("llm-prod-warm2", prod_names)
+    g0, g0_total = one_pass("ingest", INGEST_HEADLINE)
+    g1, _ = one_pass("ingest-warm1", INGEST_HEADLINE)
+    g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)
     warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
     warm_total = round(sum(warm.values()), 3)
     llm_warm = {name: min(l1[name], l2[name]) for name in LLM_HEADLINE}
     llm_warm_total = round(sum(llm_warm.values()), 3)
     llm_prod_warm = {name: min(p1[name], p2[name]) for name in prod_names}
+    ingest_warm = {name: min(g1[name], g2[name]) for name in INGEST_HEADLINE}
     compile_overhead = {
         name: round(max(0.0, cold_times[name] - warm[name]), 3)
         for name in HEADLINE
@@ -178,6 +195,12 @@ def main() -> None:
                 # registry's oracle pins — first-run and warm-min
                 "llm_prod_queries": p0,
                 "llm_prod_warm_queries": llm_prod_warm,
+                # continuous-ingestion ring (first series in r6)
+                "ingest_queries": g0,
+                "ingest_value": g0_total,
+                "ingest_value_semantics": "semi-warm-first-run",
+                "ingest_warm_queries": ingest_warm,
+                "ingest_warm_value": round(sum(ingest_warm.values()), 3),
                 "loadavg": [round(x, 2) for x in loadavg],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
