@@ -864,3 +864,50 @@ def dedup_clusters(
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_representative"),
     )
+
+
+def representative_selection(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Quality-aware dedup keeper: per near-dup component, keep the
+    HIGHEST-QUALITY member instead of the smallest id.
+
+    Min-id representatives (dedup_clusters) are cheap and stable, but a
+    training pipeline wants the best copy of each duplicated document —
+    the public crawl-dedup recipes keep e.g. the longest or
+    least-boilerplate variant. This composes the LSH components with
+    the text_quality score: one row per component —
+    (component_id, n_members, keep_doc_id, keep_quality) — where the
+    keeper maximizes (quality_score, smallest id on exact ties).
+
+    The selection is a single component-grain aggregation over a
+    (quality, -id) struct max — O(1) state per component, no per-group
+    row buffer, no window over the corpus. Components come from the
+    same checkpointed label propagation dedup_clusters uses; quality is
+    a row-local Catalyst expression. ``hash_mode`` as in the family.
+    """
+    from ecom_etl_proj_spark.operators.textops import text_quality
+
+    comp = connected_components(dedup_minhash_lsh(t, n, threshold, hash_mode))
+    q = text_quality(t).select("doc_id", "quality_score")
+    return (
+        comp.join(q, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality_score"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "component_id",
+            "n_members",
+            (-F.col("best.nid")).alias("keep_doc_id"),
+            F.col("best.quality_score").alias("keep_quality"),
+        )
+    )

@@ -562,3 +562,46 @@ def topic_counters(t: dict[str, DataFrame]) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+def event_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """Markov transition structure of the clickstream: for every
+    (event_type -> next event_type) pair within a user's timeline, the
+    transition count and the row-normalized probability.
+
+    The behavioral-flow query behind funnel diagnostics (which step
+    follows which, where sessions leak) — the reference's event
+    analytics stop at per-type counts (consumer.py counters); this adds
+    the first-order chain. The successor comes from a ``lead`` window
+    PARTITIONED BY user (user-grain bounded — never a global window;
+    ties at identical timestamps break deterministically by event_id).
+    Counts aggregate on the bounded (type, next_type) key — at most
+    |event_types|² rows — and the per-source normalizer is a broadcast
+    of the tiny per-type totals, so the corpus shuffles once for the
+    user window and once into a bounded aggregation.
+
+    Output: (event_type, next_type, n_transitions, prob), prob summing
+    to 1 per event_type over its outgoing transitions.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_transitions").alias("total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("total"), 6).alias("prob"),
+        )
+    )

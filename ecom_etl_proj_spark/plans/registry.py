@@ -2340,6 +2340,80 @@ register(
 )
 
 register(
+    "representative_selection",
+    lambda t: dedup.representative_selection(t, hash_mode="md5"),
+    "WITH RECURSIVE "
+    + _MINHASH_CTES.strip().removeprefix("WITH")
+    + f""",
+    cpairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.1),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM cpairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(lbl) AS component_id
+        FROM reach GROUP BY node
+    ),
+    qfeats AS (
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+               round((length(lower(text))
+                      - length(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                              '', 'g')))
+                     / CAST(length(lower(text)) AS DOUBLE), 4) AS punct_ratio,
+               {_stop_sql(_EN)} AS stop_ratio
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id,
+               round(least(n_tokens / 50.0, 1.0) * 0.4
+                     + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+        FROM qfeats
+    ),
+    ranked AS (
+        SELECT c.component_id, c.doc_id, q.quality_score,
+               count(*) OVER (PARTITION BY c.component_id) AS n_members,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+        FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+    )
+    SELECT component_id, n_members, doc_id AS keep_doc_id,
+           quality_score AS keep_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+register(
+    "event_transition_matrix",
+    events.event_transition_matrix,
+    """
+    WITH pairs AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, next_type, count(*) AS n_transitions
+        FROM pairs WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n_transitions,
+           round(n_transitions / CAST(sum(n_transitions) OVER (
+               PARTITION BY event_type) AS DOUBLE), 6) AS prob
+    FROM counts
+    """,
+)
+
+register(
     "rolling_active_users",
     events.rolling_active_users,
     """
@@ -3504,6 +3578,8 @@ _DRIVER_PRIORITY: list[str] = [
     "suppliers_kept_waiting",
     "incremental_dedup",
     "mixture_sample",
+    "representative_selection",
+    "event_transition_matrix",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

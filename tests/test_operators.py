@@ -1191,3 +1191,58 @@ def test_mixture_sample_balances_sources(spark):
     half = textops.mixture_sample(t, target_den=2).collect()
     n_rare = sum(1 for r in half if r["source"] == "rare")
     assert 8 <= n_rare <= 32
+
+
+def test_representative_selection_quality_keeper(spark):
+    """representative_selection keeps the HIGHEST-quality member of a
+    near-dup component even when it is not the smallest doc_id."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    base = "the cat sat on the mat and looked around quietly today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            # superset of doc 1's shingles -> near-dup; longer and more
+            # stopword glue -> strictly higher quality score
+            (2, base + " in the warm afternoon sun and the dog was there"),
+            (3, "completely unrelated content about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.representative_selection(
+        {"documents": docs}, hash_mode="md5"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["component_id"] == 1
+    assert rows[0]["n_members"] == 2
+    assert rows[0]["keep_doc_id"] == 2
+    assert rows[0]["keep_quality"] > 0
+
+
+def test_event_transition_matrix_probabilities(spark):
+    """Transition counts follow each user's time-ordered chain and
+    probs normalize per source type."""
+    import datetime
+
+    from ecom_etl_proj_spark.operators import events as ev
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10, 0), "u1", "view"),
+        (2, d(2024, 1, 1, 10, 1), "u1", "click"),
+        (3, d(2024, 1, 1, 10, 2), "u1", "view"),
+        (4, d(2024, 1, 1, 11, 0), "u2", "view"),
+        (5, d(2024, 1, 1, 11, 5), "u2", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    got = {
+        (r["event_type"], r["next_type"]): r
+        for r in ev.event_transition_matrix({"events": df}).collect()
+    }
+    assert got[("view", "click")]["n_transitions"] == 1
+    assert got[("view", "click")]["prob"] == 0.5
+    assert got[("view", "purchase")]["prob"] == 0.5
+    assert got[("click", "view")]["prob"] == 1.0
+    assert set(got) == {("view", "click"), ("view", "purchase"), ("click", "view")}
