@@ -39,7 +39,16 @@ load on identical code):
     the host was busy;
   - "compile_overhead": per-query cold minus warm-min — the
     whole-stage-codegen + first-scan cost, i.e. the part of the cold
-    number that is NOT steady-state engine work.
+    number that is NOT steady-state engine work;
+  - "calibration_sec" (round 6): warm-min wall time of a FIXED pure-JVM
+    workload (sum of xxhash64-of-string over spark.range(3e7), 32
+    slices — real per-row work, same primitive the dedup family leans
+    on) that never changes round to round. Rounds run on whatever host the
+    driver provisions, and identical code has measured 1.4-1.5x swings
+    between round hosts; dividing any series by the ratio of
+    calibration_sec values puts two rounds on the same footing. (r6
+    example: every untouched headline query ran ~1.45x its r5 time
+    while calibration confirmed the host, not the code, was slower.)
 """
 
 from __future__ import annotations
@@ -145,6 +154,20 @@ def main() -> None:
 
     prod_names = list(_llm_prod_queries())
     loadavg = os.getloadavg()
+
+    def calibrate() -> float:
+        """Warm-min of a fixed arithmetic aggregation: host-speed
+        yardstick, independent of the code under test."""
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(0, 30_000_000, 1, 32).selectExpr(
+                "sum(pmod(xxhash64(cast(id AS string)), 1000000)) AS s"
+            ).collect()
+            times.append(time.time() - t0)
+        return round(min(times), 3)
+
+    calibration = calibrate()
     cold_times, cold_total = one_pass("cold", HEADLINE)
     llm_cold, llm_cold_total = one_pass("llm-cold", LLM_HEADLINE)
     p0, _ = one_pass("llm-prod", prod_names)
@@ -202,6 +225,7 @@ def main() -> None:
                 "ingest_warm_queries": ingest_warm,
                 "ingest_warm_value": round(sum(ingest_warm.values()), 3),
                 "loadavg": [round(x, 2) for x in loadavg],
+                "calibration_sec": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
