@@ -605,3 +605,38 @@ def event_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
             F.round(F.col("n_transitions") / F.col("total"), 6).alias("prob"),
         )
     )
+
+
+def top_event_paths(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
+    """Most common 3-step event sequences across user timelines — the
+    path-analysis companion to ``event_transition_matrix`` (second-order
+    where the matrix is first-order).
+
+    Two ``lead`` hops over the same user-partitioned window (one sort,
+    user-grain bounded, identical-timestamp ties broken by event_id),
+    then a bounded (step1, step2, step3) aggregation — at most
+    |event_types|³ keys. Output: top ``top``
+    (step1, step2, step3, n_paths), deterministic tie-break on the
+    steps.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        t["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("step2", F.lead("event_type", 1).over(w))
+        .withColumn("step3", F.lead("event_type", 2).over(w))
+        .filter(F.col("step3").isNotNull())
+    )
+    return (
+        paths.groupBy(
+            F.col("event_type").alias("step1"), "step2", "step3"
+        )
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("step1").asc(),
+            F.col("step2").asc(),
+            F.col("step3").asc(),
+        )
+        .limit(top)
+    )

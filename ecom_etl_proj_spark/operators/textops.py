@@ -1054,3 +1054,39 @@ def curated_pack(
     losers = clusters.filter(~F.col("is_representative")).select("doc_id")
     final = survivors.join(losers, "doc_id", "left_anti")
     return pack_sequences({**t, "documents": final}, ctx_len, n_shards)
+
+
+def bpe_merge_candidates(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide
+    counts of adjacent symbol pairs inside words, highest first.
+
+    Byte-pair-encoding training is "count all adjacent symbol pairs,
+    merge the most frequent, repeat" — at 100 TB the COUNTING step is
+    the distributed part (the merge table itself is tiny driver state),
+    and this is that step for the character-level round one: per word,
+    adjacent character pairs come from a row-local positional
+    transform (no corpus-sized intermediate before the explode); the
+    only shuffle is the bounded (pair) aggregation — at most
+    |alphabet|² keys, with map-side partial combine doing the heavy
+    lifting. Deterministic tie-break on the pair string.
+
+    Output: top ``top`` (pair, n_occurrences).
+    """
+    words = t["documents"].select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN array() "
+                "ELSE transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2)) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top)
+    )

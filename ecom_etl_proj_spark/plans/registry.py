@@ -2414,6 +2414,46 @@ register(
 )
 
 register(
+    "bpe_merge_candidates",
+    textops.bpe_merge_candidates,
+    """
+    WITH words AS (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substring(w, CAST(u.i AS INT), 2) AS pair
+        FROM words, unnest(range(1, length(w))) AS u(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "top_event_paths",
+    events.top_event_paths,
+    """
+    WITH p AS (
+        SELECT event_type AS step1,
+               LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+               LEAD(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        FROM events
+    )
+    SELECT step1, step2, step3, count(*) AS n_paths
+    FROM p WHERE step3 IS NOT NULL
+    GROUP BY step1, step2, step3
+    ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+    LIMIT 20
+    """,
+)
+
+register(
     "rolling_active_users",
     events.rolling_active_users,
     """
@@ -3580,6 +3620,8 @@ _DRIVER_PRIORITY: list[str] = [
     "mixture_sample",
     "representative_selection",
     "event_transition_matrix",
+    "bpe_merge_candidates",
+    "top_event_paths",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

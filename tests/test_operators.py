@@ -1246,3 +1246,51 @@ def test_event_transition_matrix_probabilities(spark):
     assert got[("view", "purchase")]["prob"] == 0.5
     assert got[("click", "view")]["prob"] == 1.0
     assert set(got) == {("view", "click"), ("view", "purchase"), ("click", "view")}
+
+
+def test_bpe_merge_candidates_counts(spark):
+    """BPE round-one pair counting on a literal corpus: counts include
+    every adjacent character pair occurrence, single-char words emit
+    nothing, rank order is deterministic."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab a"), (2, "aab")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["pair"]: r["n_occurrences"]
+        for r in textops.bpe_merge_candidates({"documents": docs}).collect()
+    }
+    # "aaa" -> aa, aa; "ab" -> ab; "a" -> none; "aab" -> aa, ab
+    assert rows == {"aa": 3, "ab": 2}
+
+
+def test_top_event_paths_sequences(spark):
+    """3-step paths follow each user's time-ordered chain and never
+    cross users."""
+    import datetime
+
+    from ecom_etl_proj_spark.operators import events as ev
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10, 0), "u1", "view"),
+        (2, d(2024, 1, 1, 10, 1), "u1", "click"),
+        (3, d(2024, 1, 1, 10, 2), "u1", "purchase"),
+        (4, d(2024, 1, 1, 10, 3), "u1", "view"),
+        (5, d(2024, 1, 1, 11, 0), "u2", "view"),
+        (6, d(2024, 1, 1, 11, 1), "u2", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string"
+    )
+    got = {
+        (r["step1"], r["step2"], r["step3"]): r["n_paths"]
+        for r in ev.top_event_paths({"events": df}).collect()
+    }
+    # u1 yields view>click>purchase and click>purchase>view; u2 too short
+    assert got == {
+        ("view", "click", "purchase"): 1,
+        ("click", "purchase", "view"): 1,
+    }
