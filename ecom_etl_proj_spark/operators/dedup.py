@@ -454,18 +454,50 @@ def incremental_probe(
     with ANY two document frames, which is exactly what a
     ``foreachBatch`` streaming micro-batch hands you (see
     streaming/pipeline.py incremental_dedup_stream). Semantics and
-    scale shape documented on ``incremental_dedup``.
+    scale shape documented on ``incremental_dedup``. Derives the
+    corpus state in-plan; when the state is already persisted (the
+    production layout — see ``build_dedup_state``), call
+    ``incremental_probe_state`` with the state frames directly.
+    """
+    from ecom_etl_proj_spark.functions import text as X
+
+    corpus_fps = corpus_docs.select("doc_id", X.fingerprint().alias("fp"))
+    corpus_sets = shingle_sets({"documents": corpus_docs}, n)
+    corpus_bands = minhash_bands(corpus_sets, hash_mode)
+    return incremental_probe_state(
+        batch_docs, corpus_fps, corpus_bands, corpus_sets, n, threshold,
+        hash_mode,
+    )
+
+
+def incremental_probe_state(
+    batch_docs: DataFrame,
+    corpus_fps: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sets: DataFrame,
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """``incremental_probe`` against PRE-MATERIALIZED corpus state:
+    ``corpus_fps`` (doc_id, fp), ``corpus_bands`` (doc_id, band, bh),
+    ``corpus_sets`` (doc_id, sh). This is the shape a production
+    pipeline runs — the state is computed once per corpus, appended to
+    per ingested batch (``append_dedup_state``), and each batch scan
+    touches only its own documents plus the state probes. With the
+    band state bucketed by (band, bh) and the fp/sets state bucketed by
+    their keys, every probe join is exchange-free on the state side
+    (tests/test_plans.py proves the band case).
     """
     from ecom_etl_proj_spark.functions import text as X
 
     batch_ids = batch_docs.select("doc_id")
 
     # --- exact probe: batch fingerprints vs the corpus fingerprint set
-    fp = X.fingerprint().alias("fp")
     exact = (
-        batch_docs.select("doc_id", fp)
+        batch_docs.select("doc_id", X.fingerprint().alias("fp"))
         .join(
-            corpus_docs.select(fp, F.col("doc_id").alias("corpus_id")),
+            corpus_fps.select("fp", F.col("doc_id").alias("corpus_id")),
             "fp",
         )
         .groupBy("doc_id")
@@ -475,11 +507,10 @@ def incremental_probe(
     # --- near probe: band-key collisions, then exact-Jaccard verify of
     # ONLY the colliding (batch, corpus) pairs
     bsets = shingle_sets({"documents": batch_docs}, n)
-    csets = shingle_sets({"documents": corpus_docs}, n)
     cand = (
         minhash_bands(bsets, hash_mode)
         .join(
-            minhash_bands(csets, hash_mode).select(
+            corpus_bands.select(
                 "band", "bh", F.col("doc_id").alias("cand_id")
             ),
             ["band", "bh"],
@@ -488,7 +519,9 @@ def incremental_probe(
         .distinct()
     )
     sa = bsets.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
-    sb = csets.select(F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_b"))
+    sb = corpus_sets.select(
+        F.col("doc_id").alias("cand_id"), F.col("sh").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     near = (
@@ -527,6 +560,81 @@ def incremental_probe(
             .otherwise(F.col("near_jaccard"))
             .alias("jaccard"),
         )
+    )
+
+
+def _dedup_state_frames(docs: DataFrame, n: int, hash_mode: str):
+    """(fps, bands, sets) state frames for a document frame."""
+    from ecom_etl_proj_spark.functions import text as X
+
+    sets = shingle_sets({"documents": docs}, n)
+    return (
+        docs.select("doc_id", X.fingerprint().alias("fp")),
+        minhash_bands(sets, hash_mode),
+        sets,
+    )
+
+
+def build_dedup_state(
+    docs: DataFrame,
+    prefix: str,
+    n: int = 3,
+    hash_mode: str = "xxhash64",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the corpus dedup state as three BUCKETED tables:
+    ``{prefix}_fp`` (doc_id, fp; bucketed by fp), ``{prefix}_bands``
+    (doc_id, band, bh; bucketed by (band, bh)), ``{prefix}_sets``
+    (doc_id, sh; bucketed by doc_id).
+
+    This is the production layout the incremental-dedup docstrings
+    promise: the corpus is sketched ONCE; every future batch probes
+    these tables with its own (batch-sized) shuffles while the state
+    sort-merges in place (bucket layout matches each probe's join key —
+    the exchange-free plan is asserted in tests/test_plans.py). At
+    100 TB the state tables are a few percent of corpus bytes (hashes
+    and shingle arrays, not text).
+    """
+    from ecom_etl_proj_spark.operators.skew import write_bucketed
+
+    fps, bands, sets = _dedup_state_frames(docs, n, hash_mode)
+    write_bucketed(fps, f"{prefix}_fp", "fp", n_buckets)
+    write_bucketed(bands, f"{prefix}_bands", ["band", "bh"], n_buckets)
+    write_bucketed(sets, f"{prefix}_sets", "doc_id", n_buckets)
+
+
+def append_dedup_state(
+    new_docs: DataFrame, prefix: str, n: int = 3, hash_mode: str = "xxhash64"
+) -> None:
+    """Fold an ingested batch into the persisted dedup state —
+    ``insertInto`` respects the tables' bucket spec, so appended rows
+    land in the right buckets and the exchange-free probe property is
+    preserved. Run AFTER probing the batch (a batch must not match
+    itself)."""
+    fps, bands, sets = _dedup_state_frames(new_docs, n, hash_mode)
+    fps.write.insertInto(f"{prefix}_fp")
+    bands.write.insertInto(f"{prefix}_bands")
+    sets.write.insertInto(f"{prefix}_sets")
+
+
+def probe_dedup_state(
+    spark,
+    batch_docs: DataFrame,
+    prefix: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Verdicts for ``batch_docs`` against the PERSISTED state tables
+    written by ``build_dedup_state`` / ``append_dedup_state``."""
+    return incremental_probe_state(
+        batch_docs,
+        spark.table(f"{prefix}_fp"),
+        spark.table(f"{prefix}_bands"),
+        spark.table(f"{prefix}_sets"),
+        n,
+        threshold,
+        hash_mode,
     )
 
 

@@ -1294,3 +1294,93 @@ def test_top_event_paths_sequences(spark):
         ("view", "click", "purchase"): 1,
         ("click", "purchase", "view"): 1,
     }
+
+
+def test_connected_components_converges_at_exact_budget(spark):
+    """max_iterations counts label-CHANGING rounds: a run whose final
+    permitted round reaches the fixpoint CONFIRMS instead of raising
+    (r5 ADVICE boundary — confirming costs one extra no-change pass,
+    never an extra allowed round). So the minimal sufficient budget k
+    succeeds while k-1 raises."""
+    import pytest
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    k = None
+    for cand in range(1, 12):
+        try:
+            rows = dedup.connected_components(
+                pairs, max_iterations=cand
+            ).collect()
+            k = cand
+            break
+        except RuntimeError:
+            continue
+    assert k is not None and k > 1, "path-64 should need >1 changing round"
+    assert {r["component_id"] for r in rows} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=k - 1)
+
+
+def test_dedup_state_build_probe_append(spark, tables):
+    """Persisted dedup state: probing the bucketed state tables yields
+    exactly the in-plan incremental_dedup verdicts; appending a batch
+    into the state makes later exact copies of it match."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.pmod("doc_id", F.lit(10)) != 9)
+    batch = docs.filter(F.pmod("doc_id", F.lit(10)) == 9)
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+
+    def drop():
+        for suffix in ("fp", "bands", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS ststate_{suffix}")
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/ststate_{suffix}", ignore_errors=True)
+
+    drop()
+    try:
+        dedup.build_dedup_state(corpus, "ststate", hash_mode="md5", n_buckets=4)
+        got = sorted(
+            map(
+                tuple,
+                dedup.probe_dedup_state(
+                    spark, batch, "ststate", hash_mode="md5"
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                dedup.incremental_dedup(
+                    {"documents": docs}, hash_mode="md5"
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+        # fold the batch in; a re-sent copy of a batch doc (new id) must
+        # now come back exact_dup against the appended state
+        dedup.append_dedup_state(batch, "ststate", hash_mode="md5")
+        resent = batch.limit(1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        orig_id = batch.limit(1).collect()[0]["doc_id"]
+        rows = dedup.probe_dedup_state(
+            spark, resent, "ststate", hash_mode="md5"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["verdict"] == "exact_dup"
+        # matches the original batch doc (or an even-earlier exact copy)
+        assert rows[0]["matched_doc_id"] <= orig_id
+    finally:
+        drop()
