@@ -872,6 +872,12 @@ def training_order(
     parallel, exactly the order a reader consuming shard files in
     round-robin would see. Changing ``seed`` re-deals the entire order.
 
+    Sizing rule at scale: each shard's sort runs in ONE task, so pick
+    ``n_shards`` to make corpus/n_shards one shard FILE (~1 GB — the
+    size training shards are written at anyway): 100 TB → ~100k
+    shards, each a task-local sort. The registry pins 16 purely for
+    the 500-row test corpus.
+
     Output: (doc_id, shard, position) — position is 0-based within
     shard. Hash ties (astronomically unlikely at 64 bits, but the
     oracle must match bit-for-bit) break by doc_id.

@@ -647,3 +647,42 @@ def test_incremental_dedup_stream_matches_batch(spark, tables):
             )
         )
         assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_stream_checkpoint_restart(spark, tables):
+    """Exactly-once across restarts: stop the verdict stream after the
+    first batch of files, restart on the same checkpoint after more
+    files arrive — every doc's verdict appears exactly once."""
+    import shutil
+    import tempfile
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    docs = tables["documents"]
+    batch = docs.filter(F.pmod("doc_id", F.lit(10)) == 9)
+    corpus = docs.filter(F.pmod("doc_id", F.lit(10)) != 9)
+    first = batch.filter(F.pmod("doc_id", F.lit(20)) == 9)
+    second = batch.filter(F.pmod("doc_id", F.lit(20)) == 19)
+
+    with tempfile.TemporaryDirectory(prefix="incdedup_rs_") as d:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        first.repartition(1).write.mode("append").parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(batch.schema).parquet(src)
+            q = pipeline.incremental_dedup_stream(
+                stream, corpus, out, ckpt, hash_mode="md5"
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        n_first = spark.read.parquet(out).count()
+        assert n_first == first.count() > 0
+
+        second.repartition(1).write.mode("append").parquet(src)
+        run_once()  # restart from the same checkpoint
+        got = spark.read.parquet(out)
+        # no re-emission of the first batch, all of the second present
+        assert got.count() == batch.count()
+        assert got.select("doc_id").distinct().count() == batch.count()
+        shutil.rmtree(src, ignore_errors=True)
