@@ -310,6 +310,31 @@ def dedup_minhash_lsh(
     """
     sets = shingle_sets(t, n)
     bands = minhash_bands(sets, hash_mode)
+    return _lsh_pairs_from(bands, sets, threshold)
+
+
+def dedup_minhash_lsh_state(
+    spark, prefix: str, threshold: float = 0.1
+) -> DataFrame:
+    """Corpus self-dedup from the PERSISTED state tables
+    (``build_dedup_state``): identical pair generation and verification
+    as ``dedup_minhash_lsh``, but the band keys and shingle sets come
+    from the bucketed state instead of being re-derived from the text
+    scan. At 100 TB that removes all three corpus text scans the
+    in-plan form pays (sketch + both verify sides) — the state tables
+    are hashes and shingle arrays, a few percent of corpus bytes, and
+    the (band, bh) groupBy reads its key pre-bucketed. Equivalence to
+    the in-plan form is pytest-asserted."""
+    return _lsh_pairs_from(
+        spark.table(f"{prefix}_bands"), spark.table(f"{prefix}_sets"), threshold
+    )
+
+
+def _lsh_pairs_from(
+    bands: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Banded-bucket pair expansion + exact-Jaccard verification shared
+    by the in-plan and persisted-state LSH forms."""
     # Pair generation is a groupBy on (band, band-hash) — ONE shuffle —
     # followed by a row-local expansion of each bucket's sorted doc_id
     # array that is SIZE-AWARE:

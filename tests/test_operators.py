@@ -1384,3 +1384,40 @@ def test_dedup_state_build_probe_append(spark, tables):
         assert rows[0]["matched_doc_id"] <= orig_id
     finally:
         drop()
+
+
+def test_dedup_minhash_lsh_state_equivalence(spark, tables):
+    """Self-dedup from the persisted state tables returns exactly the
+    in-plan dedup_minhash_lsh pairs (no text re-scan needed)."""
+    import shutil
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+
+    def drop():
+        for suffix in ("fp", "bands", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS lshst_{suffix}")
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/lshst_{suffix}", ignore_errors=True)
+
+    drop()
+    try:
+        dedup.build_dedup_state(
+            tables["documents"], "lshst", hash_mode="md5", n_buckets=4
+        )
+        got = sorted(
+            map(
+                tuple,
+                dedup.dedup_minhash_lsh_state(spark, "lshst").collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                dedup.dedup_minhash_lsh(tables, hash_mode="md5").collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        drop()
