@@ -1096,3 +1096,41 @@ def bpe_merge_candidates(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(top)
     )
+
+
+def curation_funnel(
+    t: dict[str, DataFrame], min_quality: float = 0.5, min_tokens: int = 10
+) -> DataFrame:
+    """Per-source curation funnel: how many documents each source loses
+    at every curation stage, with token volumes — the report a data
+    team reads before adjusting crawl/filter policy (which sources are
+    duplicate-heavy, which fail quality).
+
+    A bounded (source, status) rollup over ``curate_corpus``'s verdicts
+    — at most |sources| x 4 rows out — plus per-row share of the
+    source's documents. One doc-keyed join chain (the verdict pass)
+    then one bounded-key aggregation; the percentage normalizer is a
+    window over the aggregated handful, not the corpus.
+
+    Output: (source, status, n_docs, n_tokens, pct_of_source).
+    """
+    v = curate_corpus(t, min_quality, min_tokens).select("doc_id", "status", "n_tokens")
+    src = t["documents"].select("doc_id", "source")
+    agg = (
+        v.join(src, "doc_id")
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "status",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(total).cast("double"), 6
+        ).alias("pct_of_source"),
+    )

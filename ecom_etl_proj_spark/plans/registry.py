@@ -2598,6 +2598,56 @@ register(
 )
 
 register(
+    "curation_funnel",
+    textops.curation_funnel,
+    """
+    WITH fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+    ),
+    keepers AS (
+        SELECT fingerprint, min(doc_id) AS keep_doc_id FROM fp GROUP BY 1
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               round(least(n_tokens / 50.0, 1.0) * 0.4
+                     + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+                   round((length(lower(text))
+                          - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                         / CAST(length(lower(text)) AS DOUBLE), 4) AS punct_ratio,
+                   round(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE)
+                        / len(string_split(lower(trim(text)), ' ')), 4) AS stop_ratio
+            FROM documents
+        )
+    ),
+    verdicts AS (
+        SELECT d.source, q.n_tokens,
+               coalesce(CASE WHEN fp.doc_id != k.keep_doc_id THEN 'duplicate'
+                             WHEN q.n_tokens < 10 THEN 'too_short'
+                             WHEN q.quality_score < 0.5 THEN 'low_quality' END,
+                        'kept') AS status
+        FROM documents d
+        JOIN fp ON d.doc_id = fp.doc_id
+        JOIN keepers k ON fp.fingerprint = k.fingerprint
+        JOIN q ON d.doc_id = q.doc_id
+    ),
+    agg AS (
+        SELECT source, status, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM verdicts GROUP BY source, status
+    )
+    SELECT source, status, n_docs, n_tokens,
+           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY source)
+                               AS DOUBLE), 6) AS pct_of_source
+    FROM agg
+    """,
+)
+
+register(
     "curate_corpus",
     textops.curate_corpus,
     """
@@ -3622,6 +3672,7 @@ _DRIVER_PRIORITY: list[str] = [
     "event_transition_matrix",
     "bpe_merge_candidates",
     "top_event_paths",
+    "curation_funnel",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

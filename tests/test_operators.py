@@ -1421,3 +1421,18 @@ def test_dedup_minhash_lsh_state_equivalence(spark, tables):
         assert got == want and len(got) > 0
     finally:
         drop()
+
+
+def test_curation_funnel_reconciles(spark, tables):
+    """The funnel's per-source doc counts reconcile exactly with the
+    corpus, and per-source shares sum to 1."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = textops.curation_funnel(tables).collect()
+    assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
+    by_src: dict[str, float] = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0.0) + r["pct_of_source"]
+        assert r["status"] in {"kept", "duplicate", "too_short", "low_quality"}
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
