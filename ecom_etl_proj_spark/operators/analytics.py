@@ -1587,3 +1587,67 @@ def suppliers_kept_waiting(t: dict[str, DataFrame]) -> DataFrame:
         .orderBy(F.col("n_orders_blamed").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+def copurchase_pagerank(
+    t: dict[str, DataFrame], iters: int = 3, top: int = 20
+) -> DataFrame:
+    """PageRank over the co-purchase product graph — which products sit
+    at the center of basket co-occurrence (the 'customers also bought'
+    centrality signal).
+
+    Iterative weighted graph algorithm as a REGISTERED, hash-verified
+    query: ranks use ALL-INTEGER arithmetic (scale 1e6, truncating
+    integer division at every step), so the iteration is bit-exact and
+    associative — no float summation-order noise between engines — and
+    the DuckDB oracle unrolls the same ``iters`` steps as chained CTEs.
+    Damping 0.85 in rational form: r' = (15·SCALE + 85·Σ contrib) div
+    100, contrib(v) = r(v) div deg(v).
+
+    Scale shape: co-purchase edges come from a basket-grain self-join
+    (fan-out ≤ basket² per order — baskets are bounded, so edge count
+    is linear in orders at any corpus size); each iteration is one
+    edge⋈rank join plus one bounded (dst) aggregation, both on the same
+    partkey-derived shuffle keys. Fixed small ``iters`` keeps the plan
+    depth static; a long-running production variant would
+    localCheckpoint each round exactly like ``dedup.connected_components``.
+
+    Output: top ``top`` (l_partkey, rank) by rank desc, partkey asc.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(15000000 + 85 * s) div 100").cast("long").alias("r"),
+            )
+        )
+    return (
+        ranks.select(F.col("node").alias("l_partkey"), F.col("r").alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("l_partkey").asc())
+        .limit(top)
+    )

@@ -2597,6 +2597,45 @@ register(
     """,
 )
 
+# copurchase_pagerank's fixed iteration count, unrolled as chained CTEs
+# in the oracle (all-integer arithmetic makes each step bit-exact, so
+# the unrolled SQL reproduces the Spark loop value-for-value).
+_PR_STEPS = "".join(
+    f""",
+    r{k} AS (
+        SELECT e.dst AS node,
+               CAST((15000000 + 85 * sum(r.r // d.d)) // 100 AS BIGINT) AS r
+        FROM edges e
+        JOIN r{k - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    )"""
+    for k in range(1, 4)
+)
+
+register(
+    "copurchase_pagerank",
+    analytics.copurchase_pagerank,
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg)
+    {_PR_STEPS}
+    SELECT node AS l_partkey, r AS rank
+    FROM r3
+    ORDER BY rank DESC, l_partkey ASC
+    LIMIT 20
+    """,
+)
+
 register(
     "curation_funnel",
     textops.curation_funnel,
@@ -3673,6 +3712,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_merge_candidates",
     "top_event_paths",
     "curation_funnel",
+    "copurchase_pagerank",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

@@ -1436,3 +1436,30 @@ def test_curation_funnel_reconciles(spark, tables):
         assert r["status"] in {"kept", "duplicate", "too_short", "low_quality"}
     for src, total in by_src.items():
         assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_copurchase_pagerank_hand_graph(spark):
+    """Integer PageRank on a hand-checkable triangle+pendant graph:
+    the hub node outranks the rest, ranks are deterministic across
+    reruns, and single-item orders contribute no nodes."""
+    from ecom_etl_proj_spark.operators import analytics
+
+    # orders: (1) A,B,C triangle; (2) A,D -> A is the hub; (3) E alone
+    li = spark.createDataFrame(
+        [
+            (1, 10), (1, 20), (1, 30),
+            (2, 10), (2, 40),
+            (3, 50),
+        ],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = analytics.copurchase_pagerank({"lineitem": li}).collect()
+    ranks = {r["l_partkey"]: r["rank"] for r in rows}
+    assert set(ranks) == {10, 20, 30, 40}      # E never appears
+    assert ranks[10] == max(ranks.values())    # hub wins
+    assert ranks[20] == ranks[30]              # symmetric pair ties
+    again = {
+        r["l_partkey"]: r["rank"]
+        for r in analytics.copurchase_pagerank({"lineitem": li}).collect()
+    }
+    assert again == ranks
