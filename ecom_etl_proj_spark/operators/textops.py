@@ -640,6 +640,30 @@ def corpus_mix_report(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _positional_gram_hashes(
+    t: dict[str, DataFrame], k: int, hash_mode: str
+) -> DataFrame:
+    """(doc_id, pos, h): every positional k-token gram's hash, computed
+    ROW-LOCALLY (one transform over the token array — no corpus-sized
+    intermediate before the explode). Shared by the duplicated-span
+    diagnostic and removal operators; docs shorter than ``k`` tokens
+    emit no rows."""
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    toks = "split(lower(trim(text)), ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.posexplode(F.transform(grams, lambda s: hash64(s, hash_mode))).alias(
+            "pos", "h"
+        ),
+    )
+
+
 def doc_dup_spans(
     t: dict[str, DataFrame], k: int = 10, hash_mode: str = "xxhash64"
 ) -> DataFrame:
@@ -668,20 +692,7 @@ def doc_dup_spans(
     xxhash64 production, md5 pinned by the registry so DuckDB rebuilds
     identical gram hashes.
     """
-    from ecom_etl_proj_spark.operators.dedup import hash64
-
-    toks = "split(lower(trim(text)), ' ')"
-    grams = F.expr(
-        f"CASE WHEN size({toks}) < {k} THEN array()"
-        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
-    )
-    g = t["documents"].select(
-        "doc_id",
-        F.posexplode(F.transform(grams, lambda s: hash64(s, hash_mode))).alias(
-            "pos", "h"
-        ),
-    )
+    g = _positional_gram_hashes(t, k, hash_mode)
     hot = (
         g.groupBy("h")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -753,20 +764,7 @@ def dedup_spans_removal(
     every input doc exactly once. ``hash_mode`` as in the dedup
     family: xxhash64 production, md5 pinned by the registry oracle.
     """
-    from ecom_etl_proj_spark.operators.dedup import hash64
-
-    toks = "split(lower(trim(text)), ' ')"
-    grams = F.expr(
-        f"CASE WHEN size({toks}) < {k} THEN array()"
-        f" ELSE transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> concat_ws(' ', slice({toks}, i, {k}))) END"
-    )
-    g = t["documents"].select(
-        "doc_id",
-        F.posexplode(F.transform(grams, lambda s: hash64(s, hash_mode))).alias(
-            "pos", "h"
-        ),
-    )
+    g = _positional_gram_hashes(t, k, hash_mode)
     hot = (
         g.groupBy("h")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -780,7 +778,7 @@ def dedup_spans_removal(
     )
     d = t["documents"].join(starts, "doc_id", "left").select(
         "doc_id",
-        F.expr(toks).alias("w"),
+        F.expr("split(lower(trim(text)), ' ')").alias("w"),
         F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias(
             "starts"
         ),
