@@ -1463,3 +1463,48 @@ def test_copurchase_pagerank_hand_graph(spark):
         for r in analytics.copurchase_pagerank({"lineitem": li}).collect()
     }
     assert again == ranks
+
+
+def test_spans_removal_consistency_property(spark):
+    """Property (hypothesis): for arbitrary micro-corpora,
+    dedup_spans_removal agrees with a pure-Python reference — a token
+    survives iff no cross-document duplicated k-gram window covers it —
+    and clean_text is exactly the kept tokens in original order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_etl_proj_spark.operators import textops
+
+    k = 3
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(texts=st.lists(doc, min_size=2, max_size=4))
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in textops.dedup_spans_removal(
+                {"documents": docs}, k=k, hash_mode="md5"
+            ).collect()
+        }
+        # python reference
+        grams: dict[str, set[int]] = {}
+        toks = [t.split(" ") for t in texts]
+        for i, ws in enumerate(toks):
+            for p in range(len(ws) - k + 1):
+                grams.setdefault(" ".join(ws[p : p + k]), set()).add(i)
+        for i, ws in enumerate(toks):
+            covered = set()
+            for p in range(len(ws) - k + 1):
+                if len(grams[" ".join(ws[p : p + k])]) >= 2:
+                    covered.update(range(p, p + k))
+            kept = [w for j, w in enumerate(ws) if j not in covered]
+            assert got[i]["n_tokens"] == len(ws), texts
+            assert got[i]["n_removed"] == len(covered), texts
+            assert got[i]["clean_text"] == " ".join(kept), texts
+
+    check()
