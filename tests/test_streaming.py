@@ -686,3 +686,57 @@ def test_incremental_dedup_stream_checkpoint_restart(spark, tables):
         assert got.count() == batch.count()
         assert got.select("doc_id").distinct().count() == batch.count()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_incremental_dedup_stream_stateful_cross_batch(spark, tables):
+    """The stateful ingestion loop matches ACROSS arrivals: a doc that
+    duplicates an earlier micro-batch's doc (absent from the original
+    corpus) comes back exact_dup against that earlier doc."""
+    import shutil
+    import tempfile
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    corpus = tables["documents"].filter(F.pmod("doc_id", F.lit(10)) != 9)
+    novel = "a genuinely novel arrival about zorp flibber quantum catapults"
+    b1 = spark.createDataFrame([(900009, novel)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(900019, novel), (900029, "another unseen text qux blarg")],
+        "doc_id long, text string",
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+
+    def drop():
+        for suffix in ("fp", "bands", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS igst_{suffix}")
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/igst_{suffix}", ignore_errors=True)
+
+    drop()
+    try:
+        dedup.build_dedup_state(corpus, "igst", hash_mode="md5", n_buckets=4)
+        with tempfile.TemporaryDirectory(prefix="igst_") as d:
+            src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+
+            def run_once():
+                stream = spark.readStream.schema(b1.schema).parquet(src)
+                q = pipeline.incremental_dedup_stream_stateful(
+                    stream, "igst", out, ckpt, hash_mode="md5"
+                )
+                q.awaitTermination(120)
+
+            b1.repartition(1).write.mode("append").parquet(src)
+            run_once()
+            b2.repartition(1).write.mode("append").parquet(src)
+            run_once()
+
+            rows = {
+                r["doc_id"]: r for r in spark.read.parquet(out).collect()
+            }
+            assert rows[900009]["verdict"] == "new"
+            assert rows[900019]["verdict"] == "exact_dup"
+            assert rows[900019]["matched_doc_id"] == 900009
+            assert rows[900029]["verdict"] == "new"
+    finally:
+        drop()
