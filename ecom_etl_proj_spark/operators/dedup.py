@@ -462,8 +462,21 @@ def incremental_dedup(
     """
     is_batch = F.pmod(F.col("doc_id"), F.lit(batch_mod)) == batch_rem
     docs = t["documents"]
-    return incremental_probe(
-        docs.filter(is_batch), docs.filter(~is_batch), n, threshold, hash_mode
+    # One sketch pass over ALL docs, split by the predicate afterwards:
+    # both probe sides share a single fingerprint/band expression
+    # forest and scan shape instead of compiling two copies.
+    fps, bands, sets = _dedup_state_frames(docs, n, hash_mode)
+    return incremental_probe_state(
+        docs.filter(is_batch),
+        fps.filter(~is_batch),
+        bands.filter(~is_batch),
+        sets.filter(~is_batch),
+        n,
+        threshold,
+        hash_mode,
+        batch_fps=fps.filter(is_batch),
+        batch_bands=bands.filter(is_batch),
+        batch_sets=sets.filter(is_batch),
     )
 
 
@@ -503,6 +516,9 @@ def incremental_probe_state(
     n: int = 3,
     threshold: float = 0.1,
     hash_mode: str = "xxhash64",
+    batch_fps: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
+    batch_sets: DataFrame | None = None,
 ) -> DataFrame:
     """``incremental_probe`` against PRE-MATERIALIZED corpus state:
     ``corpus_fps`` (doc_id, fp), ``corpus_bands`` (doc_id, band, bh),
@@ -513,14 +529,23 @@ def incremental_probe_state(
     band state bucketed by (band, bh) and the fp/sets state bucketed by
     their keys, every probe join is exchange-free on the state side
     (tests/test_plans.py proves the band case).
+
+    ``batch_fps``/``batch_bands``/``batch_sets``: optional pre-derived
+    batch-side state (same schemas as the corpus frames). When the
+    caller already sketched the batch — e.g. ``incremental_dedup``
+    splits ONE sketched corpus by a predicate — passing them avoids a
+    second copy of the fingerprint/band expression forest in the plan
+    (halves the codegen and scan shapes; output identical either way).
     """
     from ecom_etl_proj_spark.functions import text as X
 
     batch_ids = batch_docs.select("doc_id")
+    if batch_fps is None:
+        batch_fps = batch_docs.select("doc_id", X.fingerprint().alias("fp"))
 
     # --- exact probe: batch fingerprints vs the corpus fingerprint set
     exact = (
-        batch_docs.select("doc_id", X.fingerprint().alias("fp"))
+        batch_fps.select("doc_id", "fp")
         .join(
             corpus_fps.select("fp", F.col("doc_id").alias("corpus_id")),
             "fp",
@@ -531,9 +556,18 @@ def incremental_probe_state(
 
     # --- near probe: band-key collisions, then exact-Jaccard verify of
     # ONLY the colliding (batch, corpus) pairs
-    bsets = shingle_sets({"documents": batch_docs}, n)
+    bsets = (
+        batch_sets
+        if batch_sets is not None
+        else shingle_sets({"documents": batch_docs}, n)
+    )
+    bbands = (
+        batch_bands
+        if batch_bands is not None
+        else minhash_bands(bsets, hash_mode)
+    )
     cand = (
-        minhash_bands(bsets, hash_mode)
+        bbands
         .join(
             corpus_bands.select(
                 "band", "bh", F.col("doc_id").alias("cand_id")
