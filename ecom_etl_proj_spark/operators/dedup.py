@@ -1078,3 +1078,49 @@ def representative_selection(
             F.col("best.quality_score").alias("keep_quality"),
         )
     )
+
+
+def cross_source_duplication(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Which source pairs duplicate each other: verified near-dup pairs
+    rolled up by (source_a, source_b) — the syndication/mirror-site
+    diagnostic behind crawl-source pruning (a source pair with a high
+    pair count is republishing the same content; within-source counts
+    on the diagonal flag internal boilerplate).
+
+    Composition: the LSH-verified pair list (bounded, candidate-only)
+    decorated with each side's source via two broadcast-friendly
+    doc→source joins, then a bounded (|sources|²) aggregation. Source
+    pair is emitted ordered (least, greatest) so A↔B and B↔A collapse.
+
+    Output: (source_a, source_b, n_pairs, avg_jaccard).
+    """
+    pairs = dedup_minhash_lsh(t, n, threshold, hash_mode)
+    src = t["documents"].select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # sum in DECIMAL (exact, associative) then divide as double:
+            # a float avg's partial-agg summation order differs between
+            # engines and can flip the rounding boundary
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )

@@ -875,6 +875,28 @@ register(
     """,
 )
 
+register(
+    "cross_source_duplication",
+    lambda t: dedup.cross_source_duplication(t, hash_mode="md5"),
+    _MINHASH_CTES
+    + """,
+    decorated AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               v.jaccard
+        FROM verified v
+        JOIN documents da ON v.doc_a = da.doc_id
+        JOIN documents db ON v.doc_b = db.doc_id
+        WHERE v.jaccard >= 0.1
+    )
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           round(CAST(sum(CAST(jaccard AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_jaccard
+    FROM decorated
+    GROUP BY source_a, source_b
+    """,
+)
+
 # SimHash's banded candidate generation has GUARANTEED recall at the
 # registered radius and exact bit_count verification, so its output
 # EQUALS the exact all-pairs answer — the oracle is the brute-force
@@ -3713,6 +3735,7 @@ _DRIVER_PRIORITY: list[str] = [
     "top_event_paths",
     "curation_funnel",
     "copurchase_pagerank",
+    "cross_source_duplication",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

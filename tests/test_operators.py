@@ -1508,3 +1508,33 @@ def test_spans_removal_consistency_property(spark):
             assert got[i]["clean_text"] == " ".join(kept), texts
 
     check()
+
+
+def test_cross_source_duplication_symmetry(spark):
+    """Source pairs collapse orientation (A-B == B-A), diagonal rows
+    capture within-source dups, and counts reconcile with the pair
+    list."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "wire"),
+            (2, base + " syndicated onward", "mirror"),
+            (3, base + " syndicated onward slightly", "mirror"),
+            (4, "entirely unrelated filler text here", "wire"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    t = {"documents": docs}
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.cross_source_duplication(t, hash_mode="md5").collect()
+    }
+    n_pairs_total = sum(r["n_pairs"] for r in rows.values())
+    assert n_pairs_total == dedup.dedup_minhash_lsh(t, hash_mode="md5").count()
+    assert ("mirror", "wire") in rows          # ordered, never (wire, mirror)
+    assert ("wire", "mirror") not in rows
+    assert rows[("mirror", "mirror")]["n_pairs"] >= 1   # diagonal
+    for r in rows.values():
+        assert 0.1 <= r["avg_jaccard"] <= 1.0
