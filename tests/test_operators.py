@@ -1538,3 +1538,60 @@ def test_cross_source_duplication_symmetry(spark):
     assert rows[("mirror", "mirror")]["n_pairs"] >= 1   # diagonal
     for r in rows.values():
         assert 0.1 <= r["avg_jaccard"] <= 1.0
+
+
+def test_incremental_probe_soundness_property(spark):
+    """Property (hypothesis): for arbitrary corpora+batches, every
+    batch doc emits exactly one verdict; exact_dup rows truly share the
+    canonical fingerprint with their match; near_dup rows report the
+    true shingle Jaccard (>= threshold) of the claimed pair; and 'new'
+    docs have no exact duplicate in the corpus. (Near-dup RECALL is
+    probabilistic by design — soundness is the invariant.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+    doc = st.lists(word, min_size=3, max_size=7).map(" ".join)
+
+    def shingles(text, n=3):
+        ws = text.lower().strip().split(" ")
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts=st.lists(doc, min_size=3, max_size=8))
+    def check(texts):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        batch_ids = {i for i in range(len(texts)) if i % 2 == 1}
+        rows = dedup.incremental_dedup(
+            {"documents": docs},
+            hash_mode="md5",
+            batch_mod=2,
+            batch_rem=1,
+        ).collect()
+        assert {r["doc_id"] for r in rows} == batch_ids
+        assert len(rows) == len(batch_ids)
+        canon = [t.lower().strip() for t in texts]
+        for r in rows:
+            i = r["doc_id"]
+            if r["verdict"] == "exact_dup":
+                m = r["matched_doc_id"]
+                assert m % 2 == 0 and canon[m] == canon[i], texts
+                assert r["jaccard"] == 1.0
+            elif r["verdict"] == "near_dup":
+                m = r["matched_doc_id"]
+                a, b = shingles(texts[i]), shingles(texts[m])
+                true_j = round(len(a & b) / len(a | b), 4)
+                assert m % 2 == 0 and r["jaccard"] == true_j >= 0.1, texts
+            else:
+                assert r["matched_doc_id"] is None and r["jaccard"] is None
+                assert all(
+                    canon[j] != canon[i]
+                    for j in range(len(texts))
+                    if j % 2 == 0
+                ), texts
+
+    check()
