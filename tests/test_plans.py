@@ -454,3 +454,32 @@ def test_incremental_probe_bucketed_state_single_exchange(spark, tables):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop()
+
+
+def test_dynamic_partition_pruning_fires(spark, tables, tmp_path):
+    """Date-partitioned fact lake + selective dimension join: Catalyst
+    must inject a dynamic-partition-pruning filter (runtime subquery in
+    PartitionFilters) so only the dimension's matching partitions are
+    scanned — the partition-layout half of the 100 TB scan story (static
+    pushdown is asserted elsewhere; DPP is what prunes when the filter
+    arrives via a JOIN)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "li_by_month")
+    (
+        tables["lineitem"]
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.partitionBy("ship_month")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    months = (
+        fact.select("ship_month").distinct()
+        .withColumn("is_peak", F.col("ship_month").endswith("-12"))
+    )
+    j = fact.join(
+        F.broadcast(months.filter(F.col("is_peak"))), "ship_month"
+    ).groupBy("ship_month").agg(F.sum("l_quantity").alias("qty"))
+    plan = plan_of(j)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.count() > 0
