@@ -3722,6 +3722,11 @@ _DRIVER_PRIORITY: list[str] = [
     # --- NEW in r6: verify first —
     "doc_dup_spans",
     "ann_recall_audit",
+    # ROTATION NOTE for round 7: after r6's check the oldest cohort is
+    # the r4-verified block (starts at "ods_typed_load" below) — move it
+    # to the head of this list, followed by whatever r7 adds; the r6
+    # head (verified in r6) goes to the back. Keeps max staleness <= 2
+    # rounds with the driver's 50-query/round sample.
     # --- r6 additions (first verification this round) ---
     "dedup_spans_removal",
     "shard_manifest",
