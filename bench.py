@@ -157,7 +157,9 @@ def main() -> None:
 
     def calibrate() -> float:
         """Warm-min of a fixed arithmetic aggregation: host-speed
-        yardstick, independent of the code under test."""
+        yardstick, independent of the code under test. Runs AFTER all
+        measured passes — running it first would JIT-warm the JVM and
+        silently shift the cold series vs earlier rounds' protocol."""
         times = []
         for _ in range(2):
             t0 = time.time()
@@ -167,7 +169,6 @@ def main() -> None:
             times.append(time.time() - t0)
         return round(min(times), 3)
 
-    calibration = calibrate()
     cold_times, cold_total = one_pass("cold", HEADLINE)
     llm_cold, llm_cold_total = one_pass("llm-cold", LLM_HEADLINE)
     p0, _ = one_pass("llm-prod", prod_names)
@@ -180,6 +181,7 @@ def main() -> None:
     g0, g0_total = one_pass("ingest", INGEST_HEADLINE)
     g1, _ = one_pass("ingest-warm1", INGEST_HEADLINE)
     g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)
+    calibration = calibrate()
     warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
     warm_total = round(sum(warm.values()), 3)
     llm_warm = {name: min(l1[name], l2[name]) for name in LLM_HEADLINE}

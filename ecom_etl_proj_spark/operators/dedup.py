@@ -497,8 +497,6 @@ def incremental_probe(
     production layout — see ``build_dedup_state``), call
     ``incremental_probe_state`` with the state frames directly.
     """
-    from ecom_etl_proj_spark.functions import text as X
-
     corpus_fps = corpus_docs.select("doc_id", X.fingerprint().alias("fp"))
     corpus_sets = shingle_sets({"documents": corpus_docs}, n)
     corpus_bands = minhash_bands(corpus_sets, hash_mode)
@@ -537,8 +535,6 @@ def incremental_probe_state(
     second copy of the fingerprint/band expression forest in the plan
     (halves the codegen and scan shapes; output identical either way).
     """
-    from ecom_etl_proj_spark.functions import text as X
-
     batch_ids = batch_docs.select("doc_id")
     if batch_fps is None:
         batch_fps = batch_docs.select("doc_id", X.fingerprint().alias("fp"))
@@ -624,8 +620,6 @@ def incremental_probe_state(
 
 def _dedup_state_frames(docs: DataFrame, n: int, hash_mode: str):
     """(fps, bands, sets) state frames for a document frame."""
-    from ecom_etl_proj_spark.functions import text as X
-
     sets = shingle_sets({"documents": docs}, n)
     return (
         docs.select("doc_id", X.fingerprint().alias("fp")),

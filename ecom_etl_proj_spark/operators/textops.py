@@ -664,6 +664,19 @@ def _positional_gram_hashes(
     )
 
 
+def _duplicated_gram_hashes(g: DataFrame) -> DataFrame:
+    """(h): gram hashes occurring in >= 2 DISTINCT docs — the min!=max
+    predicate keeps O(1) aggregation state per gram where a distinct
+    count would buffer doc ids (a boilerplate gram shared by 1e6 crawl
+    pages would otherwise hold a 1e6-entry sketch in one buffer)."""
+    return (
+        g.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+
+
 def doc_dup_spans(
     t: dict[str, DataFrame], k: int = 10, hash_mode: str = "xxhash64"
 ) -> DataFrame:
@@ -693,12 +706,7 @@ def doc_dup_spans(
     identical gram hashes.
     """
     g = _positional_gram_hashes(t, k, hash_mode)
-    hot = (
-        g.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("h", F.lit(True).alias("dup0"))
-    )
+    hot = _duplicated_gram_hashes(g).select("h", F.lit(True).alias("dup0"))
     f = g.join(hot, "h", "left").select(
         "doc_id", "pos", F.coalesce(F.col("dup0"), F.lit(False)).alias("is_dup")
     )
@@ -765,14 +773,8 @@ def dedup_spans_removal(
     family: xxhash64 production, md5 pinned by the registry oracle.
     """
     g = _positional_gram_hashes(t, k, hash_mode)
-    hot = (
-        g.groupBy("h")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("h", F.lit(True).alias("dup0"))
-    )
     starts = (
-        g.join(hot, "h", "left_semi")
+        g.join(_duplicated_gram_hashes(g), "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )

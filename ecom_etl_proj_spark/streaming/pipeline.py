@@ -464,20 +464,30 @@ def incremental_dedup_stream(
     aggregation over the micro-batch, which append-mode streaming
     aggregation can't express but a per-batch BATCH plan can — exactly
     what foreachBatch exists for (and how production incremental
-    pipelines run their upsert step). The corpus side is a static
-    frame (in production: the persisted, (band, bh)-bucketed state
-    table, appended to per batch); per-micro-batch cost is
-    O(batch + collisions) regardless of corpus size. Append-mode
-    parquet sink + checkpoint give exactly-once verdict delivery per
-    epoch.
+    pipelines run their upsert step). The corpus state (fingerprints,
+    band keys, shingle sets) is derived ONCE and persisted before the
+    stream starts — the first epoch materializes it, every later epoch
+    reuses the cached frames — so per-micro-batch cost is
+    O(batch + collisions), not a corpus re-sketch per arrival (in
+    production the state lives in the bucketed tables instead: see
+    ``incremental_dedup_stream_stateful``). Append-mode parquet sink +
+    checkpoint give exactly-once verdict delivery per epoch.
     """
-    from ecom_etl_proj_spark.operators.dedup import incremental_probe
+    from ecom_etl_proj_spark.operators.dedup import (
+        _dedup_state_frames,
+        incremental_probe_state,
+    )
+
+    corpus_fps, corpus_bands, corpus_sets = (
+        df.persist() for df in _dedup_state_frames(corpus_docs, n, hash_mode)
+    )
 
     def probe_batch(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_probe(
-            batch_df, corpus_docs, n, threshold, hash_mode
+        incremental_probe_state(
+            batch_df, corpus_fps, corpus_bands, corpus_sets, n, threshold,
+            hash_mode,
         ).write.mode("append").parquet(out_path)
 
     return (
