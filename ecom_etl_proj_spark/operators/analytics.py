@@ -1656,3 +1656,54 @@ def copurchase_pagerank(
         .orderBy(F.col("rank").desc(), F.col("l_partkey").asc())
         .limit(top)
     )
+
+
+def yoy_nation_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Year-over-year revenue growth per nation — the standard
+    trend-dashboard shape (TPC-DS's YoY comparisons): per (nation,
+    year) revenue in exact DECIMAL, previous year via one lag window
+    PARTITIONED BY nation (25-row partitions — the window runs over the
+    aggregated frame, never the fact table), growth as a rounded
+    double. Fact rows shuffle once into the bounded (nation, year)
+    aggregation; dimensions broadcast.
+
+    Output: (nation, order_year, revenue, prev_revenue, yoy_pct) —
+    yoy_pct null for each nation's first year.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("order_year")
+    prev = F.lag("rev").over(w)
+    return agg.select(
+        "nation",
+        F.col("order_year").cast("bigint").alias("order_year"),
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(prev, 2).cast("double").alias("prev_revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double")
+            / prev.cast("double")
+            * 100.0,
+            6,
+        ).alias("yoy_pct"),
+    )

@@ -1134,3 +1134,49 @@ def curation_funnel(
             F.col("n_docs") / F.sum("n_docs").over(total).cast("double"), 6
         ).alias("pct_of_source"),
     )
+
+
+def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
+    """One-row dataset card: the headline numbers a corpus release
+    ships with — volume (docs/tokens/chars), diversity (languages,
+    sources), exact-duplicate rate, and mean quality score.
+
+    Everything reduces in ONE pass over the documents scan plus the
+    fingerprint aggregation for the dup rate: two bounded-output
+    aggregations, no windows, no joins against anything unbounded —
+    this runs on 100 TB exactly as written.
+
+    Output: (n_docs, n_tokens, n_chars, n_langs, n_sources,
+    exact_dup_rate, mean_quality).
+    """
+    base = text_quality(t).select("doc_id", "n_tokens", "quality_score")
+    d = t["documents"].join(base, "doc_id")
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+    dups = (
+        t["documents"]
+        .select(X.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("n") - 1).cast("bigint").alias("n_dups"),
+            F.sum("n").cast("bigint").alias("n_total"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(dups)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "n_sources",
+        F.round(F.col("n_dups") / F.col("n_total").cast("double"), 6).alias(
+            "exact_dup_rate"
+        ),
+        "mean_quality",
+    )

@@ -2659,6 +2659,81 @@ register(
 )
 
 register(
+    "corpus_report",
+    textops.corpus_report,
+    """
+    WITH q AS (
+        SELECT doc_id,
+               len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+               round(least(len(string_split(lower(trim(text)), ' ')) / 50.0,
+                           1.0) * 0.4
+                     + (1 - least(round((length(lower(text))
+                          - length(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                                  '', 'g')))
+                         / CAST(length(lower(text)) AS DOUBLE), 4) * 5, 1.0))
+                       * 0.3
+                     + least(round(CAST(len(list_filter(
+                           string_split(lower(trim(text)), ' '),
+                           x -> x IN ('the', 'a', 'of', 'and', 'to', 'in',
+                                      'is'))) AS DOUBLE)
+                         / len(string_split(lower(trim(text)), ' ')), 4) * 5,
+                         1.0) * 0.3, 6) AS quality_score
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+               count(DISTINCT d.lang) AS n_langs,
+               count(DISTINCT d.source) AS n_sources,
+               round(avg(q.quality_score), 6) AS mean_quality
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ),
+    dups AS (
+        SELECT CAST(sum(n - 1) AS BIGINT) AS n_dups,
+               CAST(sum(n) AS BIGINT) AS n_total
+        FROM (SELECT count(*) AS n FROM documents
+              GROUP BY md5(lower(trim(text))))
+    )
+    SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+           round(n_dups / CAST(n_total AS DOUBLE), 6) AS exact_dup_rate,
+           mean_quality
+    FROM stats CROSS JOIN dups
+    """,
+)
+
+register(
+    "yoy_nation_revenue",
+    analytics.yoy_nation_revenue,
+    """
+    WITH agg AS (
+        SELECT n.n_name AS nation,
+               CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                   AS order_year,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT nation, order_year, rev,
+               LAG(rev) OVER (PARTITION BY nation ORDER BY order_year)
+                   AS prev
+        FROM agg
+    )
+    SELECT nation, order_year,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           CAST(round(prev, 2) AS DOUBLE) AS prev_revenue,
+           round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100.0,
+                 6) AS yoy_pct
+    FROM lagged
+    """,
+)
+
+register(
     "curation_funnel",
     textops.curation_funnel,
     """
@@ -3741,6 +3816,8 @@ _DRIVER_PRIORITY: list[str] = [
     "curation_funnel",
     "copurchase_pagerank",
     "cross_source_duplication",
+    "corpus_report",
+    "yoy_nation_revenue",
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",

@@ -1595,3 +1595,48 @@ def test_incremental_probe_soundness_property(spark):
                 ), texts
 
     check()
+
+
+def test_corpus_report_reconciles(spark, tables):
+    """Dataset-card numbers reconcile with direct counts: doc/token
+    totals, diversity counts, and the exact-dup rate derived from the
+    fingerprint groupBy."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import textops
+
+    r = textops.corpus_report(tables).collect()[0]
+    docs = tables["documents"]
+    assert r["n_docs"] == docs.count()
+    assert r["n_langs"] == docs.select("lang").distinct().count()
+    assert r["n_sources"] == docs.select("source").distinct().count()
+    n_distinct_fp = (
+        docs.select(F.md5(F.lower(F.trim("text")))).distinct().count()
+    )
+    assert r["exact_dup_rate"] == round(
+        (r["n_docs"] - n_distinct_fp) / r["n_docs"], 6
+    )
+    assert 0.0 <= r["mean_quality"] <= 1.0
+
+
+def test_yoy_nation_revenue_growth_math(spark, tables):
+    """YoY rows chain correctly: prev_revenue equals the same nation's
+    previous-year revenue and the growth pct reproduces from the pair;
+    first years have null prev/pct."""
+    from ecom_etl_proj_spark.operators import analytics
+
+    rows = analytics.yoy_nation_revenue(tables).collect()
+    by_key = {(r["nation"], r["order_year"]): r for r in rows}
+    n_checked = 0
+    for (nation, yr), r in by_key.items():
+        prev = by_key.get((nation, yr - 1))
+        if prev is None:
+            assert r["prev_revenue"] is None and r["yoy_pct"] is None
+        else:
+            assert r["prev_revenue"] == prev["revenue"]
+            expect = round(
+                (r["revenue"] - prev["revenue"]) / prev["revenue"] * 100, 4
+            )
+            assert abs(r["yoy_pct"] - expect) < 0.01, (nation, yr)
+            n_checked += 1
+    assert n_checked > 0
