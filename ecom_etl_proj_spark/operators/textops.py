@@ -1180,3 +1180,75 @@ def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
         ),
         "mean_quality",
     )
+
+
+def term_cooccurrence(
+    t: dict[str, DataFrame], cap: int = 50, top: int = 20
+) -> DataFrame:
+    """Collocation mining: the top within-document term pairs by
+    co-occurrence, with document-frequency lift — which terms travel
+    together far more than their individual popularity predicts.
+
+    Pairs come from each doc's SORTED DISTINCT token set, capped at the
+    first ``cap`` tokens — the cap bounds the per-doc fan-out at
+    cap²/2 pairs (token-set pairing is inherently quadratic per doc;
+    uncapped, one pathological mega-doc would emit its whole
+    vocabulary squared). Pair generation is row-local (HOF over the
+    token array, then one explode); counting is a bounded
+    (a, b)-keyed aggregation with map-side combine.
+
+    ``lift = n_ab * N / (n_a * n_b)`` (document-frequency lift) is ONE
+    double division of exactly-represented integers, so both engines
+    produce the identical rounded value — no float-accumulation
+    anywhere. Output: top ``top`` (term_a, term_b, n_ab, lift) by
+    co-occurrence count, lift, then terms.
+    """
+    w = F.slice(
+        F.array_sort(F.array_distinct(X.tokens())), 1, cap
+    )
+    docs = t["documents"].select("doc_id", w.alias("w"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("w"),
+            lambda x, i: F.transform(
+                F.slice(F.col("w"), i + F.lit(2), F.size(F.col("w"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = docs.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    n_ab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    df_term = (
+        docs.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        n_ab.join(
+            F.broadcast(df_term.select(F.col("term").alias("a"), F.col("df").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(df_term.select(F.col("term").alias("b"), F.col("df").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_ab").desc(),
+            F.col("lift").desc(),
+            F.col("term_a").asc(),
+            F.col("term_b").asc(),
+        )
+        .limit(top)
+    )

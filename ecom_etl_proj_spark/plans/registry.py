@@ -2659,6 +2659,42 @@ register(
 )
 
 register(
+    "term_cooccurrence",
+    textops.term_cooccurrence,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   string_split(lower(trim(text)), ' ')))[1:50] AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT w[CAST(u1.i AS INT)] AS a, w[CAST(u2.j AS INT)] AS b
+        FROM toks,
+             unnest(range(1, len(w) + 1)) AS u1(i),
+             unnest(range(1, len(w) + 1)) AS u2(j)
+        WHERE u1.i < u2.j
+    ),
+    nab AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+    dft AS (
+        SELECT term, count(*) AS df
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        GROUP BY term
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM toks)
+    SELECT nab.a AS term_a, nab.b AS term_b, nab.n_ab,
+           round(CAST(nab.n_ab * nd.n_docs AS DOUBLE) / (da.df * db.df), 6)
+               AS lift
+    FROM nab
+    JOIN dft da ON nab.a = da.term
+    JOIN dft db ON nab.b = db.term
+    CROSS JOIN nd
+    ORDER BY n_ab DESC, lift DESC, term_a ASC, term_b ASC
+    LIMIT 20
+    """,
+)
+
+register(
     "corpus_report",
     textops.corpus_report,
     """
@@ -3840,7 +3876,8 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_mix_report",
     # --- never-driver-verified: r5 tail additions, then r6 additions
     # (all locally hash-verified via tools/compare_oracle this session;
-    # exactly fills slots 34-50) ---
+    # fills slots 34-50; term_cooccurrence overflows to 51 and leads
+    # r7's head together with the r4 block) ---
     "doc_dup_spans",
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -3858,6 +3895,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cross_source_duplication",
     "corpus_report",
     "yoy_nation_revenue",
+    "term_cooccurrence",
     # --- queries whose implementation changed in r6 (HOF band/bit
     # collapse, CC convergence fold, IVF cell metric, rfm/ltv helper
     # refactor) — re-verify regardless of staleness —

@@ -1640,3 +1640,30 @@ def test_yoy_nation_revenue_growth_math(spark, tables):
             assert abs(r["yoy_pct"] - expect) < 0.01, (nation, yr)
             n_checked += 1
     assert n_checked > 0
+
+
+def test_term_cooccurrence_lift_math(spark):
+    """Co-occurrence counts and DF-lift on a hand corpus: pairs come
+    from sorted distinct tokens, lift reproduces from the integer
+    counts, and ordering is deterministic."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join"),
+            (2, "spark shuffle scan"),
+            (3, "spark shuffle join extra"),
+            (4, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.term_cooccurrence({"documents": docs}).collect()
+    by_pair = {(r["term_a"], r["term_b"]): r for r in rows}
+    top = rows[0]
+    # (shuffle, spark) co-occur in 3 of 4 docs; each has df=3
+    assert (top["term_a"], top["term_b"]) == ("shuffle", "spark")
+    assert top["n_ab"] == 3
+    assert top["lift"] == round(3 * 4 / (3 * 3), 6)
+    assert by_pair[("join", "shuffle")]["n_ab"] == 2
+    # pairs are (sorted_a < sorted_b): never the reversed orientation
+    assert all(r["term_a"] < r["term_b"] for r in rows)
