@@ -640,3 +640,38 @@ def top_event_paths(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
         )
         .limit(top)
     )
+
+
+def session_duration_histogram(
+    t: dict[str, DataFrame], gap_minutes: int = 30, bucket_minutes: int = 5
+) -> DataFrame:
+    """Distribution of session lengths: gap-based sessions bucketed
+    into fixed ``bucket_minutes`` duration bins — the engagement-shape
+    report next to ``sessionization``'s per-session detail.
+
+    All-integer bucketing (duration_secs div bucket seconds) on top of
+    the sessionization aggregate; the histogram itself is a bounded
+    (bucket) rollup with event/session volumes and the share of
+    sessions per bin. Single-event sessions land in bucket 0.
+
+    Output: (bucket_start_min, n_sessions, n_events, pct_sessions)
+    ordered by bucket.
+    """
+    sess = sessionization(t, gap_minutes)
+    bucket = F.expr(f"duration_secs div {bucket_minutes * 60}").cast("bigint")
+    agg = sess.groupBy(
+        (bucket * bucket_minutes).alias("bucket_start_min")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "bucket_start_min",
+        "n_sessions",
+        "n_events",
+        F.round(
+            F.col("n_sessions") / F.sum("n_sessions").over(total).cast("double"),
+            6,
+        ).alias("pct_sessions"),
+    ).orderBy("bucket_start_min")

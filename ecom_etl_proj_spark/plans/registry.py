@@ -1373,6 +1373,45 @@ register(
 )
 
 register(
+    "session_duration_histogram",
+    events.session_duration_histogram,
+    """
+    WITH marked AS (
+        SELECT *,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM marked
+    ),
+    per_sess AS (
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000
+                    AS BIGINT) AS duration_secs
+        FROM sess GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT CAST(duration_secs // 300 AS BIGINT) * 5 AS bucket_start_min,
+               count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM per_sess GROUP BY 1
+    )
+    SELECT bucket_start_min, n_sessions, n_events,
+           round(n_sessions / CAST(sum(n_sessions) OVER () AS DOUBLE), 6)
+               AS pct_sessions
+    FROM hist
+    """,
+)
+
+register(
     "event_value_stats",
     events.event_value_stats,
     """
@@ -3896,6 +3935,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_report",
     "yoy_nation_revenue",
     "term_cooccurrence",
+    "session_duration_histogram",
     # --- queries whose implementation changed in r6 (HOF band/bit
     # collapse, CC convergence fold, IVF cell metric, rfm/ltv helper
     # refactor) — re-verify regardless of staleness —

@@ -1667,3 +1667,17 @@ def test_term_cooccurrence_lift_math(spark):
     assert by_pair[("join", "shuffle")]["n_ab"] == 2
     # pairs are (sorted_a < sorted_b): never the reversed orientation
     assert all(r["term_a"] < r["term_b"] for r in rows)
+
+
+def test_session_duration_histogram_reconciles(spark, tables):
+    """Histogram totals reconcile with sessionization: session and
+    event counts sum across buckets, shares sum to 1, buckets are
+    5-minute-aligned."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    sess = ev.sessionization(tables)
+    hist = ev.session_duration_histogram(tables).collect()
+    assert sum(r["n_sessions"] for r in hist) == sess.count()
+    assert sum(r["n_events"] for r in hist) == tables["events"].count()
+    assert abs(sum(r["pct_sessions"] for r in hist) - 1.0) < 1e-4
+    assert all(r["bucket_start_min"] % 5 == 0 for r in hist)
