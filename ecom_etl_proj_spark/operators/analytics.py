@@ -1668,7 +1668,10 @@ def yoy_nation_revenue(t: dict[str, DataFrame]) -> DataFrame:
     aggregation; dimensions broadcast.
 
     Output: (nation, order_year, revenue, prev_revenue, yoy_pct) —
-    yoy_pct null for each nation's first year.
+    prev_revenue/yoy_pct are null for a nation's first year AND for any
+    year whose predecessor year has no revenue rows (the lag is gated
+    on lagged_year == order_year - 1, so a gap never masquerades as
+    one-year growth).
     """
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
@@ -1694,7 +1697,8 @@ def yoy_nation_revenue(t: dict[str, DataFrame]) -> DataFrame:
         .agg(F.sum(rev).alias("rev"))
     )
     w = Window.partitionBy("nation").orderBy("order_year")
-    prev = F.lag("rev").over(w)
+    adjacent = F.lag("order_year").over(w) == F.col("order_year") - 1
+    prev = F.when(adjacent, F.lag("rev").over(w))
     return agg.select(
         "nation",
         F.col("order_year").cast("bigint").alias("order_year"),

@@ -1141,23 +1141,41 @@ def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
     ships with — volume (docs/tokens/chars), diversity (languages,
     sources), exact-duplicate rate, and mean quality score.
 
-    Everything reduces in ONE pass over the documents scan plus the
-    fingerprint aggregation for the dup rate: two bounded-output
-    aggregations, no windows, no joins against anything unbounded —
-    this runs on 100 TB exactly as written.
+    Token counts and the quality score are row-local expressions
+    computed INLINE on the one documents scan (no join back through
+    text_quality — that shape shuffled the whole corpus on doc_id for
+    columns the scan projection already had), so the report is one
+    scan feeding two bounded-output aggregations: the stats reduce and
+    the fingerprint groupBy for the dup rate. Mean quality sums in
+    DECIMAL (exact, associative) before one double division — a float
+    avg's partial-agg summation order differs between engines and can
+    flip the rounding boundary. This runs on 100 TB exactly as
+    written.
 
     Output: (n_docs, n_tokens, n_chars, n_langs, n_sources,
     exact_dup_rate, mean_quality).
     """
-    base = text_quality(t).select("doc_id", "n_tokens", "quality_score")
-    d = t["documents"].join(base, "doc_id")
+    quality = (
+        F.least(X.token_count() / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.round(X.punct_ratio(), 4) * 5, F.lit(1.0))) * 0.3
+        + F.least(F.round(X.stopword_ratio("en"), 4) * 5, F.lit(1.0)) * 0.3
+    )
+    d = t["documents"].select(
+        "lang",
+        "source",
+        F.length("text").alias("nc"),
+        X.token_count().alias("n_tokens"),
+        F.round(quality, 6).cast("decimal(18,6)").alias("q"),
+    )
     stats = d.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct("source").alias("n_sources"),
-        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.round(
+            F.sum("q").cast("double") / F.count("*"), 6
+        ).alias("mean_quality"),
     )
     dups = (
         t["documents"]

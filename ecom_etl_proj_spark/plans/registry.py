@@ -2761,7 +2761,8 @@ register(
                CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
                count(DISTINCT d.lang) AS n_langs,
                count(DISTINCT d.source) AS n_sources,
-               round(avg(q.quality_score), 6) AS mean_quality
+               round(CAST(sum(CAST(q.quality_score AS DECIMAL(18,6)))
+                          AS DOUBLE) / count(*), 6) AS mean_quality
         FROM documents d JOIN q ON d.doc_id = q.doc_id
     ),
     dups AS (
@@ -2795,8 +2796,12 @@ register(
     ),
     lagged AS (
         SELECT nation, order_year, rev,
-               LAG(rev) OVER (PARTITION BY nation ORDER BY order_year)
-                   AS prev
+               CASE WHEN LAG(order_year) OVER (
+                        PARTITION BY nation ORDER BY order_year)
+                    = order_year - 1
+                    THEN LAG(rev) OVER (
+                        PARTITION BY nation ORDER BY order_year)
+               END AS prev
         FROM agg
     )
     SELECT nation, order_year,

@@ -472,6 +472,12 @@ def incremental_dedup_stream(
     production the state lives in the bucketed tables instead: see
     ``incremental_dedup_stream_stateful``). Append-mode parquet sink +
     checkpoint give exactly-once verdict delivery per epoch.
+
+    The returned query carries an ``unpersist_state()`` attribute —
+    call it after ``awaitTermination()`` to free the cached state
+    blocks (a long-lived application restarting this stream repeatedly
+    would otherwise accumulate superseded cached lineages in the block
+    manager until exit).
     """
     from ecom_etl_proj_spark.operators.dedup import (
         _dedup_state_frames,
@@ -490,13 +496,20 @@ def incremental_dedup_stream(
             hash_mode,
         ).write.mode("append").parquet(out_path)
 
-    return (
+    q = (
         docs_stream.writeStream.outputMode("append")
         .foreachBatch(probe_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+    def unpersist_state() -> None:
+        for frame in (corpus_fps, corpus_bands, corpus_sets):
+            frame.unpersist()
+
+    q.unpersist_state = unpersist_state
+    return q
 
 
 def incremental_dedup_stream_stateful(

@@ -635,6 +635,7 @@ def test_incremental_dedup_stream_matches_batch(spark, tables):
             stream, corpus, out, ckpt, hash_mode="md5"
         )
         q.awaitTermination(120)
+        q.unpersist_state()
         got = sorted(
             map(tuple, spark.read.parquet(out).collect())
         )
@@ -674,6 +675,7 @@ def test_incremental_dedup_stream_checkpoint_restart(spark, tables):
                 stream, corpus, out, ckpt, hash_mode="md5"
             )
             q.awaitTermination(120)
+            q.unpersist_state()
 
         run_once()
         n_first = spark.read.parquet(out).count()
