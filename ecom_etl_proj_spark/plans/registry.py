@@ -3987,8 +3987,10 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_mix_report",
     # --- never-driver-verified: r5 tail additions, then r6 additions
     # (all locally hash-verified via tools/compare_oracle this session;
-    # fills slots 34-50; term_cooccurrence and session_duration_histogram
-    # overflow to 51-52 and lead r7's head together with the r4 block) ---
+    # fills slots 34-50; the last four additions (term_cooccurrence,
+    # session_duration_histogram, langid_confusion,
+    # order_fulfillment_span) overflow to 51-54 and lead r7's head
+    # together with the r4 block) ---
     "doc_dup_spans",
     "ann_recall_audit",
     "dedup_spans_removal",
