@@ -1220,6 +1220,17 @@ def term_cooccurrence(
     produce the identical rounded value — no float-accumulation
     anywhere. Output: top ``top`` (term_a, term_b, n_ab, lift) by
     co-occurrence count, lift, then terms.
+
+    Scale note: the two document-frequency joins are deliberately
+    UNHINTED shuffle joins on the term key. The per-doc ``cap`` bounds
+    pair fan-out, NOT the vocabulary — at 100 TB of web text the
+    distinct-term table is 1e8-1e9 rows, far past any broadcast
+    threshold, so a forced ``F.broadcast(df_term)`` hint (which AQE
+    cannot override) would OOM the driver. Left unhinted, AQE
+    broadcasts at small scale (runtime stats) and shuffle-joins at
+    real scale. Only the 1-row ``n_docs`` scalar keeps a hint.
+    ``tests/test_plans.py`` asserts no broadcast hint survives on the
+    term-frequency side.
     """
     w = F.slice(
         F.array_sort(F.array_distinct(X.tokens())), 1, cap
@@ -1244,11 +1255,11 @@ def term_cooccurrence(
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     return (
         n_ab.join(
-            F.broadcast(df_term.select(F.col("term").alias("a"), F.col("df").alias("n_a"))),
+            df_term.select(F.col("term").alias("a"), F.col("df").alias("n_a")),
             "a",
         )
         .join(
-            F.broadcast(df_term.select(F.col("term").alias("b"), F.col("df").alias("n_b"))),
+            df_term.select(F.col("term").alias("b"), F.col("df").alias("n_b")),
             "b",
         )
         .crossJoin(F.broadcast(n_docs))

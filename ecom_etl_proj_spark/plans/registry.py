@@ -3930,99 +3930,40 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. Round-6 ordering continues the freshness rotation (judge task
-# r6.2): the 33 queries last verified in r3 lead (including the five sketch
-# twins, now registered as hash-verifiable audit forms), followed by the
-# seven queries whose implementation changed this round (HOF collapses, CC
-# convergence fold, IVF cell metric, rfm/ltv refactor — re-verify on
-# change, regardless of staleness), then r4-verified queries oldest-first
-# to fill the 50 slots, then the r5-verified tail. With 133 queries and 50
-# slots per round the rotation keeps every query verified within the last
-# 3 rounds. Everything in this round's top 50 was also re-verified THIS
-# session via tools/compare_oracle.py where its code changed.
+# round. Round-7 ordering continues the freshness rotation (judge task
+# r7.1): the 4 never-driver-verified r6 additions lead, then the queries
+# whose implementation changed in r7 (term_cooccurrence is already in the
+# head; dedup_minhash_lsh / curated_pack compile-tax work — re-verify on
+# change, regardless of staleness), then the changed-in-r6 block that
+# overflowed r6's 50-slot sample, then the r4-verified cohort oldest-first
+# to fill the 50 slots. Five r4 queries overflow to slots 51-55 (simple
+# single-scan shapes, unchanged since r4, lowest risk) and lead r8's head
+# together with the r5-verified block that follows; the r6-verified 50 go
+# to the back. Max staleness at check time: r4 cohort checked in r7 = 3
+# rounds; the 5 overflow checked in r8 = 4 rounds, then the cadence
+# returns to <= 2-3. Everything in this round's top 50 whose code changed
+# this session was also locally re-verified via tools/compare_oracle.py.
 _DRIVER_PRIORITY: list[str] = [
-    # ROTATION NOTE for round 7: after r6's check the oldest cohort is
-    # the r4-verified block (starts at "ods_typed_load" below) — move it
-    # to the head of this list, followed by whatever r7 adds; the r6
-    # head (verified in r6) goes to the back. Keeps max staleness <= 2
-    # rounds with the driver's 50-query/round sample. r6's 50 = the 33
-    # staleness-capped queries + the 17 never-driver-verified additions;
-    # the changed-in-r6 block right after (dedup_minhash_lsh and the
-    # deciles helper refactor) is r5-verified — 1 round stale, within
-    # cap — and was locally re-verified post-change via compare_oracle.
-    # --- r6 head: the 33 queries last verified in r3 (staleness cap),
-    # with the 5 sketch twins now in their hash-verifiable audit form —
-    "data_profile_customer",
-    "sales_by_geography",
-    "rfm_segments",
-    "seller_performance",
-    "delivery_performance",
-    "order_status_distribution",
-    "event_type_distribution",
-    "quantity_distribution",
-    "top_categories_by_revenue",
-    "top_seller_nations",
-    "category_avg_discount",
-    "cohort_retention",
-    "discount_elasticity",
-    "weekly_sales_pattern",
-    "pricing_summary",
-    "top_revenue_orders",
-    "revenue_by_nation",
-    "events_minutely",
-    "user_activity",
-    "minutely_anomalies",
-    "rolling_active_users",
-    "kpi_overview_approx",
-    "delay_quantiles_approx",
-    "term_heavy_hitters",
-    "rfm_segments_approx",
-    "customer_value_deciles_approx",
-    "char_entropy",
-    "curate_corpus",
-    "chunk_documents",
-    "contamination_check",
-    "disjunctive_revenue",
-    "sole_supplier_orders",
-    "corpus_mix_report",
-    # --- never-driver-verified: r5 tail additions, then r6 additions
-    # (all locally hash-verified via tools/compare_oracle this session;
-    # fills slots 34-50; the last four additions (term_cooccurrence,
-    # session_duration_histogram, langid_confusion,
-    # order_fulfillment_span) overflow to 51-54 and lead r7's head
-    # together with the r4 block) ---
-    "doc_dup_spans",
-    "ann_recall_audit",
-    "dedup_spans_removal",
-    "shard_manifest",
-    "training_order",
-    "suppliers_kept_waiting",
-    "incremental_dedup",
-    "mixture_sample",
-    "representative_selection",
-    "event_transition_matrix",
-    "bpe_merge_candidates",
-    "top_event_paths",
-    "curation_funnel",
-    "copurchase_pagerank",
-    "cross_source_duplication",
-    "corpus_report",
-    "yoy_nation_revenue",
+    # ROTATION NOTE for round 8: after r7's check the oldest cohort is
+    # the r5-verified block (starts at "recent_events_by_family" below);
+    # move the 5 r4 overflow entries (top_terms .. dominant_suppliers)
+    # plus that block to the head, followed by whatever r8 adds or
+    # changes; this r7 head goes to the back.
+    # --- never driver-verified (registered late in r6) ---
     "term_cooccurrence",
     "session_duration_histogram",
     "langid_confusion",
     "order_fulfillment_span",
-    # --- queries whose implementation changed in r6 (HOF band/bit
-    # collapse, CC convergence fold, IVF cell metric, rfm/ltv helper
-    # refactor) — re-verify regardless of staleness —
-    "customer_value_deciles",
+    # --- implementation touched in r7 (compile-tax / plan work) ---
     "dedup_minhash_lsh",
+    "curated_pack",
+    # --- changed in r6 but overflowed r6's 50-slot sample ---
+    "customer_value_deciles",
     "dedup_simhash",
     "dedup_clusters",
     "embedding_dedup_clusters",
-    "curated_pack",
     "ann_ivf",
-    # --- r4-verified queries, oldest-first fill of the top-50 sample —
+    # --- r4-verified cohort, oldest-first (fills slots 12-50) ---
     "ods_typed_load",
     "stg_dedup_rownumber",
     "stg_mean_imputation",
@@ -4033,7 +3974,6 @@ _DRIVER_PRIORITY: list[str] = [
     "kpi_overview",
     "daily_sales",
     "sales_geolocation",
-    # --- top-50 boundary: everything below rotates up next round —
     "revenue_forecast",
     "order_priority_counts",
     "monthly_sales",
@@ -4061,14 +4001,16 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode",
     "pack_sequences",
     "corpus_alignment",
-    "top_terms",
-    "doc_length_stats",
     "idle_high_balance_customers",
     "market_share_by_nation",
+    # --- top-50 boundary: everything below rotates up next round ---
+    # r4 overflow (slots 51-55): single-scan shapes, unchanged since r4
+    "top_terms",
+    "doc_length_stats",
     "cheapest_supplier_per_part",
     "important_parts",
     "dominant_suppliers",
-    # --- r5-verified queries (freshest) —
+    # --- r5-verified block (r8 cohort) ---
     "recent_events_by_family",
     "try_timestamp_parse",
     "skew_salted_join",
@@ -4118,6 +4060,57 @@ _DRIVER_PRIORITY: list[str] = [
     "stratified_sample",
     "embedding_norms",
     "quantize_embeddings",
+    # --- r6-verified block (freshest; goes last) ---
+    "data_profile_customer",
+    "sales_by_geography",
+    "rfm_segments",
+    "seller_performance",
+    "delivery_performance",
+    "order_status_distribution",
+    "event_type_distribution",
+    "quantity_distribution",
+    "top_categories_by_revenue",
+    "top_seller_nations",
+    "category_avg_discount",
+    "cohort_retention",
+    "discount_elasticity",
+    "weekly_sales_pattern",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "events_minutely",
+    "user_activity",
+    "minutely_anomalies",
+    "rolling_active_users",
+    "kpi_overview_approx",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "rfm_segments_approx",
+    "customer_value_deciles_approx",
+    "char_entropy",
+    "curate_corpus",
+    "chunk_documents",
+    "contamination_check",
+    "disjunctive_revenue",
+    "sole_supplier_orders",
+    "corpus_mix_report",
+    "doc_dup_spans",
+    "ann_recall_audit",
+    "dedup_spans_removal",
+    "shard_manifest",
+    "training_order",
+    "suppliers_kept_waiting",
+    "incremental_dedup",
+    "mixture_sample",
+    "representative_selection",
+    "event_transition_matrix",
+    "bpe_merge_candidates",
+    "top_event_paths",
+    "curation_funnel",
+    "copurchase_pagerank",
+    "cross_source_duplication",
+    "corpus_report",
+    "yoy_nation_revenue",
 ]
 
 

@@ -213,6 +213,27 @@ def test_near_dup_gated_no_quadratic_join(tables):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_term_cooccurrence_no_vocab_broadcast_hint(spark, tables):
+    """The document-frequency joins must stay UNHINTED: df_term is one
+    row per distinct corpus token (1e8-1e9 at 100 TB web text), so a
+    forced broadcast hint — which AQE cannot override — would OOM the
+    driver at scale. The only hint allowed in the plan is the 1-row
+    n_docs scalar. Checked on the analyzed logical plan, where hints
+    are still visible as ResolvedHint nodes (the physical plan may
+    legitimately broadcast at test scale via AQE runtime stats)."""
+    from ecom_etl_proj_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    df = registry.queries()["term_cooccurrence"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    hints = logical.count("ResolvedHint")
+    assert hints <= 1, (
+        f"term_cooccurrence carries {hints} broadcast hints; only the "
+        f"1-row n_docs scalar may be hinted:\n{logical}"
+    )
+
+
 def test_asof_union_carry_no_join(spark, tables):
     """The generic as-of must plan as union + window — no join operator
     of any kind (the quadratic theta-join shape must never appear)."""
