@@ -64,6 +64,15 @@ from ecom_etl_proj_spark.catalog import load_tables  # noqa: E402
 from ecom_etl_proj_spark.plans import registry  # noqa: E402
 from ecom_etl_proj_spark.session import get_spark  # noqa: E402
 
+# Host-speed reference: r6's calibration_sec (sf-independent pure-JVM
+# xxhash64-over-range workload) on the round-6 driver host. Every
+# "normalized_*" key in the JSON is the raw series times
+# (CALIBRATION_REF / this run's calibration_sec), putting all rounds
+# r6+ on the r6 host's footing so the driver and the judge can compare
+# rounds without hand-dividing. Raw keys are unchanged and stay the
+# series of record; normalization is attribution metadata.
+CALIBRATION_REF = 0.192
+
 HEADLINE = [
     "pricing_summary",
     "sales_master_join",
@@ -182,6 +191,10 @@ def main() -> None:
     g1, _ = one_pass("ingest-warm1", INGEST_HEADLINE)
     g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)
     calibration = calibrate()
+
+    def norm(x: float) -> float:
+        return round(x * CALIBRATION_REF / calibration, 3)
+
     warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
     warm_total = round(sum(warm.values()), 3)
     llm_warm = {name: min(l1[name], l2[name]) for name in LLM_HEADLINE}
@@ -228,6 +241,28 @@ def main() -> None:
                 "ingest_warm_value": round(sum(ingest_warm.values()), 3),
                 "loadavg": [round(x, 2) for x in loadavg],
                 "calibration_sec": calibration,
+                "calibration_ref": CALIBRATION_REF,
+                # host-normalized twins (raw x CALIBRATION_REF/calibration):
+                # cross-round comparable; see CALIBRATION_REF note above
+                "normalized_value": norm(cold_total),
+                "normalized_warm_value": norm(warm_total),
+                "normalized_queries": {n: norm(v) for n, v in cold_times.items()},
+                "normalized_warm_queries": {n: norm(v) for n, v in warm.items()},
+                "normalized_compile_overhead": {
+                    n: norm(v) for n, v in compile_overhead.items()
+                },
+                "normalized_llm_value": norm(llm_cold_total),
+                "normalized_llm_warm_value": norm(llm_warm_total),
+                "normalized_llm_warm_queries": {
+                    n: norm(v) for n, v in llm_warm.items()
+                },
+                "normalized_llm_prod_warm_queries": {
+                    n: norm(v) for n, v in llm_prod_warm.items()
+                },
+                "normalized_ingest_value": norm(g0_total),
+                "normalized_ingest_warm_queries": {
+                    n: norm(v) for n, v in ingest_warm.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

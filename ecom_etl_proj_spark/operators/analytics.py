@@ -1608,13 +1608,20 @@ def copurchase_pagerank(
     (fan-out ≤ basket² per order — baskets are bounded, so edge count
     is linear in orders at any corpus size); each iteration is one
     edge⋈rank join plus one bounded (dst) aggregation, both on the same
-    partkey-derived shuffle keys. Edges and degrees are
-    ``localCheckpoint``-ed ONCE before the loop — without it every
+    partkey-derived shuffle keys. Edges and degrees are ``persist``-ed
+    ONCE before the loop — without loop-invariant state every
     iteration's plan re-derives the whole edge subtree (the audited
     static plan showed 14 lineitem scans for 3 iterations; Catalyst's
-    exchange reuse doesn't fire across the re-aliased iterations), the
-    same state discipline as ``dedup.connected_components``. Fixed
-    small ``iters`` keeps the rank-chain plan depth static.
+    exchange reuse doesn't fire across the re-aliased iterations, but
+    the cache manager DOES match each iteration's identical edge
+    subtree to the one InMemoryRelation), the same state discipline as
+    ``dedup.connected_components``. Unlike the earlier
+    ``localCheckpoint`` form, the cached frames are RELEASED before
+    returning: the final top-``top`` ranks are materialized eagerly
+    into their own (≤ ``top``-row) checkpoint, then edges/deg are
+    unpersisted — repeated invocations of the registered query no
+    longer accumulate executor storage blocks for the session lifetime.
+    Fixed small ``iters`` keeps the rank-chain plan depth static.
 
     Output: top ``top`` (l_partkey, rank) by rank desc, partkey asc.
     """
@@ -1631,9 +1638,9 @@ def copurchase_pagerank(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
@@ -1651,11 +1658,15 @@ def copurchase_pagerank(
                 F.expr("(15000000 + 85 * s) div 100").cast("long").alias("r"),
             )
         )
-    return (
+    result = (
         ranks.select(F.col("node").alias("l_partkey"), F.col("r").alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("l_partkey").asc())
         .limit(top)
+        .localCheckpoint()  # eager: ≤ top rows, severs lineage from the caches
     )
+    edges.unpersist()
+    deg.unpersist()
+    return result
 
 
 def yoy_nation_revenue(t: dict[str, DataFrame]) -> DataFrame:

@@ -444,6 +444,22 @@ def serve_latest(df: DataFrame, path: str, checkpoint: str):
     )
 
 
+def _write_epoch_partition(df: DataFrame, epoch: int, out_path: str) -> None:
+    """Idempotent foreachBatch parquet sink: write this epoch's rows
+    into their own ``_epoch=<id>`` partition with DYNAMIC partition
+    overwrite, so a replayed epoch (foreachBatch is at-least-once on
+    its own) replaces its earlier attempt instead of appending a
+    duplicate copy. Other epochs' partitions are untouched — dynamic
+    mode only overwrites partitions present in the written data."""
+    (
+        df.withColumn("_epoch", F.lit(epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(out_path)
+    )
+
+
 def incremental_dedup_stream(
     docs_stream: DataFrame,
     corpus_docs: DataFrame,
@@ -470,8 +486,18 @@ def incremental_dedup_stream(
     reuses the cached frames — so per-micro-batch cost is
     O(batch + collisions), not a corpus re-sketch per arrival (in
     production the state lives in the bucketed tables instead: see
-    ``incremental_dedup_stream_stateful``). Append-mode parquet sink +
-    checkpoint give exactly-once verdict delivery per epoch.
+    ``incremental_dedup_stream_stateful``).
+
+    Exactly-once verdicts: foreachBatch alone is at-least-once — a
+    failure after a plain append succeeds but before the epoch commits
+    to the checkpoint would replay the batch and duplicate verdict
+    rows. The sink is therefore made IDEMPOTENT: each epoch's verdicts
+    land in their own ``_epoch=<id>`` partition via dynamic partition
+    overwrite, so a replayed epoch overwrites its own partition instead
+    of appending a second copy. Checkpoint (no re-delivery of committed
+    epochs) + idempotent sink (replayed epochs converge) = effective
+    exactly-once. Readers that want the bare verdict schema drop the
+    ``_epoch`` partition column.
 
     The returned query carries an ``unpersist_state()`` attribute —
     call it after ``awaitTermination()`` to free the cached state
@@ -488,13 +514,17 @@ def incremental_dedup_stream(
         df.persist() for df in _dedup_state_frames(corpus_docs, n, hash_mode)
     )
 
-    def probe_batch(batch_df: DataFrame, _epoch: int) -> None:
+    def probe_batch(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_probe_state(
-            batch_df, corpus_fps, corpus_bands, corpus_sets, n, threshold,
-            hash_mode,
-        ).write.mode("append").parquet(out_path)
+        _write_epoch_partition(
+            incremental_probe_state(
+                batch_df, corpus_fps, corpus_bands, corpus_sets, n,
+                threshold, hash_mode,
+            ),
+            epoch,
+            out_path,
+        )
 
     q = (
         docs_stream.writeStream.outputMode("append")
@@ -536,24 +566,35 @@ def incremental_dedup_stream_stateful(
     standard resolution is a batch-local exact pass or next-arrival
     matching; documented, not hidden.
 
-    Exactly-once caveat: the verdict sink is epoch-transactional via
-    the checkpoint, but a replayed epoch would re-append state rows
-    (insertInto is not idempotent). Production hardening is an
-    epoch-id column + MERGE/overwrite-by-epoch on the state tables; in
-    this container the restart test drives distinct epochs only.
+    Exactly-once caveat: the VERDICT sink is idempotent (per-epoch
+    dynamic partition overwrite, same hardening as
+    ``incremental_dedup_stream`` — a replayed epoch overwrites its own
+    ``_epoch`` partition), but the STATE append is not: a replayed
+    epoch would re-append state rows (``insertInto`` has no
+    overwrite-by-epoch form on a bucketed parquet table). Re-appended
+    state rows cannot flip a verdict (they add duplicate probe
+    candidates for documents already in state), but they do waste state
+    bytes; production hardening is an epoch-id column + MERGE on a
+    lakehouse-format state table — the same environmental gap the CDC
+    layer documents (tests/test_pipeline.py lakehouse probe). The
+    restart test drives distinct epochs only.
     """
     from ecom_etl_proj_spark.operators.dedup import (
         append_dedup_state,
         probe_dedup_state,
     )
 
-    def probe_and_fold(batch_df: DataFrame, _epoch: int) -> None:
+    def probe_and_fold(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        probe_dedup_state(
-            batch_df.sparkSession, batch_df, state_prefix, n, threshold,
-            hash_mode,
-        ).write.mode("append").parquet(out_path)
+        _write_epoch_partition(
+            probe_dedup_state(
+                batch_df.sparkSession, batch_df, state_prefix, n, threshold,
+                hash_mode,
+            ),
+            epoch,
+            out_path,
+        )
         append_dedup_state(batch_df, state_prefix, n, hash_mode)
 
     return (

@@ -38,8 +38,14 @@ def test_oracle_parity(name, spark, duck):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_query_has_full_oracle():
+    """Since r6 every registered query carries a full DuckDB oracle —
+    there is no rows-only tier. This replaces the old parametrized
+    rows-only runner (whose parameter set became permanently empty and
+    showed up as a confusing perpetual skip): if a future query is
+    registered without an oracle, this fails loudly instead of silently
+    weakening the gate."""
+    assert set(QUERIES) == set(ORACLES), (
+        f"queries without oracle: {sorted(set(QUERIES) - set(ORACLES))}; "
+        f"oracles without query: {sorted(set(ORACLES) - set(QUERIES))}"
+    )

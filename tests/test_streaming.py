@@ -611,6 +611,29 @@ def test_stateful_counters_survive_restart(spark, tables, events_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_epoch_sink_replay_idempotent(spark):
+    """The foreachBatch verdict sink must converge under epoch replay:
+    foreachBatch is at-least-once, so a crash between a successful
+    write and the checkpoint commit re-runs the epoch. Writing the same
+    epoch twice must leave ONE copy (dynamic overwrite of that epoch's
+    partition) while other epochs' partitions survive untouched."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="epochsink_") as d:
+        out = f"{d}/out"
+        e0 = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+        e1 = spark.range(100, 103).select(F.col("id").alias("doc_id"))
+        pipeline._write_epoch_partition(e0, 0, out)
+        pipeline._write_epoch_partition(e1, 1, out)
+        # replay epoch 0 (same rows — the at-least-once re-run)
+        pipeline._write_epoch_partition(e0, 0, out)
+        got = spark.read.parquet(out)
+        assert got.count() == 8
+        assert got.filter(F.col("_epoch") == 0).count() == 5
+        assert got.filter(F.col("_epoch") == 1).count() == 3
+        assert got.select("doc_id").distinct().count() == 8
+
+
 def test_incremental_dedup_stream_matches_batch(spark, tables):
     """Streaming a document batch through incremental_dedup_stream's
     foreachBatch probe yields exactly the batch incremental_dedup
@@ -636,8 +659,10 @@ def test_incremental_dedup_stream_matches_batch(spark, tables):
         )
         q.awaitTermination(120)
         q.unpersist_state()
+        # drop the idempotency partition column — the batch twin has no
+        # epochs; everything else must match tuple-for-tuple
         got = sorted(
-            map(tuple, spark.read.parquet(out).collect())
+            map(tuple, spark.read.parquet(out).drop("_epoch").collect())
         )
         want = sorted(
             map(
