@@ -408,6 +408,22 @@ def _lsh_pairs_from(
     # inverted-index join the LSH existed to avoid. ``sets`` is the
     # same row-local projection the sketch hangs off — no extra scan
     # shape, no shuffle on either build side.
+    #
+    # Known CPU tradeoff, measured and kept deliberately: Catalyst
+    # never sinks a Project below a join, so each verify side computes
+    # the shingle projection for EVERY document — the in-plan form
+    # shingles the corpus 3x per run (sketch + two verify sides). The
+    # tested alternative (left-semi-filter each side on the candidate
+    # ids so PushDownLeftSemiAntiJoin pushes the filter under the
+    # projection) makes the candidate subtree a 3-consumer common
+    # subplan; exchange/stage reuse covers it standalone, but inside
+    # composed plans (curated_pack) it defeated AQE stage reuse —
+    # measured +50% warm latency and persistent per-run codegen churn.
+    # The production answer to repeated shingling is not a cleverer
+    # one-shot plan but ``dedup_minhash_lsh_state``: the persisted
+    # bucketed state serves sketches AND shingle sets with ZERO
+    # recomputation, which is why the state/incremental path is the
+    # documented 100 TB shape.
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -971,9 +971,23 @@ def pack_sequences(
     pack would be the single-task cumulative anti-pattern). All
     arithmetic is integer — exact in any engine.
     """
-    d = t["documents"].select(
+    return _pack_from_counts(
+        t["documents"].select("doc_id", X.token_count().alias("n_tokens")),
+        ctx_len,
+        n_shards,
+    )
+
+
+def _pack_from_counts(
+    counts: DataFrame, ctx_len: int, n_shards: int
+) -> DataFrame:
+    """Packing core over a precomputed (doc_id, n_tokens) frame —
+    shared by ``pack_sequences`` (counts straight off the text scan)
+    and ``curated_pack`` (counts carried from the quality gate, so the
+    pack stage never re-reads document text)."""
+    d = counts.select(
         "doc_id",
-        X.token_count().alias("n_tokens"),
+        "n_tokens",
         F.pmod("doc_id", F.lit(n_shards)).cast("int").alias("shard"),
     )
     w = (
@@ -1044,22 +1058,30 @@ def curated_pack(
     from ecom_etl_proj_spark.operators import dedup
 
     verdicts = curate_corpus(t, min_quality, min_tokens)
-    # The kept-id list is consumed by THREE downstream lineages (the
+    # The kept list is consumed by THREE downstream lineages (the
     # LSH edge materialization inside dedup_clusters, the loser
-    # anti-join, and the final pack scan); persisting it makes the
+    # anti-join, and the final pack); persisting it makes the
     # curation verdicts — fingerprint groupBy + quality expressions
     # over every document — run once instead of once per consumer.
-    # State is doc_id longs only, bounded at any corpus size (the
-    # full surviving TEXT is deliberately NOT cached).
-    keep_ids = verdicts.filter(F.col("kept")).select("doc_id").persist()
-    survivors = t["documents"].join(keep_ids, "doc_id", "left_semi")
+    # State is (doc_id, n_tokens) longs only, bounded at any corpus
+    # size (the full surviving TEXT is deliberately NOT cached).
+    # Carrying n_tokens — already computed by the quality gate — lets
+    # the final pack stage run entirely on this small integer frame:
+    # the previous shape re-scanned the surviving corpus TEXT a fourth
+    # time just to recompute the identical token counts (at 100 TB, a
+    # whole corpus scan bought nothing), and its window planned over
+    # text-bearing rows instead of two longs.
+    keep = verdicts.filter(F.col("kept")).select("doc_id", "n_tokens").persist()
+    survivors = t["documents"].join(
+        keep.select("doc_id"), "doc_id", "left_semi"
+    )
     t_surv = {**t, "documents": survivors}
     clusters = dedup.dedup_clusters(
         t_surv, threshold=near_dup_threshold, hash_mode=hash_mode
     )
     losers = clusters.filter(~F.col("is_representative")).select("doc_id")
-    final = survivors.join(losers, "doc_id", "left_anti")
-    return pack_sequences({**t, "documents": final}, ctx_len, n_shards)
+    final_counts = keep.join(losers, "doc_id", "left_anti")
+    return _pack_from_counts(final_counts, ctx_len, n_shards)
 
 
 def bpe_merge_candidates(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
