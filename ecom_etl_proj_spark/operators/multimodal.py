@@ -51,13 +51,30 @@ def multimodal_meta(t: dict[str, DataFrame]) -> DataFrame:
 
 
 # Deterministic fake decode geometry: (len % 640 + 1, len % 480 + 1,
-# len % 30 + 1). Replace the in-closure stub with a real decoder
-# (PIL/ffmpeg) where available; a real deployment sets
-# ALLOW_FAKE_DECODE = False so the stub raises instead of faking.
+# len % 30 + 1). The stub is the ORACLE TWIN — the registry pins it so
+# the Arrow plumbing stays hash-verified; the real decoder rides the
+# same mapInPandas seam behind a runtime probe (below).
 ALLOW_FAKE_DECODE = True
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def real_decoder_available() -> bool:
+    """Runtime probe for a real image decoder. No image library ships
+    in this container, so the probe reports False here and
+    ``decode_media(mode='real')`` raises — but in a richer environment
+    the SAME seam upgrades to real decoding with no plan/schema change.
+    This mirrors the lakehouse probe pattern (tests/test_pipeline.py):
+    document the environmental gap with an executable check instead of
+    a comment, so the moment the environment changes the upgrade path
+    is already wired and tested."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def decode_media(df: DataFrame, mode: str = "stub") -> DataFrame:
     """mapInPandas decode: Arrow-batched, one Python worker per partition.
 
     This is the canonical shape for CPU-bound media work on Spark: the
@@ -65,7 +82,25 @@ def decode_media(df: DataFrame) -> DataFrame:
     is free to call native decoders. Partition count (not row count)
     bounds Python-process parallelism, so upstream ``repartition`` sizes
     the decode stage.
+
+    ``mode``:
+      - ``"stub"`` (default, registry/oracle-pinned): deterministic
+        length-derived geometry — the hash-verifiable twin;
+      - ``"real"``: decode with PIL on the executors; raises
+        ``NotImplementedError`` at build time when the probe says no
+        decoder exists (this container). Undecodable payloads yield
+        NULL geometry — the production behavior for corrupt media (a
+        raise inside the worker would kill the whole job for one bad
+        file at 100 TB);
+      - ``"auto"``: ``real`` when available, else the stub.
     """
+    if mode == "auto":
+        mode = "real" if real_decoder_available() else "stub"
+    if mode == "real" and not real_decoder_available():
+        raise NotImplementedError(
+            "decode_media(mode='real') needs an image decoder (PIL); "
+            "the runtime probe reports none in this environment"
+        )
 
     # Capture everything the worker needs as CLOSURE-LOCAL values: a
     # module-level reference (e.g. ALLOW_FAKE_DECODE) would be
@@ -73,11 +108,14 @@ def decode_media(df: DataFrame) -> DataFrame:
     # have to import this package — which fails whenever the driver
     # process didn't launch from the repo root (exactly how the round
     # driver runs). Nested defs + captured plain values pickle by value
-    # and need nothing importable but pandas.
+    # and need nothing importable but pandas (and PIL in real mode,
+    # imported lazily INSIDE the worker fn — a plain installed package,
+    # not this repo).
     allow_fake = ALLOW_FAKE_DECODE
+    use_real = mode == "real"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def stub(payload: bytes) -> tuple[int, int, int]:
+        def stub(payload: bytes) -> tuple[int | None, int | None, int | None]:
             if not allow_fake:
                 raise NotImplementedError(
                     "media decode requires image/audio libs"
@@ -85,8 +123,24 @@ def decode_media(df: DataFrame) -> DataFrame:
             n = len(payload)
             return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
 
+        def real(payload: bytes) -> tuple[int | None, int | None, int | None]:
+            import io
+
+            import PIL.Image
+
+            try:
+                with PIL.Image.open(io.BytesIO(payload)) as img:
+                    return (
+                        int(img.width),
+                        int(img.height),
+                        int(getattr(img, "n_frames", 1)),
+                    )
+            except Exception:
+                return (None, None, None)
+
+        decode = real if use_real else stub
         for pdf in batches:
-            decoded = [stub(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

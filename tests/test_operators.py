@@ -72,6 +72,47 @@ def test_multimodal_decode_shape(spark, tables):
         assert 1 <= r["n_frames"] <= 30
 
 
+def test_multimodal_real_decode_probe(spark, tables):
+    """Probe-gated real decode (judge task r7.7): documents, as an
+    executable check, whether a real image decoder exists in this
+    environment, and exercises whichever branch applies.
+
+    - Decoder ABSENT (this container): mode='real' must raise at build
+      time with a clear message, and mode='auto' must fall back to the
+      deterministic stub (identical rows).
+    - Decoder PRESENT (a richer environment): a generated 3x2 PNG must
+      decode to its true geometry through the SAME mapInPandas seam,
+      and a garbage payload must yield NULL geometry, not a job kill.
+    """
+    import pytest
+
+    available = multimodal.real_decoder_available()
+    df = multimodal.with_payload(tables)
+    if not available:
+        with pytest.raises(NotImplementedError, match="probe reports none"):
+            multimodal.decode_media(df, mode="real")
+        auto = multimodal.decode_media(df, mode="auto").limit(5).collect()
+        stub = multimodal.decode_media(df, mode="stub").limit(5).collect()
+        assert auto == stub and len(auto) == 5
+    else:
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (3, 2)).save(buf, format="PNG")
+        payloads = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in multimodal.decode_media(payloads, mode="real").collect()
+        }
+        assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+        assert rows[2]["width"] is None  # corrupt media -> NULL, no raise
+
+
 def test_minhash_agrees_with_exact_jaccard(spark, tables):
     """LSH candidates re-scored exactly must be a subset of (and at these
     thresholds equal to) the exact Jaccard pairs."""

@@ -767,3 +767,106 @@ def test_incremental_dedup_stream_stateful_cross_batch(spark, tables):
             assert rows[900029]["verdict"] == "new"
     finally:
         drop()
+
+
+def test_incremental_dedup_stream_stateful_soak(spark, tables):
+    """Long-horizon soak of the continuous-ingestion loop (judge task
+    r7.8): many micro-batches through ONE availableNow query
+    (maxFilesPerTrigger=1 makes each file its own epoch), growing the
+    persisted state every epoch. Asserts the two claims the docstrings
+    make but no test previously measured over a long run:
+
+    - STATE grows O(corpus + arrivals), exactly: after N single-doc
+      epochs the fp table holds |corpus| + N rows (one per doc ever
+      seen — nothing re-sketched, nothing dropped);
+    - PROBE cost stays O(batch) as state grows: per-epoch trigger
+      durations from the query's own progress log must not trend up —
+      the median of the last 10 epochs is bounded by 5x the median of
+      the first 10 retained (generous: host noise, file-listing growth
+      — what it catches is the accidental O(state) re-scan per epoch,
+      which would drift far past 5x over this horizon).
+
+    Cross-batch matching must also hold over the whole horizon: every
+    10th doc duplicates the text of the doc 5 epochs earlier, and must
+    come back exact_dup against exactly that earlier doc_id.
+    """
+    import json
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    n_epochs = 90
+    corpus = tables["documents"]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+
+    def drop():
+        for suffix in ("fp", "bands", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS soak_{suffix}")
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/soak_{suffix}", ignore_errors=True)
+
+    def text_of(i: int) -> str:
+        # every 10th doc repeats the text from 5 epochs earlier; all
+        # other docs are WORD-DISJOINT from each other (no shared
+        # shingles — template words would push innocent pairs over the
+        # 0.1 near-dup Jaccard threshold and flip verdicts to near_dup)
+        j = i - 5 if (i % 10 == 5 and i >= 5) else i
+        return " ".join(f"tok{j}x{k}" for k in range(8))
+
+    drop()
+    try:
+        dedup.build_dedup_state(corpus, "soak", hash_mode="md5", n_buckets=4)
+        with tempfile.TemporaryDirectory(prefix="soak_") as d:
+            src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+            for i in range(n_epochs):
+                spark.createDataFrame(
+                    [(950_000 + i, text_of(i))], "doc_id long, text string"
+                ).coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = pipeline.incremental_dedup_stream_stateful(
+                stream, "soak", out, ckpt, hash_mode="md5"
+            )
+            q.awaitTermination(560)
+
+            # --- state growth: exactly corpus + one row per arrival ---
+            n_corpus = corpus.count()
+            assert (
+                spark.table("soak_fp").count() == n_corpus + n_epochs
+            ), "fp state must hold one row per doc ever seen"
+            assert (
+                spark.table("soak_sets").count() == n_corpus + n_epochs
+            ), "sets state must hold one row per doc ever seen"
+
+            # --- verdicts: one per arrival; dup pattern matches ---
+            rows = {
+                r["doc_id"]: r for r in spark.read.parquet(out).collect()
+            }
+            assert len(rows) == n_epochs
+            for i in range(n_epochs):
+                r = rows[950_000 + i]
+                if i % 10 == 5 and i >= 5:
+                    assert r["verdict"] == "exact_dup", (i, r)
+                    assert r["matched_doc_id"] == 950_000 + i - 5, (i, r)
+                else:
+                    assert r["verdict"] == "new", (i, r)
+
+            # --- probe latency drift over the horizon ---
+            progress = [json.loads(p.json) for p in q.recentProgress]
+            durs = [
+                p["durationMs"].get("triggerExecution", 0)
+                for p in progress
+                if p.get("numInputRows", 0) > 0
+            ]
+            assert len(durs) >= 40, "soak must retain enough epoch timings"
+            head = sorted(durs[:10])[5]
+            tail = sorted(durs[-10:])[5]
+            assert tail <= max(5 * head, head + 2000), (
+                f"per-epoch probe time drifted: first-10 median {head}ms, "
+                f"last-10 median {tail}ms over {len(durs)} epochs — "
+                "O(state) work is leaking into the per-batch path"
+            )
+    finally:
+        drop()
