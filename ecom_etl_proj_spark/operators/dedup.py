@@ -307,6 +307,17 @@ def dedup_minhash_lsh(
     cross-engine reproducible so the DuckDB oracle rebuilds the
     IDENTICAL candidate set (registry pins it). Both modes are
     A/B-tested for identical verified output.
+
+    Cold-latency attribution (r7, tools/profile_lsh.py): of the
+    ~2.5-2.8s cold-minus-warm gap at sf0.1, Janino compilation is only
+    ~0.5-0.6s and Catalyst analysis+optimization ~0.3s; the rest is
+    first-execution JVM JIT of the generated classes and interpreted
+    higher-order-function paths. Three plan-shrinking variants were
+    measured (r6's HOF band collapse — kept, it halved generated
+    source; r7's candidate-semi-join and late-distinct — both reverted,
+    neutral-to-worse). The residue is a fixed per-JVM warmup cost: on a
+    long-lived 1000-executor cluster it amortizes to zero, which is why
+    the warm series is the 100 TB throughput predictor.
     """
     sets = shingle_sets(t, n)
     bands = minhash_bands(sets, hash_mode)
@@ -1134,3 +1145,40 @@ def cross_source_duplication(
             ).alias("avg_jaccard"),
         )
     )
+
+
+def dedup_threshold_sweep(
+    t: dict[str, DataFrame], n: int = 3, min_threshold: float = 0.05
+) -> DataFrame:
+    """Threshold-tuning curve for near-dup removal: how many pairs a
+    dedup pass would act on at each Jaccard cutoff — the report run
+    BEFORE choosing the production threshold, so "0.8 removes 2% of
+    pairs, 0.3 removes 40%" is a measurement instead of folklore.
+
+    One exact-Jaccard pass (``dedup_ngram_jaccard`` at a low floor,
+    df-capped as always) feeds a 10-bucket histogram; the cumulative
+    count per cutoff is a window over <= 10 aggregated rows — the
+    unpartitioned window is bounded by the bucket count, not the data.
+    Bucketing goes through an exact integer (round(j*10000) div 1000)
+    so no floating-point floor boundary can disagree between engines.
+
+    Output: (threshold, n_pairs, pairs_at_or_above) for each non-empty
+    0.1-wide bucket, ascending.
+    """
+    from pyspark.sql import Window
+
+    pairs = dedup_ngram_jaccard(t, n, min_threshold)
+    bucket = F.expr("least(cast(round(jaccard * 10000) as bigint) div 1000, 9)")
+    per = (
+        pairs.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.round(F.col("b") / 10.0, 1).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("pairs_at_or_above"),
+    ).orderBy("threshold")

@@ -1333,3 +1333,89 @@ def langid_confusion(t: dict[str, DataFrame]) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(total).cast("double"), 6
         ).alias("recall"),
     ).orderBy("lang", "pred_lang")
+
+
+def packing_efficiency(
+    t: dict[str, DataFrame], ctx_len: int = 512, n_shards: int = 32
+) -> DataFrame:
+    """Packing-waste audit of ``pack_sequences``: per shard, how full
+    the fixed-context bins are and how many documents the greedy packer
+    splits across a bin boundary — the report that decides ctx_len /
+    n_shards and whether cross-document attention masking is worth its
+    cost before a training run is launched.
+
+    Pure arithmetic over the pack output (bin_id * ctx_len +
+    bin_offset reconstructs each doc's global token offset): one
+    bounded groupBy on shard (n_shards rows). ``n_bins`` counts bins
+    the shard actually touches (the last doc may spill past the last
+    bin_id), ``split_docs`` counts docs whose first and last token
+    land in different bins, ``fill_ratio`` = tokens / (bins * ctx_len).
+    All-integer except the one rounded division.
+    """
+    p = pack_sequences(t, ctx_len, n_shards)
+    with_bins = p.select(
+        "shard",
+        "n_tokens",
+        F.col("bin_id").alias("first_bin"),
+        F.expr(
+            f"(bin_id * {ctx_len} + bin_offset + n_tokens - 1) div {ctx_len}"
+        ).alias("last_bin"),
+    )
+    return (
+        with_bins.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max("last_bin") + F.lit(1)).alias("n_bins"),
+            F.sum(
+                F.when(F.col("first_bin") != F.col("last_bin"), 1).otherwise(0)
+            ).alias("split_docs"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "n_bins",
+            "split_docs",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_bins") * ctx_len),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
+def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-unigram log-probability per document — the classic
+    cheap stand-in for an LM-perplexity quality gate (docs whose words
+    are improbable under the corpus's own unigram distribution are
+    disproportionately boilerplate, OCR noise, or non-text): avg over
+    the doc's tokens of ln(tf(token) / total_tokens).
+
+    Scale shape: one explode of the corpus into (doc_id, term) rows;
+    term frequencies via one bounded groupBy; the per-token probability
+    attaches through a plain SHUFFLE join on the term key — the
+    vocabulary is unbounded (1e8+ terms at web scale), so no broadcast
+    hint anywhere (same rule as term_cooccurrence; AQE broadcasts at
+    small scale on runtime stats, and its skew handling splits the
+    stopword-heavy term partitions). Only the 1-row total is hinted.
+    The per-doc avg is the only float accumulation; rounded to 6 it is
+    stable across engines at any summation order.
+    """
+    toks = t["documents"].select("doc_id", F.explode(X.tokens()).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tf").cast("double") / F.col("n_total"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3926,6 +3926,110 @@ register(
     """,
 )
 
+# --- r7 additions: packing audit, unigram-LM quality proxy, dedup
+# threshold tuning curve (registered after the r7 verification head —
+# slots 51+ — so they don't displace the stale-cohort re-checks; local
+# oracle parity gates them until their driver row lands in r8) ---
+
+register(
+    "packing_efficiency",
+    textops.packing_efficiency,
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST(doc_id % 32 AS INT) AS shard
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start
+        FROM d
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max((start + n_tokens - 1) // 512) + 1 AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN start // 512 <> (start + n_tokens - 1) // 512
+                    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / ((max((start + n_tokens - 1) // 512) + 1) * 512), 6)
+               AS fill_ratio
+    FROM packed
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+
+register(
+    "unigram_logprob",
+    textops.unigram_logprob,
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+    total AS (SELECT count(*) AS n_total FROM toks)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(f.tf AS DOUBLE) / total.n_total)), 6)
+               AS avg_logprob
+    FROM toks t
+    JOIN tf f ON t.term = f.term
+    CROSS JOIN total
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+
+register(
+    "dedup_threshold_sweep",
+    lambda t: dedup.dedup_threshold_sweep(t, n=3, min_threshold=0.05),
+    _SHINGLE_SQL
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+        SELECT doc_id, shingle FROM ex
+        WHERE shingle IN (SELECT shingle FROM ex GROUP BY shingle
+                          HAVING count(*) <= {dedup.NGRAM_MAX_SHINGLE_FREQ})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4)
+                   AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4)
+              >= 0.05
+    ),
+    hist AS (
+        SELECT least(CAST(round(jaccard * 10000) AS BIGINT) // 1000, 9) AS b,
+               count(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    )
+    SELECT round(b / 10.0, 1) AS threshold,
+           n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pairs_at_or_above
+    FROM hist
+    ORDER BY threshold
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
@@ -4004,7 +4108,11 @@ _DRIVER_PRIORITY: list[str] = [
     "idle_high_balance_customers",
     "market_share_by_nation",
     # --- top-50 boundary: everything below rotates up next round ---
-    # r4 overflow (slots 51-55): single-scan shapes, unchanged since r4
+    # r7 additions (local oracle parity only until their r8 driver row)
+    "packing_efficiency",
+    "unigram_logprob",
+    "dedup_threshold_sweep",
+    # r4 overflow: single-scan shapes, unchanged since r4
     "top_terms",
     "doc_length_stats",
     "cheapest_supplier_per_part",

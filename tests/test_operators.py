@@ -1771,3 +1771,60 @@ def test_langid_confusion_reconciles(spark, tables):
     )
     diag = sum(r["n_docs"] for r in rows if r["lang"] == r["pred_lang"])
     assert diag == direct
+
+
+def test_packing_efficiency_invariants(spark, tables):
+    """The packing audit must agree with the pack output it audits:
+    fill ratio in (0, 1], bins cover all packed tokens, split docs are
+    a subset, and total tokens reconcile with the raw token counts."""
+    from ecom_etl_proj_spark.operators import textops
+
+    eff = {r["shard"]: r for r in textops.packing_efficiency(tables).collect()}
+    pack = textops.pack_sequences(tables).toPandas()
+    assert set(eff) == set(pack["shard"].unique())
+    for shard, r in eff.items():
+        p = pack[pack["shard"] == shard]
+        assert r["n_docs"] == len(p)
+        assert r["total_tokens"] == p["n_tokens"].sum()
+        # bins must cover the shard's token span exactly
+        last_end = int(
+            (p["bin_id"] * 512 + p["bin_offset"] + p["n_tokens"]).max()
+        )
+        assert r["n_bins"] == (last_end - 1) // 512 + 1
+        assert 0 < r["fill_ratio"] <= 1.0
+        assert 0 <= r["split_docs"] <= r["n_docs"]
+
+
+def test_unigram_logprob_orders_rare_below_common(spark):
+    """A doc of corpus-common words must outscore a doc of hapaxes."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran to the mat"),
+            (3, "zyzzyva qwertyuiop flibbertigibbet"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in textops.unigram_logprob({"documents": docs}).collect()
+    }
+    assert got[3] < got[1] < 0
+    assert got[3] < got[2] < 0
+
+
+def test_dedup_threshold_sweep_monotone(spark, tables):
+    """Cumulative pair counts must be non-increasing in threshold and
+    the lowest bucket's cumulative must equal the total pair count."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    rows = dedup.dedup_threshold_sweep(tables).collect()
+    assert rows, "sweep must see at least one pair bucket"
+    assert rows == sorted(rows, key=lambda r: r["threshold"])
+    cums = [r["pairs_at_or_above"] for r in rows]
+    assert cums == sorted(cums, reverse=True)
+    assert cums[0] == sum(r["n_pairs"] for r in rows)
+    n_pairs_low = dedup.dedup_ngram_jaccard(tables, threshold=0.05).count()
+    assert cums[0] == n_pairs_low
