@@ -126,12 +126,20 @@ def _llm_prod_queries():
         "curated_pack_prod": lambda spark, sf_dir: textops.curated_pack(
             tables_for(spark, sf_dir), hash_mode="xxhash64"
         ),
-        # assign_impl="arrow": the vectorized BLAS assignment is the
-        # production path (r7) — the expression form stays on the
-        # oracle-pinned registry entry where DuckDB mirrors its exact
-        # arithmetic
         "ann_ivf_prod": lambda spark, sf_dir: similarity.ann_ivf(
+            tables_for(spark, sf_dir), lloyd_iters=2
+        ),
+        # Additive r7 keys (existing series keep their exact semantics):
+        # the Arrow/BLAS vector-math variants. At bench scale (2k
+        # vectors) arrow's per-iteration driver collects make ann_ivf
+        # roughly break-even — its win is at corpus scale (14x measured
+        # at 100k x 316, growing with sqrt(n) centroids) — so it gets
+        # its own series instead of silently redefining ann_ivf_prod.
+        "ann_ivf_arrow": lambda spark, sf_dir: similarity.ann_ivf(
             tables_for(spark, sf_dir), lloyd_iters=2, assign_impl="arrow"
+        ),
+        "embedding_knn_arrow": lambda spark, sf_dir: similarity.embedding_knn(
+            tables_for(spark, sf_dir), impl="arrow"
         ),
     }
 

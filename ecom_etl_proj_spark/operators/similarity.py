@@ -14,8 +14,14 @@ Two paths, as a 100 TB pipeline needs:
   bucket; only same-bucket pairs are scored. The scale path: shuffle key
   is the bucket id, fan-out scales with bucket density.
 
-All vector math is Catalyst higher-order functions (functions/vectors.py)
-— JVM-side, no UDF.
+Vector math comes in two implementations: Catalyst higher-order
+functions (functions/vectors.py — JVM-side, exactly mirrorable in the
+DuckDB oracles, the default on every registered entry) and, for the
+production hot paths, Arrow-batched numpy matmuls
+(``_assign_cells_arrow`` / ``_embedding_knn_arrow`` — HOFs are
+CodegenFallback, i.e. interpreted, so dense linear algebra is the one
+place a vectorized Pandas-UDF path beats the built-ins by an order of
+magnitude; A/B-tested identical, opt-in via ``impl``/``assign_impl``).
 """
 
 from __future__ import annotations
@@ -58,9 +64,21 @@ def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
 
 
 def embedding_knn(
-    t: dict[str, DataFrame], n_queries: int = 10, k: int = 5
+    t: dict[str, DataFrame], n_queries: int = 10, k: int = 5,
+    impl: str = "expr",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the first ``n_queries`` vectors."""
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    ``impl='arrow'``: computes the corpus-side cosines as one
+    (batch x dim) @ (dim x queries) numpy matmul per Arrow batch
+    instead of per-(row, query) interpreted HOF folds — the same
+    vectorization (and the same eager bounded collect of the small
+    side) as ``_assign_cells_arrow``; top-k selection stays in Spark.
+    Production mode for large query batches; the default expression
+    form remains the oracle-pinned registry entry.
+    """
+    if impl == "arrow":
+        return _embedding_knn_arrow(t, n_queries, k)
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -78,6 +96,62 @@ def embedding_knn(
             V.dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")), 6
         ).alias("cosine_sim"),
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _embedding_knn_arrow(
+    t: dict[str, DataFrame], n_queries: int, k: int
+) -> DataFrame:
+    """Vectorized brute-force kNN: the bounded query block (n_queries x
+    dim floats) is collected once and closure-captured; each corpus
+    Arrow batch emits its (vec_id, query_id, cosine) rows from one BLAS
+    matmul. Row volume and the final per-query top-k window are
+    identical to the expression form — only the per-pair dot/norm
+    arithmetic moves from interpreted HOF folds to C. Same result
+    contract as ``embedding_knn`` (A/B-tested)."""
+    emb = t["embeddings"]
+    q_rows = emb.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding"
+    ).collect()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    q_mat = [[float(x) for x in r["embedding"]] for r in q_rows]
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        q = np.asarray(q_mat, dtype=np.float64)
+        qn = (q / np.linalg.norm(q, axis=1)[:, None]).T  # dim x queries
+        ids = np.asarray(q_ids, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            cos = (v / np.linalg.norm(v, axis=1)[:, None]) @ qn
+            n_rows, n_q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(ids, n_rows),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), n_q
+                    ),
+                    "cosine_sim": np.round(cos.ravel(), 6),
+                }
+            )
+
+    sim = emb.mapInPandas(
+        batches, schema="query_id long, neighbor_id long, cosine_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -1855,3 +1855,13 @@ def test_assign_cells_arrow_matches_expr(spark, tables):
         map(tuple, sim.ann_ivf(tables, lloyd_iters=2, assign_impl="arrow").collect())
     )
     assert got_e == got_a
+
+
+def test_embedding_knn_arrow_matches_expr(spark, tables):
+    """The vectorized brute-force kNN must return exactly the
+    expression form's neighbors, similarities, and ranks."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    a = sorted(map(tuple, sim.embedding_knn(tables).collect()))
+    b = sorted(map(tuple, sim.embedding_knn(tables, impl="arrow").collect()))
+    assert a == b and len(a) > 0
