@@ -675,3 +675,78 @@ def session_duration_histogram(
             6,
         ).alias("pct_sessions"),
     ).orderBy("bucket_start_min")
+
+
+def covisitation_pairs(
+    t: dict[str, DataFrame],
+    gap_minutes: int = 30,
+    cap: int = 50,
+    top: int = 20,
+) -> DataFrame:
+    """Session-based product co-visitation: the top product pairs seen
+    together inside one browsing session — the clickstream complement
+    to ``analytics.copurchase_pairs`` (baskets say what sells together;
+    sessions say what is CONSIDERED together, the signal behind
+    'people who viewed this also viewed').
+
+    Shape: gap-based sessionization (same two user-keyed windows as
+    ``sessionization``), then each session collapses to its SORTED
+    DISTINCT product set capped at ``cap`` entries — pair expansion is
+    row-local over that bounded array (<= cap²/2 structs per session,
+    the term_cooccurrence discipline: an uncapped crawler session would
+    otherwise emit its whole catalog squared), and the count is a
+    bounded (a, b)-keyed aggregation with map-side combine. No
+    self-join on the event table anywhere.
+
+    Output: top ``top`` (product_a, product_b, n_sessions) by session
+    count, then product ids.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    marked = t["events"].withColumn(
+        "new_session",
+        F.when(
+            (us - F.lag(us).over(w_user)) > gap_minutes * 60 * 1_000_000, 1
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_idx", F.sum("new_session").over(w_cum))
+    prods = (
+        sess.select(
+            "user_id", "session_idx", _product_key().alias("product_id")
+        )
+        .filter(F.col("product_id").isNotNull())
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("product_id")), 1, cap).alias(
+                "ps"
+            )
+        )
+        .filter(F.size("ps") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        prods.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("product_a"), F.col("p.b").alias("product_b"))
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(
+            F.col("n_sessions").desc(),
+            F.col("product_a").asc(),
+            F.col("product_b").asc(),
+        )
+        .limit(top)
+    )

@@ -4030,6 +4030,53 @@ register(
 )
 
 
+register(
+    "covisitation_pairs",
+    events.covisitation_pairs,
+    """
+    WITH marked AS (
+        SELECT *,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_idx
+        FROM marked
+    ),
+    prods AS (
+        SELECT user_id, session_idx,
+               list_sort(list_distinct(list(
+                   CAST(json_extract_string(props, '$.k') AS BIGINT))))[1:50]
+                   AS ps
+        FROM sess
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2
+        HAVING len(list_distinct(list(
+            CAST(json_extract_string(props, '$.k') AS BIGINT)))) > 1
+    ),
+    pairs AS (
+        SELECT ps[CAST(u1.i AS INT)] AS product_a,
+               ps[CAST(u2.j AS INT)] AS product_b
+        FROM prods,
+             unnest(range(1, len(ps) + 1)) AS u1(i),
+             unnest(range(1, len(ps) + 1)) AS u2(j)
+        WHERE u1.i < u2.j
+    )
+    SELECT product_a, product_b, count(*) AS n_sessions
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY n_sessions DESC, product_a ASC, product_b ASC
+    LIMIT 20
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------
@@ -4112,6 +4159,7 @@ _DRIVER_PRIORITY: list[str] = [
     "packing_efficiency",
     "unigram_logprob",
     "dedup_threshold_sweep",
+    "covisitation_pairs",
     # r4 overflow: single-scan shapes, unchanged since r4
     "top_terms",
     "doc_length_stats",

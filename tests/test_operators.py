@@ -1865,3 +1865,34 @@ def test_embedding_knn_arrow_matches_expr(spark, tables):
     a = sorted(map(tuple, sim.embedding_knn(tables).collect()))
     b = sorted(map(tuple, sim.embedding_knn(tables, impl="arrow").collect()))
     assert a == b and len(a) > 0
+
+
+def test_covisitation_pairs_hand_sessions(spark):
+    """Two sessions for one user (gap > 30 min splits them): products
+    co-visited within a session pair up; across sessions they don't."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    rows = [
+        # session 1: products 1, 2, 3 within minutes
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, '{"k": 1}'),
+        (2, "2024-01-01 10:05:00", 7, "view", 1.0, '{"k": 2}'),
+        (3, "2024-01-01 10:10:00", 7, "view", 1.0, '{"k": 3}'),
+        # 2h gap -> session 2: products 3, 4
+        (4, "2024-01-01 12:30:00", 7, "view", 1.0, '{"k": 4}'),
+        (5, "2024-01-01 12:31:00", 7, "view", 1.0, '{"k": 3}'),
+        # another user, single-product session: no pairs
+        (6, "2024-01-01 10:00:00", 8, "view", 1.0, '{"k": 1}'),
+        # event with no product key: ignored
+        (7, "2024-01-01 10:02:00", 7, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+         for i, ts, u, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["product_a"], r["product_b"]): r["n_sessions"]
+        for r in ev.covisitation_pairs({"events": df}).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 1}
