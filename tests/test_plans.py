@@ -359,6 +359,9 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
     - daily_sales_7d_ma         day-grain aggregate
     - product_leaderboard       rank over TakeOrdered top-N rows
     - bm25_search               rank over .limit(top) rows
+    - dedup_threshold_sweep     cumulative sum over <= 10 Jaccard
+                                histogram buckets (bounded by the
+                                bucket count, not the data)
     """
     import re
 
@@ -372,6 +375,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
         "daily_sales_7d_ma",
         "product_leaderboard",
         "bm25_search",
+        "dedup_threshold_sweep",
     }
     offenders = set()
     for name, fn in registry.queries().items():
