@@ -223,16 +223,26 @@ def rfm_segments(
 
 
 def seller_performance(t: dict[str, DataFrame]) -> DataFrame:
-    """Per-supplier scorecard (utils.py:509-525): revenue, orders, delay."""
+    """Per-supplier scorecard (utils.py:509-525): revenue, orders, delay.
+
+    Revenue accumulates in DECIMAL, not double: a double sum is
+    add-order-dependent, and at sf0.1 row counts the rounded cent
+    landed on opposite sides of the half-boundary in Spark vs DuckDB
+    for 4 of 1000 suppliers (invisible at the sf0.01 gate). Each
+    per-row revenue is a <= 4-decimal value, so the decimal(18,6) cast
+    is exact and identical in both engines; the exact sum then rounds
+    identically everywhere.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            ),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
             F.count_distinct("l_orderkey").alias("total_orders"),
             F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 2).alias(
                 "avg_ship_delay_days"
@@ -1411,21 +1421,33 @@ def cheapest_supplier_per_part(
         )
         .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
     )
-    # Ratio sums accumulate in DECIMAL: a double avg is add-order-
-    # dependent and its round(..,4) flips at half-boundaries between
-    # engines (observed at sf0.01). Each ratio quantizes to decimal(18,6)
-    # identically on both sides; the sum is then exact, and one double
-    # division by the count is deterministic.
+    # Ratio sums accumulate in DECIMAL (a double avg is add-order-
+    # dependent), and the final 4-digit rounding happens in EXACT
+    # integer arithmetic: round(sum/count, 4) on a double quotient
+    # still flipped at half-boundaries at sf0.1 (the decimal-exact sum
+    # divided by the count lands exactly on x.xxxx5 whenever the micros
+    # divide evenly — 37 of 4000 parts), and Spark's BigDecimal HALF_UP
+    # vs DuckDB's multiply-round-divide disagree precisely there. The
+    # half-up quotient ((2a + b) div 2b) is computed on integers, so
+    # there is no floating-point tie to disagree about; the final /1e4
+    # double division of a 4-decimal value is exact in both engines.
     ratio = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
     per_pair = (
         t["lineitem"]
         .join(F.broadcast(members), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "s_suppkey", "s_name", "supp_nation")
         .agg(
-            F.round(F.sum(ratio).cast("double") / F.count("*"), 4).alias(
-                "avg_unit_price"
-            )
+            (F.sum(ratio) * 1000000).cast("long").alias("um"),
+            F.count("*").alias("cnt"),
         )
+        .withColumn(
+            "avg_unit_price",
+            F.expr(
+                "cast((2 * um * 10000 + cnt * 1000000) "
+                "div (2 * cnt * 1000000) as double) / 10000"
+            ),
+        )
+        .drop("um", "cnt")
     )
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("avg_unit_price").asc(), F.col("s_suppkey").asc()

@@ -382,7 +382,9 @@ register(
     analytics.seller_performance,
     """
     SELECT s.s_suppkey, s.s_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_revenue,
            count(DISTINCT l.l_orderkey) AS total_orders,
            round(avg(date_diff('day', CAST(o.o_orderdate AS DATE),
                                CAST(l.l_shipdate AS DATE))), 2)
@@ -3715,13 +3717,20 @@ register(
         JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'EUROPE'
     ),
-    per_pair AS (
+    sums AS (
         SELECT l.l_partkey, m.s_suppkey, m.s_name, m.supp_nation,
-               round(CAST(sum(CAST(l.l_extendedprice / l.l_quantity
-                                   AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(*), 4) AS avg_unit_price
+               CAST(sum(CAST(l.l_extendedprice / l.l_quantity
+                             AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS um,
+               count(*) AS cnt
         FROM lineitem l JOIN members m ON l.l_suppkey = m.s_suppkey
         GROUP BY 1, 2, 3, 4
+    ),
+    per_pair AS (
+        SELECT l_partkey, s_suppkey, s_name, supp_nation,
+               CAST((2 * um * 10000 + cnt * 1000000)
+                    // (2 * cnt * 1000000) AS DOUBLE) / 10000
+                   AS avg_unit_price
+        FROM sums
     )
     SELECT l_partkey AS p_partkey, s_suppkey, s_name, supp_nation,
            avg_unit_price
@@ -4105,7 +4114,10 @@ _DRIVER_PRIORITY: list[str] = [
     "session_duration_histogram",
     "langid_confusion",
     "order_fulfillment_span",
-    # --- implementation touched in r7 (compile-tax / plan work) ---
+    # --- implementation touched in r7 (float-boundary determinism
+    # fixes, pack/compile work; dedup_minhash_lsh also r4-stale) ---
+    "seller_performance",
+    "cheapest_supplier_per_part",
     "dedup_minhash_lsh",
     "curated_pack",
     # --- changed in r6 but overflowed r6's 50-slot sample ---
@@ -4154,7 +4166,10 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_alignment",
     "idle_high_balance_customers",
     "market_share_by_nation",
-    # --- top-50 boundary: everything below rotates up next round ---
+    # --- top-50 boundary: everything below rotates up next round
+    # (the two r7 float-determinism fixes pushed idle_high_balance_
+    # customers and market_share_by_nation just past the boundary;
+    # they lead r8 with the other overflow) ---
     # r7 additions (local oracle parity only until their r8 driver row)
     "packing_efficiency",
     "unigram_logprob",
@@ -4163,7 +4178,6 @@ _DRIVER_PRIORITY: list[str] = [
     # r4 overflow: single-scan shapes, unchanged since r4
     "top_terms",
     "doc_length_stats",
-    "cheapest_supplier_per_part",
     "important_parts",
     "dominant_suppliers",
     # --- r5-verified block (r8 cohort) ---
@@ -4220,7 +4234,6 @@ _DRIVER_PRIORITY: list[str] = [
     "data_profile_customer",
     "sales_by_geography",
     "rfm_segments",
-    "seller_performance",
     "delivery_performance",
     "order_status_distribution",
     "event_type_distribution",
