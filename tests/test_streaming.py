@@ -829,7 +829,10 @@ def test_incremental_dedup_stream_stateful_soak(spark, tables):
             q = pipeline.incremental_dedup_stream_stateful(
                 stream, "soak", out, ckpt, hash_mode="md5"
             )
-            q.awaitTermination(560)
+            # 90 epochs measured ~200s on an idle host; the margin
+            # covers 4x-slower loaded driver hosts (a timeout here
+            # surfaces as count mismatches below, not a hang)
+            q.awaitTermination(900)
 
             # --- state growth: exactly corpus + one row per arrival ---
             n_corpus = corpus.count()
