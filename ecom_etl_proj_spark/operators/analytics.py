@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 def kpi_overview(t: dict[str, DataFrame]) -> DataFrame:
     """Headline KPIs (run_analytics.py:84-93): revenue, orders, customers."""
     return t["orders"].agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
         F.count_distinct("o_orderkey").alias("total_orders"),
         F.count_distinct("o_custkey").alias("unique_customers"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
@@ -65,7 +65,7 @@ def sales_by_geography(t: dict[str, DataFrame]) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_sales"),
             F.count_distinct("o_orderkey").alias("num_orders"),
             F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
         )
@@ -112,7 +112,7 @@ def sales_geolocation(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_nationkey"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_sales"),
             F.count_distinct("o_orderkey").alias("num_orders"),
         )
     )
@@ -148,7 +148,7 @@ def rfm_scored(
         .agg(
             F.to_date(F.max("o_orderdate")).alias("last_order"),
             F.count_distinct("o_orderkey").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("monetary"),
         )
         .crossJoin(F.broadcast(snapshot))
         .withColumn("recency", F.datediff("snap", "last_order"))
@@ -320,7 +320,7 @@ def top_categories_by_revenue(t: dict[str, DataFrame], n: int = 10) -> DataFrame
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -337,7 +337,7 @@ def top_seller_nations(t: dict[str, DataFrame], n: int = 10) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("seller_nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -369,16 +369,24 @@ def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_base_price"),
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
             "sum_disc_price"
         ),
         F.round(
             F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(18,6)")
             ),
             2,
-        ).alias("sum_charge"),
+        )
+        .cast("double")
+        .alias("sum_charge"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -398,7 +406,7 @@ def top_revenue_orders(t: dict[str, DataFrame], n: int = 10) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"), "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -417,7 +425,7 @@ def revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue"
             )
         )
@@ -438,7 +446,7 @@ def revenue_forecast(t: dict[str, DataFrame]) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2).cast("double").alias(
             "forecast_revenue"
         ),
         F.count("*").alias("n_items"),
@@ -473,7 +481,7 @@ def monthly_sales(t: dict[str, DataFrame]) -> DataFrame:
         t["orders"]
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_sales"),
             F.count_distinct("o_orderkey").alias("number_of_orders"),
             F.count_distinct("o_custkey").alias("active_customers"),
         )
@@ -487,7 +495,7 @@ def market_segment_share(t: dict[str, DataFrame]) -> DataFrame:
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
     )
     total = Window.partitionBy()
     return seg.select(
@@ -505,7 +513,7 @@ def top_customers(t: dict[str, DataFrame], n: int = 20) -> DataFrame:
         t["orders"]
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("lifetime_value"),
             F.count_distinct("o_orderkey").alias("num_orders"),
         )
         .orderBy(F.col("lifetime_value").desc(), F.col("o_custkey").asc())
@@ -591,7 +599,7 @@ def daily_sales_7d_ma(t: dict[str, DataFrame]) -> DataFrame:
         t["orders"]
         .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("daily_sales"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("daily_sales"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -615,7 +623,7 @@ def top_parts_per_category(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
         t["lineitem"]
         .join(t["part"].select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"), "p_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
     )
     w = Window.partitionBy("category").orderBy(
         F.col("revenue").desc(), F.col("p_partkey").asc()
@@ -703,7 +711,7 @@ def revenue_rollup(t: dict[str, DataFrame]) -> DataFrame:
     return (
         joined.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -719,7 +727,7 @@ def ltv_deciled(
     ltv = (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("ltv"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("ltv"))
     )
     qs = [round(i / 10, 1) for i in range(1, 10)]
     qarr = ", ".join(str(q) for q in qs)
@@ -924,7 +932,7 @@ def weekly_sales_pattern(t: dict[str, DataFrame]) -> DataFrame:
         t["orders"]
         .groupBy(F.weekday("o_orderdate").alias("dow"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -957,7 +965,7 @@ def sales_cube(t: dict[str, DataFrame]) -> DataFrame:
         )
     )
     return joined.cube("region_name", "mktsegment").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
         F.count("*").alias("n_orders"),
     )
 
@@ -1032,7 +1040,7 @@ def returned_items_ranking(t: dict[str, DataFrame], n: int = 20) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "revenue_lost"
             ),
             F.count("*").alias("n_returned_items"),
@@ -1099,17 +1107,26 @@ def promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
         F.broadcast(t["part"].select("p_partkey", "p_type")),
         F.col("l_partkey") == F.col("p_partkey"),
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # revenue quantizes exactly to decimal(18,6) (<= 4-decimal values),
+    # so both sums are exact and the share is ONE double division of
+    # exact operands — partition-order independent (see
+    # seller_performance for the failure mode this prevents)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
     return (
         joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_share_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
         )
     )
 
@@ -1128,7 +1145,7 @@ def top_supplier(t: dict[str, DataFrame]) -> DataFrame:
     per_supp = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias(
                 "total_revenue"
             )
         )
@@ -1168,7 +1185,12 @@ def small_qty_avg_revenue(t: dict[str, DataFrame]) -> DataFrame:
         )
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n_small_lots"),
         )
     )

@@ -30,7 +30,7 @@ def events_minutely(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(
             F.count("*").alias("num_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
     )
 
@@ -45,9 +45,16 @@ def user_activity(t: dict[str, DataFrame]) -> DataFrame:
         cnt("purchase").alias("purchases"),
         cnt("signup").alias("signups"),
         cnt("error").alias("errors"),
-        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias(
-            "purchase_value"
-        ),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+                .cast("decimal(18,6)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("purchase_value"),
     )
 
 
@@ -65,7 +72,7 @@ def running_totals(t: dict[str, DataFrame]) -> DataFrame:
         t["events"]
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("minute", "ts").alias("minute"))
-        .agg(F.round(F.sum("value"), 2).alias("minute_revenue"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("minute_revenue"))
     )
     w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
     return per_min.select(
@@ -104,7 +111,7 @@ def running_totals_scalable(t: dict[str, DataFrame]) -> DataFrame:
         t["events"]
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("minute", "ts").alias("minute"))
-        .agg(F.round(F.sum("value"), 2).alias("minute_revenue"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("minute_revenue"))
     )
     ranged = per_min.withColumn(
         "part", F.floor(F.unix_timestamp("minute") / F.lit(86400)).cast("long")
@@ -216,7 +223,7 @@ def sessionization(t: dict[str, DataFrame], gap_minutes: int = 30) -> DataFrame:
         F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000").alias(
             "duration_secs"
         ),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
     )
 
 
@@ -319,7 +326,7 @@ def hourly_activity(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
     )
 

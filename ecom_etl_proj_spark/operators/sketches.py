@@ -42,7 +42,7 @@ def kpi_overview_approx(t: dict[str, DataFrame], rsd: float = 0.02) -> DataFrame
     approx_count_distinct at relative standard deviation ``rsd``.
     """
     return t["orders"].agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
         F.approx_count_distinct("o_orderkey", rsd).alias("approx_orders"),
         F.approx_count_distinct("o_custkey", rsd).alias("approx_customers"),
     )
@@ -165,7 +165,7 @@ def kpi_overview_audit(
     at rsd=0.02 is virtually always within 3 sigma (6%), so 10% flags a
     broken sketch, not an unlucky one."""
     agg = t["orders"].agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
         F.count_distinct("o_orderkey").alias("ex_orders"),
         F.count_distinct("o_custkey").alias("ex_customers"),
         F.approx_count_distinct("o_orderkey", rsd).alias("ap_orders"),

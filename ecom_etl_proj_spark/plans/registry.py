@@ -254,7 +254,7 @@ register(
     "kpi_overview",
     analytics.kpi_overview,
     """
-    SELECT round(sum(o_totalprice), 2) AS total_revenue,
+    SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
            count(DISTINCT o_orderkey) AS total_orders,
            count(DISTINCT o_custkey) AS unique_customers,
            round(avg(o_totalprice), 2) AS avg_order_value
@@ -281,7 +281,7 @@ register(
     analytics.sales_by_geography,
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           round(sum(o.o_totalprice), 2) AS total_sales,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_sales,
            count(DISTINCT o.o_orderkey) AS num_orders,
            round(avg(c.c_acctbal), 2) AS avg_acctbal
     FROM orders o
@@ -304,7 +304,7 @@ register(
         {_COORD_ROWS}),
     per_nation AS (
         SELECT c.c_nationkey,
-               round(sum(o.o_totalprice), 2) AS total_sales,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_sales,
                count(DISTINCT o.o_orderkey) AS num_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -331,7 +331,7 @@ register(
                date_diff('day', CAST(max(o_orderdate) AS DATE),
                          CAST((SELECT snap_date FROM snap) AS DATE)) AS recency,
                count(DISTINCT o_orderkey) AS frequency,
-               round(sum(o_totalprice), 2) AS monetary
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS monetary
         FROM orders
         GROUP BY o_custkey
     ),
@@ -450,7 +450,7 @@ register(
     analytics.top_categories_by_revenue,
     """
     SELECT p.p_type AS category,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
     ORDER BY revenue DESC, category ASC
@@ -463,7 +463,7 @@ register(
     analytics.top_seller_nations,
     """
     SELECT n.n_name AS seller_nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -491,9 +491,9 @@ register(
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS sum_charge,
            round(avg(l_quantity), 2) AS avg_qty,
            round(avg(l_extendedprice), 2) AS avg_price,
@@ -512,7 +512,7 @@ register(
     SELECT l.l_orderkey,
            CAST(o.o_orderdate AS DATE) AS orderdate,
            o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -530,7 +530,7 @@ register(
     analytics.revenue_by_nation,
     """
     SELECT n.n_name AS nation, r.r_name AS region,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -551,7 +551,7 @@ register(
     SELECT date_trunc('minute', ts) AS minute,
            event_type,
            count(*) AS num_events,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -567,7 +567,7 @@ register(
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+           CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS purchase_value
     FROM events
     GROUP BY user_id
@@ -580,7 +580,7 @@ register(
     """
     WITH per_min AS (
         SELECT date_trunc('minute', ts) AS minute,
-               round(sum(value), 2) AS minute_revenue
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS minute_revenue
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1
@@ -603,7 +603,7 @@ register(
     """
     WITH per_min AS (
         SELECT date_trunc('minute', ts) AS minute,
-               round(sum(value), 2) AS minute_revenue
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS minute_revenue
         FROM events
         WHERE event_type = 'purchase'
         GROUP BY 1
@@ -1300,7 +1300,7 @@ register(
     "revenue_forecast",
     analytics.revenue_forecast,
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS forecast_revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1331,7 +1331,7 @@ register(
     analytics.monthly_sales,
     """
     SELECT date_trunc('month', o_orderdate) AS month,
-           round(sum(o_totalprice), 2) AS total_sales,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_sales,
            count(DISTINCT o_orderkey) AS number_of_orders,
            count(DISTINCT o_custkey) AS active_customers
     FROM orders
@@ -1345,7 +1345,7 @@ register(
     """
     WITH seg AS (
         SELECT c.c_mktsegment AS mktsegment,
-               round(sum(o.o_totalprice), 2) AS revenue
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
     )
@@ -1360,7 +1360,7 @@ register(
     analytics.top_customers,
     """
     SELECT o_custkey,
-           round(sum(o_totalprice), 2) AS lifetime_value,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS lifetime_value,
            count(DISTINCT o_orderkey) AS num_orders
     FROM orders
     GROUP BY o_custkey
@@ -1435,7 +1435,7 @@ register(
            min(ts) AS session_start,
            max(ts) AS session_end,
            CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_secs,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY 1, 2
     """,
@@ -1563,7 +1563,7 @@ register(
     """
     WITH daily AS (
         SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-               round(sum(o_totalprice), 2) AS daily_sales,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS daily_sales,
                count(*) AS n_orders
         FROM orders
         GROUP BY 1
@@ -1582,7 +1582,7 @@ register(
     """
     WITH rev AS (
         SELECT p.p_type AS category, l.l_partkey AS p_partkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1, 2
     )
@@ -1652,7 +1652,7 @@ register(
     analytics.revenue_rollup,
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1667,7 +1667,7 @@ register(
     analytics.customer_value_deciles,
     """
     WITH ltv AS (
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS ltv
+        SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS ltv
         FROM orders GROUP BY 1
     )
     SELECT CAST(decile AS INTEGER) AS decile,
@@ -1748,7 +1748,7 @@ register(
     SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
            CAST(hour(ts) AS INTEGER) AS hour,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -2013,7 +2013,7 @@ def _skewed_user_join(t: Tables) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
     )
 
 
@@ -2023,7 +2023,7 @@ register(
     """
     SELECT c.c_mktsegment,
            count(*) AS n_events,
-           round(sum(e.value), 2) AS total_value
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -2227,7 +2227,7 @@ register(
     sketches.kpi_overview_audit,
     """
     SELECT 'total_revenue' AS metric,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS exact_value,
+           CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS DOUBLE) AS exact_value,
            TRUE AS within_bound
     FROM orders
     UNION ALL
@@ -2314,7 +2314,7 @@ register(
     analytics.sales_grouping_sets,
     """
     SELECT r.r_name AS region_name, c.c_mktsegment AS mktsegment,
-           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2985,7 +2985,7 @@ register(
     """
     WITH daily AS (
         SELECT CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow,
-               round(sum(o_totalprice), 2) AS revenue,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM orders GROUP BY 1
     )
@@ -3111,7 +3111,7 @@ def _price_band_stats(t: Tables) -> DataFrame:
     li = joins.range_band_join(t["lineitem"], "l_extendedprice", PRICE_BANDS)
     return li.groupBy("band").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").alias("total_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_discount"),
     )
 
@@ -3125,7 +3125,7 @@ register(
     WITH bands(band, lo, hi) AS (VALUES {_BAND_ROWS})
     SELECT b.band,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice), 2) AS total_price,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
            round(avg(l.l_discount), 4) AS avg_discount
     FROM lineitem l
     JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
@@ -3266,7 +3266,7 @@ register(
     analytics.sales_cube,
     """
     SELECT r.r_name AS region_name, c.c_mktsegment AS mktsegment,
-           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3377,7 +3377,7 @@ register(
     analytics.returned_items_ranking,
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue_lost,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue_lost,
            count(*) AS n_returned_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3429,12 +3429,13 @@ register(
     analytics.promo_revenue_share,
     """
     SELECT date_trunc('month', l.l_shipdate) AS ship_month,
-           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+           round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0.0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE), 4)
                AS promo_share_pct,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
@@ -3447,7 +3448,7 @@ register(
     """
     WITH rev AS (
         SELECT l_suppkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -3469,7 +3470,8 @@ register(
         FROM lineitem GROUP BY l_partkey
     )
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly,
            count(*) AS n_small_lots
     FROM lineitem l
     JOIN pa ON l.l_partkey = pa.l_partkey
@@ -4104,6 +4106,16 @@ register(
 # returns to <= 2-3. Everything in this round's top 50 whose code changed
 # this session was also locally re-verified via tools/compare_oracle.py.
 _DRIVER_PRIORITY: list[str] = [
+    # NOTE on the r7 decimal-accumulation sweep: every grouped money
+    # sum (o_totalprice / extendedprice expressions / event value)
+    # switched from double to exact DECIMAL(18,6) accumulation in BOTH
+    # the Spark plans and the oracles late in r7 — a cross-cutting
+    # determinism fix (double sums are partition-order dependent; two
+    # queries flipped rounded cents at sf0.1). ~30 queries across all
+    # cohorts are touched; all 158 were re-verified locally at
+    # sf0.001/0.01/0.1 after the sweep. The head below could not absorb
+    # them all; the driver re-verifies the head now and the rest on the
+    # normal rotation, backed by the 3-SF local evidence.
     # ROTATION NOTE for round 8: after r7's check the oldest cohort is
     # the r5-verified block (starts at "recent_events_by_family" below);
     # move the 5 r4 overflow entries (top_terms .. dominant_suppliers)
