@@ -29,7 +29,7 @@ def kpi_overview(t: dict[str, DataFrame]) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_revenue"),
         F.count_distinct("o_orderkey").alias("total_orders"),
         F.count_distinct("o_custkey").alias("unique_customers"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double") / F.count("o_totalprice"), 2).alias("avg_order_value"),
     )
 
 
@@ -67,7 +67,7 @@ def sales_by_geography(t: dict[str, DataFrame]) -> DataFrame:
         .agg(
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total_sales"),
             F.count_distinct("o_orderkey").alias("num_orders"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count("c_acctbal"), 2).alias("avg_acctbal"),
         )
     )
 
@@ -217,7 +217,7 @@ def rfm_segments(
             F.count("*").alias("customer_count"),
             F.round(F.avg("recency"), 1).alias("avg_recency"),
             F.round(F.avg("frequency"), 1).alias("avg_frequency"),
-            F.round(F.avg("monetary"), 1).alias("avg_monetary"),
+            F.round(F.sum(F.col("monetary").cast("decimal(18,6)")).cast("double") / F.count("monetary"), 1).alias("avg_monetary"),
         )
     )
 
@@ -271,7 +271,7 @@ def delivery_performance(t: dict[str, DataFrame], on_time_days: int = 30) -> Dat
         .agg(
             F.count("*").alias("num_items"),
             F.round(F.avg("ship_delay_days"), 2).alias("avg_delay_days"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_item_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / F.count("l_extendedprice"), 2).alias("avg_item_price"),
         )
     )
 
@@ -354,7 +354,7 @@ def category_avg_discount(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"))
         .agg(
-            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("l_discount"), 4).alias("avg_discount"),
             F.count("*").alias("num_items"),
         )
     )
@@ -388,8 +388,8 @@ def pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
         .cast("double")
         .alias("sum_charge"),
         F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / F.count("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -528,7 +528,7 @@ def part_size_histogram(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy((F.floor(F.col("p_size") / 10) * 10).cast("int").alias("size_bucket"))
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(18,6)")).cast("double") / F.count("p_retailprice"), 2).alias("avg_price"),
         )
     )
 
@@ -772,7 +772,7 @@ def customer_value_deciles(
             F.count("*").alias("n_customers"),
             F.round(F.min("ltv"), 2).alias("min_ltv"),
             F.round(F.max("ltv"), 2).alias("max_ltv"),
-            F.round(F.avg("ltv"), 2).alias("avg_ltv"),
+            F.round(F.sum(F.col("ltv").cast("decimal(18,6)")).cast("double") / F.count("ltv"), 2).alias("avg_ltv"),
         )
     )
 
@@ -813,7 +813,7 @@ def satisfaction_by_delivery(t: dict[str, DataFrame], on_time_days: int = 30) ->
         .groupBy("delivery_status")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("l_discount"), 6).alias("avg_discount"),
             F.round(
                 F.avg(
                     F.when(

@@ -233,7 +233,7 @@ def event_value_stats(t: dict[str, DataFrame]) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value"), 2).alias("avg_value"),
         F.round(F.expr("percentile(value, 0.5)"), 2).alias("median_value"),
         F.round(F.stddev_samp("value"), 2).alias("stddev_value"),
     )

@@ -257,7 +257,8 @@ register(
     SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue,
            count(DISTINCT o_orderkey) AS total_orders,
            count(DISTINCT o_custkey) AS unique_customers,
-           round(avg(o_totalprice), 2) AS avg_order_value
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(o_totalprice), 2) AS avg_order_value
     FROM orders
     """,
 )
@@ -283,7 +284,8 @@ register(
     SELECT n.n_name AS nation, r.r_name AS region,
            CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_sales,
            count(DISTINCT o.o_orderkey) AS num_orders,
-           round(avg(c.c_acctbal), 2) AS avg_acctbal
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(c.c_acctbal), 2) AS avg_acctbal
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -371,7 +373,8 @@ register(
            count(*) AS customer_count,
            round(avg(recency), 1) AS avg_recency,
            round(avg(frequency), 1) AS avg_frequency,
-           round(avg(monetary), 1) AS avg_monetary
+           round(CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(monetary), 1) AS avg_monetary
     FROM seg
     GROUP BY segment
     """,
@@ -411,7 +414,8 @@ register(
                AS delivery_status,
            count(*) AS num_items,
            round(avg(ship_delay_days), 2) AS avg_delay_days,
-           round(avg(l_extendedprice), 2) AS avg_item_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_extendedprice), 2) AS avg_item_price
     FROM d
     GROUP BY 1
     """,
@@ -478,7 +482,8 @@ register(
     analytics.category_avg_discount,
     """
     SELECT p.p_type AS category,
-           round(avg(l.l_discount), 4) AS avg_discount,
+           round(CAST(sum(CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l.l_discount), 4) AS avg_discount,
            count(*) AS num_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
@@ -496,8 +501,10 @@ register(
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS sum_charge,
            round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_extendedprice), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1375,7 +1382,8 @@ register(
     """
     SELECT CAST(floor(p_size / 10) * 10 AS INTEGER) AS size_bucket,
            count(*) AS n_parts,
-           round(avg(p_retailprice), 2) AS avg_price
+           round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(p_retailprice), 2) AS avg_price
     FROM part
     GROUP BY 1
     """,
@@ -1488,7 +1496,8 @@ register(
            count(*) AS n,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value,
-           round(avg(value), 2) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(value), 2) AS avg_value,
            round(quantile_cont(value, 0.5), 2) AS median_value,
            round(stddev_samp(value), 2) AS stddev_value
     FROM events
@@ -1674,7 +1683,8 @@ register(
            count(*) AS n_customers,
            round(min(ltv), 2) AS min_ltv,
            round(max(ltv), 2) AS max_ltv,
-           round(avg(ltv), 2) AS avg_ltv
+           round(CAST(sum(CAST(ltv AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(ltv), 2) AS avg_ltv
     FROM (
         SELECT ltv,
                1 + CASE WHEN ltv > b[1] THEN 1 ELSE 0 END
@@ -2301,7 +2311,8 @@ register(
                                CAST(l.l_shipdate AS DATE)) <= 30
                 THEN 'On-Time' ELSE 'Late' END AS delivery_status,
            count(*) AS n_items,
-           round(avg(l.l_discount), 6) AS avg_discount,
+           round(CAST(sum(CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l.l_discount), 6) AS avg_discount,
            round(avg(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                           THEN 1.0 ELSE 0.0 END), 6) AS urgent_share
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3112,7 +3123,7 @@ def _price_band_stats(t: Tables) -> DataFrame:
     return li.groupBy("band").agg(
         F.count("*").alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").alias("total_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("l_discount"), 4).alias("avg_discount"),
     )
 
 
@@ -3126,7 +3137,8 @@ register(
     SELECT b.band,
            count(*) AS n_items,
            CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price,
-           round(avg(l.l_discount), 4) AS avg_discount
+           round(CAST(sum(CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l.l_discount), 4) AS avg_discount
     FROM lineitem l
     JOIN bands b ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
     GROUP BY 1
@@ -4107,7 +4119,9 @@ register(
 # this session was also locally re-verified via tools/compare_oracle.py.
 _DRIVER_PRIORITY: list[str] = [
     # NOTE on the r7 decimal-accumulation sweep: every grouped money
-    # sum (o_totalprice / extendedprice expressions / event value)
+    # sum AND money average (o_totalprice / extendedprice expressions /
+    # acctbal / discount / event value; averages = exact decimal sum
+    # over count with ONE double division)
     # switched from double to exact DECIMAL(18,6) accumulation in BOTH
     # the Spark plans and the oracles late in r7 — a cross-cutting
     # determinism fix (double sums are partition-order dependent; two
