@@ -4118,41 +4118,156 @@ register(
 # returns to <= 2-3. Everything in this round's top 50 whose code changed
 # this session was also locally re-verified via tools/compare_oracle.py.
 _DRIVER_PRIORITY: list[str] = [
-    # NOTE on the r7 decimal-accumulation sweep: every grouped money
-    # sum AND money average (o_totalprice / extendedprice expressions /
-    # acctbal / discount / event value; averages = exact decimal sum
-    # over count with ONE double division)
-    # switched from double to exact DECIMAL(18,6) accumulation in BOTH
-    # the Spark plans and the oracles late in r7 — a cross-cutting
-    # determinism fix (double sums are partition-order dependent; two
-    # queries flipped rounded cents at sf0.1). ~30 queries across all
-    # cohorts are touched; all 158 were re-verified locally at
-    # sf0.001/0.01/0.1 after the sweep. The head below could not absorb
-    # them all; the driver re-verifies the head now and the rest on the
-    # normal rotation, backed by the 3-SF local evidence.
-    # ROTATION NOTE for round 8: after r7's check the oldest cohort is
-    # the r5-verified block (starts at "recent_events_by_family" below);
-    # move the 5 r4 overflow entries (top_terms .. dominant_suppliers)
-    # plus that block to the head, followed by whatever r8 adds or
-    # changes; this r7 head goes to the back.
-    # --- never driver-verified (registered late in r6) ---
+    # ROUND-8 ROTATION (judge task r8.1). The driver samples the FIRST 50
+    # entries. Head composition this round:
+    #   1) the 4 r7 additions that have never earned a driver row;
+    #   2) the FULL decimal-accumulation-sweep cohort (commits a328970 +
+    #      b56a069 changed grouped money sums/averages to exact
+    #      DECIMAL(18,6) accumulation in both plan and oracle) that did
+    #      NOT get an r7 driver row — 29 queries, enumerated from the
+    #      hunk->query map of both commits, so every sweep-touched query
+    #      has staleness <= 1 round after this check;
+    #   3) idle_high_balance_customers + market_share_by_nation — r4
+    #      rows, pushed past r7's 50-slot boundary twice running;
+    #   4) the three queries whose implementation r8 touches (ann_ivf
+    #      probe A/B, dedup_minhash_lsh + curated_pack compile-tax work);
+    #   5) the r4 overflow four + the oldest r5-verified entries to fill
+    #      slot 50. nation_trade_volume (r5) overflows to slot 51 and
+    #      leads r9 with the rest of the r5 block.
+    # multimodal_decode stays in the back: r8 adds an opt-in real-BMP
+    # decode branch but the registered stub-mode plan and oracle are
+    # byte-identical to the r7-verified form.
+    # --- never driver-verified (added r7) ---
+    "covisitation_pairs",
+    "dedup_threshold_sweep",
+    "packing_efficiency",
+    "unigram_logprob",
+    # --- decimal-sweep cohort without an r7 driver row ---
+    "pricing_summary",
+    "revenue_by_nation",
+    "rfm_segments",
+    "top_categories_by_revenue",
+    "sales_by_geography",
+    "top_seller_nations",
+    "top_revenue_orders",
+    "quantity_distribution",
+    "weekly_sales_pattern",
+    "delivery_performance",
+    "category_avg_discount",
+    "satisfaction_by_delivery",
+    "events_minutely",
+    "user_activity",
+    "hourly_activity",
+    "daily_sales_7d_ma",
+    "top_parts_per_category",
+    "revenue_rollup",
+    "sales_grouping_sets",
+    "sales_cube",
+    "returned_items_ranking",
+    "promo_revenue_share",
+    "top_supplier",
+    "small_qty_avg_revenue",
+    "skew_salted_join",
+    "price_band_stats",
+    "kpi_overview_approx",
+    "rfm_segments_approx",
+    "customer_value_deciles_approx",
+    # --- r4-verified, overflowed the 50-slot boundary in r6 and r7 ---
+    "idle_high_balance_customers",
+    "market_share_by_nation",
+    # --- implementation touched in r8 ---
+    "ann_ivf",
+    "dedup_minhash_lsh",
+    "curated_pack",
+    # --- r4 overflow four (single-scan shapes, unchanged since r4) ---
+    "top_terms",
+    "doc_length_stats",
+    "important_parts",
+    "dominant_suppliers",
+    # --- oldest r5-verified entries, fill to slot 50 ---
+    "recent_events_by_family",
+    "try_timestamp_parse",
+    "copurchase_pairs",
+    "status_month_pivot",
+    "repeat_customer_rate",
+    "delivery_delay_percentiles",
+    "inactive_customers",
+    "customer_snapshot_diff",
+    # --- top-50 boundary ---
+    # remaining r5-verified block (leads r9), then r6-verified, then the
+    # r7-verified block (freshest) last.
+    "nation_trade_volume",
+    "ship_priority_buckets",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "brand_supplier_counts",
+    "event_attribution",
+    "event_funnel",
+    "event_props_stats",
+    "product_counters",
+    "product_leaderboard",
+    "category_counters",
+    "purchase_click_asof",
+    "product_decay_revenue",
+    "token_count_bpe",
+    "pii_scrub_report",
+    "doc_repetition",
+    "gopher_quality",
+    "ngram_doc_freq",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_winnowing",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "train_val_split",
+    "stratified_sample",
+    "embedding_norms",
+    "quantize_embeddings",
+    "data_profile_customer",
+    "order_status_distribution",
+    "event_type_distribution",
+    "cohort_retention",
+    "discount_elasticity",
+    "minutely_anomalies",
+    "rolling_active_users",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "char_entropy",
+    "curate_corpus",
+    "chunk_documents",
+    "contamination_check",
+    "disjunctive_revenue",
+    "sole_supplier_orders",
+    "corpus_mix_report",
+    "doc_dup_spans",
+    "ann_recall_audit",
+    "dedup_spans_removal",
+    "shard_manifest",
+    "training_order",
+    "suppliers_kept_waiting",
+    "incremental_dedup",
+    "mixture_sample",
+    "representative_selection",
+    "event_transition_matrix",
+    "bpe_merge_candidates",
+    "top_event_paths",
+    "curation_funnel",
+    "copurchase_pagerank",
+    "cross_source_duplication",
+    "corpus_report",
+    "yoy_nation_revenue",
+    # --- r7-verified block (freshest; goes last) ---
     "term_cooccurrence",
     "session_duration_histogram",
     "langid_confusion",
     "order_fulfillment_span",
-    # --- implementation touched in r7 (float-boundary determinism
-    # fixes, pack/compile work; dedup_minhash_lsh also r4-stale) ---
     "seller_performance",
     "cheapest_supplier_per_part",
-    "dedup_minhash_lsh",
-    "curated_pack",
-    # --- changed in r6 but overflowed r6's 50-slot sample ---
     "customer_value_deciles",
     "dedup_simhash",
     "dedup_clusters",
     "embedding_dedup_clusters",
-    "ann_ivf",
-    # --- r4-verified cohort, oldest-first (fills slots 12-50) ---
     "ods_typed_load",
     "stg_dedup_rownumber",
     "stg_mean_imputation",
@@ -4190,122 +4305,6 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode",
     "pack_sequences",
     "corpus_alignment",
-    "idle_high_balance_customers",
-    "market_share_by_nation",
-    # --- top-50 boundary: everything below rotates up next round
-    # (the two r7 float-determinism fixes pushed idle_high_balance_
-    # customers and market_share_by_nation just past the boundary;
-    # they lead r8 with the other overflow) ---
-    # r7 additions (local oracle parity only until their r8 driver row)
-    "packing_efficiency",
-    "unigram_logprob",
-    "dedup_threshold_sweep",
-    "covisitation_pairs",
-    # r4 overflow: single-scan shapes, unchanged since r4
-    "top_terms",
-    "doc_length_stats",
-    "important_parts",
-    "dominant_suppliers",
-    # --- r5-verified block (r8 cohort) ---
-    "recent_events_by_family",
-    "try_timestamp_parse",
-    "skew_salted_join",
-    "satisfaction_by_delivery",
-    "sales_grouping_sets",
-    "sales_cube",
-    "copurchase_pairs",
-    "price_band_stats",
-    "daily_sales_7d_ma",
-    "top_parts_per_category",
-    "status_month_pivot",
-    "repeat_customer_rate",
-    "delivery_delay_percentiles",
-    "revenue_rollup",
-    "inactive_customers",
-    "customer_snapshot_diff",
-    "nation_trade_volume",
-    "returned_items_ranking",
-    "ship_priority_buckets",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "top_supplier",
-    "small_qty_avg_revenue",
-    "large_volume_customers",
-    "brand_supplier_counts",
-    "event_attribution",
-    "event_funnel",
-    "hourly_activity",
-    "event_props_stats",
-    "product_counters",
-    "product_leaderboard",
-    "category_counters",
-    "purchase_click_asof",
-    "product_decay_revenue",
-    "token_count_bpe",
-    "pii_scrub_report",
-    "doc_repetition",
-    "gopher_quality",
-    "ngram_doc_freq",
-    "tfidf_top_terms",
-    "bm25_search",
-    "doc_winnowing",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "train_val_split",
-    "stratified_sample",
-    "embedding_norms",
-    "quantize_embeddings",
-    # --- r6-verified block (freshest; goes last) ---
-    "data_profile_customer",
-    "sales_by_geography",
-    "rfm_segments",
-    "delivery_performance",
-    "order_status_distribution",
-    "event_type_distribution",
-    "quantity_distribution",
-    "top_categories_by_revenue",
-    "top_seller_nations",
-    "category_avg_discount",
-    "cohort_retention",
-    "discount_elasticity",
-    "weekly_sales_pattern",
-    "pricing_summary",
-    "top_revenue_orders",
-    "revenue_by_nation",
-    "events_minutely",
-    "user_activity",
-    "minutely_anomalies",
-    "rolling_active_users",
-    "kpi_overview_approx",
-    "delay_quantiles_approx",
-    "term_heavy_hitters",
-    "rfm_segments_approx",
-    "customer_value_deciles_approx",
-    "char_entropy",
-    "curate_corpus",
-    "chunk_documents",
-    "contamination_check",
-    "disjunctive_revenue",
-    "sole_supplier_orders",
-    "corpus_mix_report",
-    "doc_dup_spans",
-    "ann_recall_audit",
-    "dedup_spans_removal",
-    "shard_manifest",
-    "training_order",
-    "suppliers_kept_waiting",
-    "incremental_dedup",
-    "mixture_sample",
-    "representative_selection",
-    "event_transition_matrix",
-    "bpe_merge_candidates",
-    "top_event_paths",
-    "curation_funnel",
-    "copurchase_pagerank",
-    "cross_source_duplication",
-    "corpus_report",
-    "yoy_nation_revenue",
 ]
 
 
