@@ -199,40 +199,35 @@ def minhash_bands(sets: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
         F.md5 if hash_mode == "md5" else (lambda c: F.xxhash64(c).cast("string"))
     )
 
-    def band_structs(mins):
-        """Per-band (band, bh, ne) structs from the bound 64-slot
-        bin-minimum array; ne = band saw at least one shingle.
+    def band_structs(minima):
+        """Per-band (band, bh, ne) structs from the bound per-bin-minimum
+        struct array (ascending bin order, one entry per NON-EMPTY bin);
+        ne = band saw at least one shingle.
 
-        ONE nested lambda over sequence(0, BANDS-1) instead of BANDS
-        Python-unrolled struct expressions: the unrolled forest
-        generated ~16 copies of the same band logic into a single
-        projection whose whole-stage codegen compile was the dominant
-        cold-latency term (2.26s of a 3.55s cold run at sf0.1). The
-        loop form generates the band logic ONCE and iterates it, so
-        the expression tree — and the generated Java — shrinks by ~the
-        band count while producing byte-identical band keys:
-        array_join skips nulls exactly as concat_ws did, and the
-        slot:min pair strings are unchanged (A/B pair-identical, md5
-        oracle still green).
+        ONE nested lambda over sequence(0, BANDS-1): the band logic is
+        generated once and iterated, and each band's pair strings come
+        from a bounded (<= 64 entry) range filter of the minima array.
+        concat_ws-joined "bin:min" pairs in ascending bin order — the
+        exact key bytes of every earlier formulation, so the md5 oracle
+        and persisted state tables are unaffected.
         """
 
         def one_band(band):
-            ms = F.slice(mins, band * MINHASH_ROWS + 1, MINHASH_ROWS)
+            lo = band * MINHASH_ROWS
+            hi = lo + MINHASH_ROWS
+            elems = F.filter(
+                minima, lambda p: (p["bin"] >= lo) & (p["bin"] < hi)
+            )
             parts = F.transform(
-                ms,
-                lambda m, i: F.when(
-                    m.isNotNull(),
-                    F.concat_ws(
-                        ":",
-                        (band * MINHASH_ROWS + i).cast("string"),
-                        m.cast("string"),
-                    ),
+                elems,
+                lambda p: F.concat_ws(
+                    ":", p["bin"].cast("string"), p["m"].cast("string")
                 ),
             )
             return F.struct(
                 band.alias("band"),
                 band_key(F.array_join(parts, ",")).alias("bh"),
-                F.exists(ms, lambda m: m.isNotNull()).alias("ne"),
+                (F.size(elems) > 0).alias("ne"),
             )
 
         return F.filter(
@@ -242,29 +237,67 @@ def minhash_bands(sets: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
             lambda x: x["ne"],
         )
 
-    def mins_of(hs):
-        """64-slot array: mins_of(hs)[b] = min hash in bin b (null if
-        the bin is empty), from the bound per-doc hash array."""
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_bins - 1)),
-            lambda b: F.array_min(
-                F.filter(hs, lambda h: F.pmod(h, F.lit(n_bins)) == b)
-            ),
+    def pairs_of(hs):
+        """Sorted (bin, hash) struct array from the bound per-doc hash
+        array: struct comparison orders by bin then hash, so after the
+        sort each bin's minimum is that bin's FIRST entry."""
+        return F.array_sort(
+            F.transform(
+                hs,
+                lambda h: F.struct(
+                    F.pmod(h, F.lit(n_bins)).alias("bin"), h.alias("m")
+                ),
+            )
+        )
+
+    def minima_of(pairs):
+        """First entry per bin of the bound sorted pair array = the
+        per-bin minima, ascending bin order, empty bins absent.
+
+        ONE O(|hs|) pass (keep entries whose predecessor has a
+        different bin) replacing the previous 64-pass formulation
+        (array_min over a per-bin filter for every bin, O(64 x |hs|)
+        per doc). Byte-identical band keys — A/B checked exceptAll-
+        empty in both hash modes at sf0.01/sf0.1 — equal wall time on
+        the short-doc testdata and ~1.4x faster warm at a realistic
+        800-word doc length, with the gap growing in |hs|. Cold-run
+        attribution (r8, fresh JVM per variant at sf0.1): this form
+        ~3.0s cold / 0.6-0.8s warm, identical to the 64-pass form —
+        and a third, HOF-free variant (explode -> 64-buffer
+        conditional-min HashAggregate -> concat_ws band keys -> stack)
+        was also byte-identical but ~8x WORSE warm (5s), so the
+        cold-minus-warm gap is first-execution JVM JIT of the
+        interpreted higher-order-function eval chain, a fixed per-JVM
+        warmup no same-semantics plan shape removes (three shapes
+        measured). On a long-lived cluster it amortizes to zero; the
+        warm series is the 100 TB predictor.
+        """
+        return F.filter(
+            pairs,
+            lambda p, i: (i == F.lit(0))
+            | (F.get(pairs, i - 1)["bin"] != p["bin"]),
         )
 
     # The whole sketch is ONE row-local expression. The single-element
     # array transforms are let-bindings: they force `hs` (the hashed
-    # shingle array) and `mins` (the 64 bin minimums) to be evaluated
-    # exactly ONCE per doc and bound as lambda variables — as separate
-    # column aliases, Catalyst's project collapse would inline them
-    # into all 64 downstream references and recompute the shingle
-    # hashing 64x per row.
+    # shingle array), `pairs` (the sorted bin/hash structs) and
+    # `minima` (the per-bin minima) to be evaluated exactly ONCE per
+    # doc and bound as lambda variables — as separate column aliases,
+    # Catalyst's project collapse would inline them into all downstream
+    # references and recompute the shingle hashing per band.
     hs_expr = F.transform(F.col("sh"), lambda s: hash64(s, hash_mode))
     bands_nested = F.transform(
         F.array(hs_expr),
-        lambda hs: F.transform(F.array(mins_of(hs)), band_structs),
+        lambda hs: F.transform(
+            F.array(pairs_of(hs)),
+            lambda pairs: F.transform(
+                F.array(minima_of(pairs)), band_structs
+            ),
+        ),
     )
-    bands_arr = F.element_at(F.element_at(bands_nested, 1), 1)
+    bands_arr = F.element_at(
+        F.element_at(F.element_at(bands_nested, 1), 1), 1
+    )
     return sets.select("doc_id", F.explode(bands_arr).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
@@ -315,9 +348,14 @@ def dedup_minhash_lsh(
     higher-order-function paths. Three plan-shrinking variants were
     measured (r6's HOF band collapse — kept, it halved generated
     source; r7's candidate-semi-join and late-distinct — both reverted,
-    neutral-to-worse). The residue is a fixed per-JVM warmup cost: on a
-    long-lived 1000-executor cluster it amortizes to zero, which is why
-    the warm series is the 100 TB throughput predictor.
+    neutral-to-worse), and r8 closed the question with two more
+    byte-identical reformulations (sorted single-pass minima — adopted
+    for its warm win; HOF-free HashAggregate — 8x worse warm): neither
+    moved the cold number, and pre-warming the text-column scan does
+    not either (measured), so the residue is a fixed per-JVM warmup
+    cost — see ``minima_of``. On a long-lived 1000-executor cluster it
+    amortizes to zero, which is why the warm series is the 100 TB
+    throughput predictor.
     """
     sets = shingle_sets(t, n)
     bands = minhash_bands(sets, hash_mode)
