@@ -139,13 +139,20 @@ def _embedding_knn_arrow(
             )
             cos = (v / np.linalg.norm(v, axis=1)[:, None]) @ qn
             n_rows, n_q = cos.shape
+            flat = cos.ravel()
+            # Half-UP rounding (away from zero on exact .5), matching
+            # F.round's BigDecimal HALF_UP in the expression form —
+            # np.round is IEEE half-to-even, which can diverge on exact
+            # x.xxxxx5 ties. Any residual divergence is the scaled
+            # double multiply itself (last-ulp), documented above.
+            rounded = np.sign(flat) * np.floor(np.abs(flat) * 1e6 + 0.5) / 1e6
             yield pd.DataFrame(
                 {
                     "query_id": np.tile(ids, n_rows),
                     "neighbor_id": np.repeat(
                         pdf["vec_id"].to_numpy(), n_q
                     ),
-                    "cosine_sim": np.round(cos.ravel(), 6),
+                    "cosine_sim": rounded,
                 }
             )
 

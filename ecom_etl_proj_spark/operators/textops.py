@@ -1080,7 +1080,17 @@ def curated_pack(
         t_surv, threshold=near_dup_threshold, hash_mode=hash_mode
     )
     losers = clusters.filter(~F.col("is_representative")).select("doc_id")
-    final_counts = keep.join(losers, "doc_id", "left_anti")
+    # Same cache discipline as copurchase_pagerank: materialize the
+    # bounded longs-only survivor list (one (doc_id, n_tokens) row per
+    # kept doc — the very state class the persist comment above bounds)
+    # with an eager localCheckpoint severing lineage from the keep
+    # cache, then RELEASE the cache — without this, every invocation
+    # of the registered query leaked one persisted frame into executor
+    # storage for the session lifetime. The build is already eager
+    # here: dedup_clusters' connected-components loop runs actions
+    # during construction, so the checkpoint adds no new eagerness.
+    final_counts = keep.join(losers, "doc_id", "left_anti").localCheckpoint()
+    keep.unpersist()
     return _pack_from_counts(final_counts, ctx_len, n_shards)
 
 
@@ -1401,8 +1411,16 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     hint anywhere (same rule as term_cooccurrence; AQE broadcasts at
     small scale on runtime stats, and its skew handling splits the
     stopword-heavy term partitions). Only the 1-row total is hinted.
-    The per-doc avg is the only float accumulation; rounded to 6 it is
-    stable across engines at any summation order.
+    The per-doc avg is the only float accumulation. Unlike the money
+    columns (which accumulate in exact DECIMAL), log terms are
+    irrational, so the double sum IS order-dependent in its last ulps
+    and a quotient within an ulp of a .5e-6 boundary could in principle
+    round differently between engines — no exact half-boundary has been
+    observed at any tested SF (the probability scales with docs x
+    rows-per-doc, like the money-sum flips the decimal sweep fixed),
+    and quantizing irrational log terms to a fixed decimal scale would
+    change the value itself, so the double avg is the accepted trade
+    here.
     """
     toks = t["documents"].select("doc_id", F.explode(X.tokens()).alias("term"))
     tf = toks.groupBy("term").agg(F.count("*").alias("tf"))

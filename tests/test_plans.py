@@ -508,3 +508,23 @@ def test_dynamic_partition_pruning_fires(spark, tables, tmp_path):
     plan = plan_of(j)
     assert "dynamicpruning" in plan.lower(), plan
     assert j.count() > 0
+
+
+def test_plans_md_fresh():
+    """PLANS.md must match the plans HEAD actually produces (r8 gate:
+    the audit went stale twice in r7 — a planner-affecting change now
+    fails here until `python tools/explain_audit.py` is rerun).
+    Subprocess: the audit builds its own session over sf0.001 and the
+    comparison masks session-volatile ids (see tools/explain_audit.py).
+    """
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "explain_audit.py"),
+         "--check"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
