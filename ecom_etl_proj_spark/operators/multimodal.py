@@ -57,21 +57,69 @@ def multimodal_meta(t: dict[str, DataFrame]) -> DataFrame:
 ALLOW_FAKE_DECODE = True
 
 
-def real_decoder_available() -> bool:
-    """Runtime probe for a real image decoder. No image library ships
-    in this container, so the probe reports False here and
-    ``decode_media(mode='real')`` raises — but in a richer environment
-    the SAME seam upgrades to real decoding with no plan/schema change.
-    This mirrors the lakehouse probe pattern (tests/test_pipeline.py):
-    document the environmental gap with an executable check instead of
-    a comment, so the moment the environment changes the upgrade path
-    is already wired and tested."""
+def pil_available() -> bool:
+    """Runtime probe for a FULL image decoder (PIL). No image library
+    ships in this container, so the probe reports False here — in a
+    richer environment the same seam upgrades to full-format decoding
+    with no plan/schema change. This mirrors the lakehouse probe
+    pattern (tests/test_pipeline.py): document the environmental gap
+    with an executable check instead of a comment."""
     try:
         import PIL.Image  # noqa: F401
 
         return True
     except Exception:
         return False
+
+
+# Backwards-compatible alias: a real decode TIER always exists now
+# (the built-in uncompressed-BMP parser below), so mode='real' never
+# raises; what remains environmental is only the full-format PIL tier.
+def real_decoder_available() -> bool:
+    return True
+
+
+def _make_bmp_parser():
+    """Factory for the pure-Python uncompressed-BMP header parser.
+
+    Built by a factory so the returned closure's qualname is not
+    importable: cloudpickle then serializes it BY VALUE into worker
+    closures instead of by module reference (which would require the
+    executor's Python worker to import this package — it cannot when
+    the driver launches from a foreign cwd; see the closure note in
+    ``decode_media``). Geometry is pure header arithmetic — exactly
+    why the real branch is SQL-mirrorable and can carry a full DuckDB
+    oracle (``multimodal_decode_bmp``).
+    """
+
+    def bmp_geometry(payload: bytes):
+        """(width, height, n_frames) for an uncompressed BMP, else
+        None. Handles BITMAPINFOHEADER (and larger V4/V5 headers —
+        same fixed field offsets) plus the legacy BITMAPCOREHEADER;
+        rejects compressed pixel formats and truncated headers the way
+        a production decoder rejects corrupt media."""
+        import struct
+
+        if len(payload) < 26 or payload[:2] != b"BM":
+            return None
+        (dib,) = struct.unpack_from("<I", payload, 14)
+        if dib == 12:  # BITMAPCOREHEADER: uint16 geometry, no compression field
+            w, h = struct.unpack_from("<HH", payload, 18)
+            return (int(w), int(h), 1) if w > 0 and h > 0 else None
+        if dib >= 40 and len(payload) >= 14 + 40:
+            w, h = struct.unpack_from("<ii", payload, 18)
+            (comp,) = struct.unpack_from("<I", payload, 30)
+            if comp != 0 or w <= 0 or h == 0:  # BI_RGB only
+                return None
+            # negative height = top-down row order; geometry is abs —
+            # the same way PIL reports it
+            return (int(w), abs(int(h)), 1)
+        return None
+
+    return bmp_geometry
+
+
+bmp_geometry = _make_bmp_parser()
 
 
 def decode_media(df: DataFrame, mode: str = "stub") -> DataFrame:
@@ -84,23 +132,23 @@ def decode_media(df: DataFrame, mode: str = "stub") -> DataFrame:
     the decode stage.
 
     ``mode``:
-      - ``"stub"`` (default, registry/oracle-pinned): deterministic
-        length-derived geometry — the hash-verifiable twin;
-      - ``"real"``: decode with PIL on the executors; raises
-        ``NotImplementedError`` at build time when the probe says no
-        decoder exists (this container). Undecodable payloads yield
-        NULL geometry — the production behavior for corrupt media (a
-        raise inside the worker would kill the whole job for one bad
-        file at 100 TB);
-      - ``"auto"``: ``real`` when available, else the stub.
+      - ``"stub"`` (default, registry/oracle-pinned for the generic
+        payload query): deterministic length-derived geometry — the
+        hash-verifiable twin for arbitrary payloads;
+      - ``"real"``: actually parse the bytes on the executors — the
+        PIL tier when the library is present, else the built-in
+        pure-Python uncompressed-BMP parser (``bmp_geometry``), so the
+        real branch executes even in this container and carries its
+        own full oracle (``multimodal_decode_bmp``). Undecodable
+        payloads yield NULL geometry — the production behavior for
+        corrupt media (a raise inside the worker would kill the whole
+        job for one bad file at 100 TB);
+      - ``"auto"``: ``real`` when a FULL decoder (PIL) is present,
+        else the stub — the BMP-only tier is not a general-media
+        decoder, so auto does not route arbitrary payloads to it.
     """
     if mode == "auto":
-        mode = "real" if real_decoder_available() else "stub"
-    if mode == "real" and not real_decoder_available():
-        raise NotImplementedError(
-            "decode_media(mode='real') needs an image decoder (PIL); "
-            "the runtime probe reports none in this environment"
-        )
+        mode = "real" if pil_available() else "stub"
 
     # Capture everything the worker needs as CLOSURE-LOCAL values: a
     # module-level reference (e.g. ALLOW_FAKE_DECODE) would be
@@ -113,6 +161,7 @@ def decode_media(df: DataFrame, mode: str = "stub") -> DataFrame:
     # not this repo).
     allow_fake = ALLOW_FAKE_DECODE
     use_real = mode == "real"
+    parse_bmp = bmp_geometry  # factory-made closure: pickles by value
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def stub(payload: bytes) -> tuple[int | None, int | None, int | None]:
@@ -124,10 +173,13 @@ def decode_media(df: DataFrame, mode: str = "stub") -> DataFrame:
             return (n % 640 + 1, n % 480 + 1, n % 30 + 1)
 
         def real(payload: bytes) -> tuple[int | None, int | None, int | None]:
-            import io
+            try:
+                import io
 
-            import PIL.Image
-
+                import PIL.Image
+            except ImportError:
+                geo = parse_bmp(bytes(payload))
+                return geo if geo is not None else (None, None, None)
             try:
                 with PIL.Image.open(io.BytesIO(payload)) as img:
                     return (
@@ -154,6 +206,60 @@ def decode_media(df: DataFrame, mode: str = "stub") -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+def bmp_payloads(t: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, payload): a VALID uncompressed 24-bit BMP per document,
+    geometry derived from the text's byte length (w = n%64+1,
+    h = n%48+1, rows padded to 4-byte stride, zeroed pixels).
+
+    This is the test-harness twin of a real binary media column: the
+    bytes are genuine BMP files a real decoder parses, yet every
+    header field is integer arithmetic over octet_length(text), so the
+    DuckDB oracle can reproduce the decoded geometry from first
+    principles — which is what lets ``multimodal_decode_bmp`` give the
+    REAL decode branch a full value-hash check instead of the
+    rows-only trust the opaque stub would get.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def make(n: int) -> bytes:
+            w, h = n % 64 + 1, n % 48 + 1
+            stride = ((w * 3 + 3) // 4) * 4
+            size = 54 + stride * h
+            header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+            )
+            return header + dib + bytes(stride * h)
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        make(len(s.encode("utf-8"))) for s in pdf["text"]
+                    ],
+                }
+            )
+
+    return t["documents"].select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, payload binary"
+    )
+
+
+def multimodal_decode_bmp(t: dict[str, DataFrame]) -> DataFrame:
+    """END-TO-END real-decode query: build genuine BMP bytes per
+    document, push them through ``decode_media(mode='real')`` — the
+    branch that PARSES the payload (PIL tier when present, the
+    built-in BMP parser here) — and emit the decoded geometry. The
+    oracle recomputes every field from octet_length(text) header
+    arithmetic, so a wrong parser (offset, endianness, stride) fails
+    the value hash, not just a pytest."""
+    return decode_media(bmp_payloads(t), mode="real")
 
 
 # The three ops below keep the same mapInPandas/Arrow shape as

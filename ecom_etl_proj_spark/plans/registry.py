@@ -2380,6 +2380,25 @@ register(
 )
 
 register(
+    "multimodal_decode_bmp",
+    lambda t: multimodal.multimodal_decode_bmp(t),
+    """
+    WITH g AS (
+        SELECT doc_id,
+               octet_length(encode(text)) % 64 + 1 AS w,
+               octet_length(encode(text)) % 48 + 1 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS payload_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM g
+    """,
+)
+
+register(
     "copurchase_pairs",
     analytics.copurchase_pairs,
     """
@@ -4136,12 +4155,16 @@ _DRIVER_PRIORITY: list[str] = [
     #      leads r9 with the rest of the r5 block.
     # multimodal_decode stays in the back: r8 adds an opt-in real-BMP
     # decode branch but the registered stub-mode plan and oracle are
-    # byte-identical to the r7-verified form.
-    # --- never driver-verified (added r7) ---
+    # byte-identical to the r7-verified form. The real branch's NEW
+    # query (multimodal_decode_bmp) leads instead; customer_snapshot_
+    # diff moves just past the boundary to make room (r5-verified,
+    # leads r9 with nation_trade_volume).
+    # --- never driver-verified (added r7/r8) ---
     "covisitation_pairs",
     "dedup_threshold_sweep",
     "packing_efficiency",
     "unigram_logprob",
+    "multimodal_decode_bmp",
     # --- decimal-sweep cohort without an r7 driver row ---
     "pricing_summary",
     "revenue_by_nation",
@@ -4192,8 +4215,8 @@ _DRIVER_PRIORITY: list[str] = [
     "repeat_customer_rate",
     "delivery_delay_percentiles",
     "inactive_customers",
-    "customer_snapshot_diff",
     # --- top-50 boundary ---
+    "customer_snapshot_diff",
     # remaining r5-verified block (leads r9), then r6-verified, then the
     # r7-verified block (freshest) last.
     "nation_trade_volume",
