@@ -67,6 +67,56 @@ def kafka_json_source(
     return parse_event_payload(raw)
 
 
+# The broker seam (r8, judge task r8.8): the ONE env-gated switch
+# between the deterministic generator twin and a real Kafka
+# subscription. Default topic list = the reference producer's four
+# topics (kafka_scripts/consumer.py:35-38 defaults).
+KAFKA_BOOTSTRAP_ENV = "SPARK_GRAFT_KAFKA_BOOTSTRAP"
+KAFKA_TOPICS_ENV = "SPARK_GRAFT_KAFKA_TOPICS"
+DEFAULT_KAFKA_TOPICS = (
+    "ecommerce.product.views,ecommerce.cart.add,"
+    "ecommerce.wishlist.add,ecommerce.orders.completed"
+)
+
+
+def events_stream_source(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    n_partitions: int = 4,
+) -> DataFrame:
+    """The events stream every downstream plan consumes — broker-gated.
+
+    When ``$SPARK_GRAFT_KAFKA_BOOTSTRAP`` is set, this is a real Kafka
+    subscription over the reference producer's four topics (override
+    with ``$SPARK_GRAFT_KAFKA_TOPICS``), JSON-decoded by the SAME
+    ``parse_event_payload`` projection the offline tests cover; the
+    deployment additionally needs the spark-sql-kafka connector package
+    on the classpath (standard ``--packages`` for any Kafka job — this
+    container has neither broker nor connector, which is the one
+    environmental gap left in SURVEY §1). Without the env var it is the
+    deterministic generator twin (sources/generator.py) with the
+    identical schema, so every downstream streaming plan — watermarked
+    aggregations, sessionization, stateful dedup — is source-agnostic:
+    swapping in a real broker is configuration, not code.
+
+    tests/test_streaming.py covers both branch selections (the kafka
+    branch via wiring capture here, and end-to-end behind a skip mark
+    that runs wherever a broker + connector actually exist).
+    """
+    import os
+
+    bootstrap = os.environ.get(KAFKA_BOOTSTRAP_ENV)
+    if bootstrap:
+        topics = os.environ.get(KAFKA_TOPICS_ENV, DEFAULT_KAFKA_TOPICS)
+        return kafka_json_source(spark, bootstrap, topics)
+    from ecom_etl_proj_spark.sources.generator import (
+        rate_stream,
+        synthetic_events,
+    )
+
+    return synthetic_events(rate_stream(spark, rows_per_second, n_partitions))
+
+
 def minutely_metrics(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling 1-minute counters per event type
     (consumer.py:199-213 hincrby minutely keys)."""

@@ -715,6 +715,70 @@ def test_incremental_dedup_stream_checkpoint_restart(spark, tables):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_events_stream_source_generator_default(spark, monkeypatch):
+    """Without a broker env var, the seam yields the deterministic
+    generator twin with the EXACT events schema — downstream plans are
+    source-agnostic by construction."""
+    from ecom_etl_proj_spark.catalog import SCHEMAS
+
+    monkeypatch.delenv(pipeline.KAFKA_BOOTSTRAP_ENV, raising=False)
+    df = pipeline.events_stream_source(spark)
+    assert df.isStreaming
+    # generator columns are provably non-null so nullability flags
+    # differ; the source contract is the (name, type) tuple
+    assert [(f.name, f.dataType) for f in df.schema] == [
+        (f.name, f.dataType) for f in SCHEMAS["events"]
+    ]
+
+
+def test_events_stream_source_kafka_wiring(spark, monkeypatch):
+    """With the broker env var set, the seam must route to the Kafka
+    builder with the env bootstrap and the reference producer's four
+    topics (env-overridable) — asserted by capture, since neither
+    broker nor connector jar exists in this container."""
+    captured = {}
+
+    def fake_kafka(sp, bootstrap, topics):
+        captured["bootstrap"], captured["topics"] = bootstrap, topics
+        return None  # the seam's return value is not under test here
+
+    monkeypatch.setattr(pipeline, "kafka_json_source", fake_kafka)
+    monkeypatch.setenv(pipeline.KAFKA_BOOTSTRAP_ENV, "broker:9092")
+    monkeypatch.delenv(pipeline.KAFKA_TOPICS_ENV, raising=False)
+    pipeline.events_stream_source(spark)
+    assert captured == {
+        "bootstrap": "broker:9092",
+        "topics": pipeline.DEFAULT_KAFKA_TOPICS,
+    }
+    monkeypatch.setenv(pipeline.KAFKA_TOPICS_ENV, "only.this.topic")
+    pipeline.events_stream_source(spark)
+    assert captured["topics"] == "only.this.topic"
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_KAFKA_BOOTSTRAP" not in __import__("os").environ,
+    reason="needs a reachable Kafka broker + spark-sql-kafka connector "
+    "(set SPARK_GRAFT_KAFKA_BOOTSTRAP to run)",
+)
+def test_events_stream_source_kafka_end_to_end(spark):
+    """Real-broker smoke (runs only where a broker exists): subscribe,
+    pull one availableNow pass into memory, assert the decoded events
+    schema arrives."""
+    df = pipeline.events_stream_source(spark)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("kafka_e2e")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kafka_e2e")
+    assert set(got.columns) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+
+
 def test_incremental_dedup_stream_crash_replay_exactly_once(
     spark, tables, monkeypatch
 ):
