@@ -204,6 +204,28 @@ def main() -> None:
     g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)
     calibration = calibrate()
 
+    # Scaling-curve probe (r8): synthesize a factor-x dataset into a
+    # temp dir and run both rings once at base and at scale —
+    # "linearity" ~1.0 = cost grew with the data, >1 flags a curve
+    # bending superlinear. Runs AFTER every existing series (and after
+    # calibration) so the established keys keep their exact semantics.
+    # Disable with SPARK_GRAFT_SCALE_PROBE=0; factor via
+    # SPARK_GRAFT_SCALE_FACTOR (default 10).
+    scale_probe = None
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from scale_probe import probe as _scale_probe
+
+        factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+        try:
+            scale_probe = _scale_probe(
+                spark, sf_dir, factor, HEADLINE + LLM_HEADLINE
+            )
+        except Exception as exc:  # probe is attribution, never a bench fail
+            scale_probe = {"error": str(exc)[:300]}
+
     def norm(x: float) -> float:
         return round(x * CALIBRATION_REF / calibration, 3)
 
@@ -275,6 +297,9 @@ def main() -> None:
                 "normalized_ingest_warm_queries": {
                     n: norm(v) for n, v in ingest_warm.items()
                 },
+                # scaling-curve evidence (see tools/scale_probe.py):
+                # linearity = t_scaled / (t_base * factor)
+                "scale_probe": scale_probe,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,193 @@
+"""Scaling-curve probe (r8, judge task r8.7): evidence for the 100x claim.
+
+Synthesizes a ``factor``-times dataset from a base SF directory into a
+temp dir (testdata itself is read-only), runs the bench rings once at
+base and once at scale in the SAME session, and reports the per-query
+cost slope. ``linearity`` = t_scaled / (t_base * factor): ~1.0 means
+the operator's cost grew with the data (linear), <1 sublinear (fixed
+overheads amortizing), >1 flags a curve bending superlinear while
+there is still headroom to fix it.
+
+Synthesis model — realistic growth, not clone degeneracy:
+
+- every long surrogate/foreign key shifts by ``copy * 10^12``, so FK
+  joins stay consistent per copy and key cardinality grows with the
+  factor (users, customers, orders, docs, vectors all x factor);
+- fact TIME AXES extend: each copy's events/orders/lineitem timestamps
+  shift by the base span, the way a fact table actually grows (so
+  time-bucketed aggregations gain groups instead of just deepening
+  rows-per-group);
+- document text is Caesar-rotated per copy (length/token structure
+  preserved, shingle vocabulary disjoint), so dedup/LSH candidate
+  volume grows linearly like a real corpus instead of quadratically
+  like a corpus of 10 identical crawls;
+- embeddings keep their vectors (cell populations scale linearly;
+  nothing in the probed rings is all-pairs over vectors);
+- region/nation stay fixed — geography does not grow with data.
+
+Standalone: python tools/scale_probe.py [factor]
+Bench embeds the same probe as a "scale_probe" JSON block (disable
+with SPARK_GRAFT_SCALE_PROBE=0; factor via SPARK_GRAFT_SCALE_FACTOR).
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ecom_etl_proj_spark.catalog import TABLES, load_table, load_tables  # noqa: E402
+
+KEY_STRIDE = 10**12
+
+# long key columns per table (every FK shifts by the same stride, so
+# cross-copy joins never collide and per-copy joins stay consistent)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+TIME_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+# orders + lineitem share one time offset so shipdate-orderdate spans
+# survive scaling; events gets its own.
+TIME_GROUPS = {"events": "events", "orders": "sales", "lineitem": "sales"}
+
+
+def _caesar(copy: int) -> tuple[str, str]:
+    lo = string.ascii_lowercase
+    up = string.ascii_uppercase
+    k = copy % 26
+    return lo + up, lo[k:] + lo[:k] + up[k:] + up[:k]
+
+
+def synthesize_scaled(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int
+) -> None:
+    """Write the factor-times dataset under dst_dir (one parquet dir
+    per table, same layout catalog.load_tables expects)."""
+    spans: dict[str, object] = {}
+    for tbl, group in (("events", "events"), ("orders", "sales")):
+        col = TIME_COLS[tbl][0]
+        lohi = load_table(spark, src_dir, tbl).agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).first()
+        spans[group] = (lohi["hi"] - lohi["lo"]).total_seconds() + 3600
+
+    for name in TABLES:
+        base = load_table(spark, src_dir, name)
+        if name not in KEY_COLS:  # region / nation: geography is fixed
+            out = base
+        else:
+            copies = []
+            for i in range(factor):
+                c = base
+                for k in KEY_COLS[name]:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+                for tcol in TIME_COLS.get(name, []):
+                    secs = spans[TIME_GROUPS[name]] * i
+                    c = c.withColumn(
+                        tcol,
+                        F.col(tcol)
+                        + F.make_dt_interval(secs=F.lit(float(secs))),
+                    )
+                if name == "documents" and i:
+                    src_a, dst_a = _caesar(i)
+                    c = c.withColumn("text", F.translate("text", src_a, dst_a))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+
+
+def probe(
+    spark: SparkSession,
+    base_dir: str,
+    factor: int,
+    query_names: list[str],
+    scaled_dir: str | None = None,
+) -> dict:
+    """Time each query once at base and once at factor-times scale
+    (same session, base first so both run JIT-warm from the caller's
+    earlier passes) and report the linearity slope."""
+    import shutil
+    import tempfile
+
+    from ecom_etl_proj_spark.plans import registry
+
+    qs = registry.queries()
+    own_tmp = scaled_dir is None
+    if own_tmp:
+        scaled_dir = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        t0 = time.time()
+        synthesize_scaled(spark, base_dir, scaled_dir, factor)
+        synth_sec = round(time.time() - t0, 3)
+
+        def one_pass(sf_dir: str) -> dict[str, float]:
+            times = {}
+            for name in query_names:
+                t1 = time.time()
+                qs[name](spark, sf_dir).count()
+                times[name] = round(time.time() - t1, 3)
+            return times
+
+        one_pass(base_dir)  # untimed JIT warmup: both timed passes run warm
+        base_t = one_pass(base_dir)
+        scaled_t = one_pass(scaled_dir)
+        linearity = {
+            n: round(scaled_t[n] / (base_t[n] * factor), 3)
+            if base_t[n] > 0
+            else None
+            for n in query_names
+        }
+        return {
+            "factor": factor,
+            "synthesize_sec": synth_sec,
+            "base_queries": base_t,
+            "scaled_queries": scaled_t,
+            "linearity": linearity,
+        }
+    finally:
+        if own_tmp:
+            shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+def main() -> None:
+    from ecom_etl_proj_spark.session import get_spark
+
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import bench
+
+    spark = get_spark("scale-probe")
+    load_tables(spark, base, register=False)["lineitem"].count()
+    names = bench.HEADLINE + bench.LLM_HEADLINE
+    result = probe(spark, base, factor, names)
+    import json
+
+    print(json.dumps(result, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
