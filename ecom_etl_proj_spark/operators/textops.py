@@ -1072,9 +1072,21 @@ def curated_pack(
     # whole corpus scan bought nothing), and its window planned over
     # text-bearing rows instead of two longs.
     keep = verdicts.filter(F.col("kept")).select("doc_id", "n_tokens").persist()
+    # The surviving TEXT is consumed THREE times inside the LSH edge
+    # build (band sketch + both sides of the candidate verify join);
+    # unmaterialized, each consumption re-runs the document scan, the
+    # curation verdicts, and the survivor semi-join — measured 9s vs
+    # 3s at sf0.1. DISK_ONLY persist materializes survivors once at
+    # shuffle-spill cost (local disk, never executor memory — at
+    # 100 TB this is the same storage class a shuffle of the corpus
+    # would use, and production would land the curated corpus in a
+    # table here anyway), and it is RELEASED as soon as the cluster
+    # edges exist.
+    from pyspark.storagelevel import StorageLevel
+
     survivors = t["documents"].join(
         keep.select("doc_id"), "doc_id", "left_semi"
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     t_surv = {**t, "documents": survivors}
     clusters = dedup.dedup_clusters(
         t_surv, threshold=near_dup_threshold, hash_mode=hash_mode
@@ -1082,14 +1094,18 @@ def curated_pack(
     losers = clusters.filter(~F.col("is_representative")).select("doc_id")
     # Same cache discipline as copurchase_pagerank: materialize the
     # bounded longs-only survivor list (one (doc_id, n_tokens) row per
-    # kept doc — the very state class the persist comment above bounds)
-    # with an eager localCheckpoint severing lineage from the keep
-    # cache, then RELEASE the cache — without this, every invocation
-    # of the registered query leaked one persisted frame into executor
-    # storage for the session lifetime. The build is already eager
-    # here: dedup_clusters' connected-components loop runs actions
-    # during construction, so the checkpoint adds no new eagerness.
+    # kept doc) with an eager localCheckpoint severing lineage from
+    # both caches, then RELEASE them — without this, every invocation
+    # of the registered query leaked persisted frames into executor
+    # storage for the session lifetime (and the leaked cache was
+    # silently serving repeat invocations, hiding the recompute cost
+    # the DISK_ONLY persist above now pays honestly). The build is
+    # already eager here: dedup_clusters' connected-components loop
+    # runs actions during construction (its label state is
+    # localCheckpoint-severed, so releasing survivors cannot force a
+    # recompute), and the checkpoint adds no new eagerness.
     final_counts = keep.join(losers, "doc_id", "left_anti").localCheckpoint()
+    survivors.unpersist()
     keep.unpersist()
     return _pack_from_counts(final_counts, ctx_len, n_shards)
 
