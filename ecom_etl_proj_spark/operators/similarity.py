@@ -627,6 +627,17 @@ def lloyd_refine(
         # a lazy checkpoint executes the shuffle stages at build), and
         # the CacheManager substitutes the materialized centroids into
         # every downstream reference after the first action.
+        # Deliberate residual: the per-iteration centroid caches are
+        # never unpersisted — releasing them at build time would be a
+        # no-op-or-worse (the lazy caches only materialize at the
+        # caller's first action, and an early unpersist reintroduces
+        # the quadratic recompute), and no builder-side hook exists
+        # after that action. Each frame is bounded at ~sqrt(corpus) x
+        # dim (a few MB at 1e9 vectors), unlike the corpus-sized
+        # lineages the curated_pack cache fix releases; a long-lived
+        # session calling lloyd-refined ANN repeatedly accumulates
+        # iters small frames per call (identical plans re-hit the same
+        # cache entries, so repeat calls add nothing new).
         cent = means.select(
             "cell",
             F.array(
