@@ -91,6 +91,16 @@ HEADLINE = [
 # DISTINCT JSON keys ("llm_*") so the headline series stays comparable
 # round-over-round while regressions in the curation path become
 # visible in their own series.
+#
+# SERIES BREAK (r8): curated_pack's r5-r7 warm numbers (~2.7s
+# normalized) were partially served by a cache leak — the operator
+# persisted its keep frame without releasing it, and Spark's cache
+# manager matches by logical plan, so every warm pass silently reused
+# the previous invocation's materialized state. r8 releases the caches
+# (and materializes the thrice-consumed survivor corpus once,
+# DISK_ONLY), so the warm series now measures the honest
+# cost-per-invocation: ~4.3s at sf0.1, down from ~10s honest-unleaked,
+# not comparable to the leak-assisted <=r7 numbers.
 LLM_HEADLINE = [
     "curated_pack",
     "ann_ivf",
