@@ -180,3 +180,65 @@ def test_jdbc_filter_pushdown(spark, tables, workdir):
     # filtered columns appear in the generated query's ReadSchema
     assert "n_nationkey" not in plan.split("ReadSchema:")[-1], plan
     assert filtered.count() == 5
+
+
+def test_scale_probe_synthesis_consistent(spark, tmp_path):
+    """The bench scaling probe's synthesized dataset must be a REAL
+    factor-times database: row counts scale, keys stay unique, FK joins
+    neither lose rows nor cross copies, per-copy document text is
+    distinct (no clone-degenerate dedup input), and fixed dimensions
+    stay fixed."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from scale_probe import synthesize_scaled
+
+    from ecom_etl_proj_spark.catalog import load_tables
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "scaled")
+    factor = 2
+    synthesize_scaled(spark, src, dst, factor)
+    base = load_tables(spark, src, register=False)
+    scaled = load_tables(spark, dst, register=False)
+
+    for name in ("customer", "orders", "lineitem", "events", "documents",
+                 "embeddings", "part", "supplier"):
+        nb, ns = base[name].count(), scaled[name].count()
+        assert ns == nb * factor, (name, nb, ns)
+    for name in ("region", "nation"):
+        assert scaled[name].count() == base[name].count()
+
+    # key uniqueness survives striding
+    assert scaled["customer"].select("c_custkey").distinct().count() \
+        == base["customer"].count() * factor
+    # FK joins are copy-local: every order still finds exactly one
+    # customer, and the join count scales with the factor
+    base_join = base["orders"].join(
+        base["customer"],
+        base["orders"]["o_custkey"] == base["customer"]["c_custkey"],
+    ).count()
+    scaled_join = scaled["orders"].join(
+        scaled["customer"],
+        scaled["orders"]["o_custkey"] == scaled["customer"]["c_custkey"],
+    ).count()
+    assert scaled_join == base_join * factor
+    # document text is distinct per copy — dedup inputs grow like a
+    # real corpus, not like N identical crawls
+    assert scaled["documents"].select("text").distinct().count() \
+        == base["documents"].count() * factor
+    # the time axis extends: the scaled events span is >= factor-1
+    # base spans longer than the base span
+    from pyspark.sql import functions as F2
+
+    def span(df):
+        r = df.agg(F2.min("ts").alias("lo"), F2.max("ts").alias("hi")).first()
+        return (r["hi"] - r["lo"]).total_seconds()
+
+    assert span(scaled["events"]) > span(base["events"]) * (factor - 0.5)
