@@ -4148,8 +4148,12 @@ _DRIVER_PRIORITY: list[str] = [
     #      has staleness <= 1 round after this check;
     #   3) idle_high_balance_customers + market_share_by_nation — r4
     #      rows, pushed past r7's 50-slot boundary twice running;
-    #   4) the three queries whose implementation r8 touches (ann_ivf
-    #      probe A/B, dedup_minhash_lsh + curated_pack compile-tax work);
+    #   4) the three queries r8 touched: dedup_minhash_lsh (sorted
+    #      single-pass bin minima — band keys byte-identical),
+    #      curated_pack (cache-leak fix + DISK_ONLY survivor
+    #      materialization), and ann_ivf (comment-only in the end — the
+    #      warm drift proved to be host noise, tools/ab_ann_ivf.py —
+    #      but it keeps its head slot, cheap insurance);
     #   5) the r4 overflow four + the oldest r5-verified entries to fill
     #      slot 50. nation_trade_volume (r5) overflows to slot 51 and
     #      leads r9 with the rest of the r5 block.
