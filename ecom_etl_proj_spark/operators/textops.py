@@ -1413,6 +1413,54 @@ def packing_efficiency(
     )
 
 
+def ngram_novelty(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word shingles whose FIRST corpus occurrence (min doc_id, the
+    arrival order) is that doc — i.e. how much genuinely new content
+    each document adds to the corpus.
+
+    This is the corpus-freshness diagnostic crawl pipelines run between
+    snapshots: a batch whose novelty distribution collapses toward zero
+    is re-crawling what the corpus already holds (the aggregate cousin
+    of per-pair near-dup detection — cheap enough to run on every
+    ingest, no pair expansion at all).
+
+    Scale shape: one corpus explode into (doc_id, shingle); the
+    first-occurrence table is ONE bounded groupBy (min per shingle —
+    map-side partial combine absorbs hot boilerplate shingles, and no
+    bucket ever expands pairs); the per-doc rollup attaches it through
+    a plain SHUFFLE join on the shingle key — the vocabulary is
+    unbounded at web scale, so no broadcast hint (same rule as
+    term_cooccurrence / unigram_logprob; AQE broadcasts at small scale
+    from runtime stats). Novelty is an exact integer half-up quotient
+    in parts-per-million ((2a+b) div 2b — both engines compute the
+    identical integer, then the identical double), so the ratio can
+    never sit on a float rounding boundary. Docs with fewer than ``n``
+    words have no shingles and no row — mirrored by the oracle.
+    """
+    sh = t["documents"].select(
+        "doc_id", F.explode(X.word_shingles(n)).alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    ppm = F.expr("(2 * n_novel * 1000000 + n_shingles) div (2 * n_shingles)")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (ppm.cast("double") / F.lit(1000000.0)).alias("novelty"),
+    ).orderBy("doc_id")
+
+
 def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus-unigram log-probability per document — the classic
     cheap stand-in for an LM-perplexity quality gate (docs whose words

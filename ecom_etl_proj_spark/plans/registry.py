@@ -702,6 +702,29 @@ _SHINGLE_SQL = """
     )
 """
 
+register(
+    "ngram_novelty",
+    lambda t: textops.ngram_novelty(t, n=3),
+    _SHINGLE_SQL
+    + """,
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM ex GROUP BY 1),
+    per_doc AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN e.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM ex e JOIN first f USING (shingle)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST((2 * n_novel * 1000000 + n_shingles) // (2 * n_shingles)
+                AS DOUBLE) / 1000000 AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+
 # Document-frequency cap mirrored from operators/dedup.py
 # (NGRAM_MAX_SHINGLE_FREQ): shingles shared by more docs carry ~zero
 # Jaccard information but quadratic join cost, so both engines drop them
@@ -4169,6 +4192,7 @@ _DRIVER_PRIORITY: list[str] = [
     "packing_efficiency",
     "unigram_logprob",
     "multimodal_decode_bmp",
+    "ngram_novelty",
     # --- decimal-sweep cohort without an r7 driver row ---
     "pricing_summary",
     "revenue_by_nation",
@@ -4218,8 +4242,8 @@ _DRIVER_PRIORITY: list[str] = [
     "status_month_pivot",
     "repeat_customer_rate",
     "delivery_delay_percentiles",
-    "inactive_customers",
     # --- top-50 boundary ---
+    "inactive_customers",
     "customer_snapshot_diff",
     # remaining r5-verified block (leads r9), then r6-verified, then the
     # r7-verified block (freshest) last.

@@ -1947,3 +1947,31 @@ def test_covisitation_pairs_hand_sessions(spark):
         for r in ev.covisitation_pairs({"events": df}).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 1}
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    """Known micro-corpus: doc 1 introduces everything (novelty 1.0);
+    doc 2 repeats doc 1's shingles plus nothing new (0.0); doc 3 mixes;
+    a doc too short to shingle emits no row."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),           # shingles: "a b c", "b c d"
+            (2, "a b c d"),           # same two shingles, doc 1 owns them
+            (3, "a b c x y z"),       # "a b c" old; 3 new shingles
+            (4, "too short"),         # < 3 words: no shingles, no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textops.ngram_novelty({"documents": docs}).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_shingles"], got[1]["n_novel"]) == (2, 2)
+    assert got[1]["novelty"] == 1.0
+    assert (got[2]["n_shingles"], got[2]["n_novel"]) == (2, 0)
+    assert got[2]["novelty"] == 0.0
+    assert (got[3]["n_shingles"], got[3]["n_novel"]) == (4, 3)
+    assert got[3]["novelty"] == 0.75
