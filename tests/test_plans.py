@@ -234,6 +234,21 @@ def test_term_cooccurrence_no_vocab_broadcast_hint(spark, tables):
     )
 
 
+def test_ngram_novelty_no_vocab_broadcast_hint(spark, tables):
+    """Same rule as term_cooccurrence: the first-occurrence table is
+    one row per distinct corpus shingle (unbounded at web scale), so
+    the shingle join must carry NO broadcast hint — AQE may broadcast
+    at test scale from runtime stats, but a forced hint would OOM the
+    driver at 100 TB."""
+    from ecom_etl_proj_spark.plans import registry
+
+    from tests.conftest import SF_DIR
+
+    df = registry.queries()["ngram_novelty"](spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+
+
 def test_asof_union_carry_no_join(spark, tables):
     """The generic as-of must plan as union + window — no join operator
     of any kind (the quadratic theta-join shape must never appear)."""
