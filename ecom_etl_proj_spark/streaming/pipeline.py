@@ -117,6 +117,39 @@ def events_stream_source(
     return synthetic_events(rate_stream(spark, rows_per_second, n_partitions))
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store.
+
+    The default HDFS-backed provider keeps every key of streaming state
+    in EXECUTOR HEAP — fine for bench-scale windows, a hard wall for
+    the long-horizon shapes this engine runs continuously (watermarked
+    aggregations, sessionization, dropDuplicatesWithinWatermark,
+    applyInPandasWithState): at 100 TB/day of events the dedup horizon
+    alone holds hundreds of millions of keys per partition-hour.
+    RocksDB spills state to executor-local disk with a bounded block
+    cache, and changelog checkpointing uploads per-batch deltas
+    instead of full snapshots. Session-level conf: set BEFORE starting
+    a stream; running queries keep the provider they started with.
+    Results are provider-independent (asserted against the default
+    provider and the batch twin in tests/test_streaming.py).
+    """
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    if changelog:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+
+
 def minutely_metrics(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling 1-minute counters per event type
     (consumer.py:199-213 hincrby minutely keys)."""

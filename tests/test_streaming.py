@@ -715,6 +715,64 @@ def test_incremental_dedup_stream_checkpoint_restart(spark, tables):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def test_rocksdb_state_store_equivalent(spark, tables, events_dir):
+    """The RocksDB state store (the 100 TB state backend —
+    use_rocksdb_state) must produce byte-identical results to the
+    default heap-backed provider for a watermarked aggregation AND a
+    watermark-bounded dedup, and both must match the batch twin."""
+    import tempfile
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+
+    def run(tag):
+        out = []
+        # two distinct state shapes, each its own query (chaining them
+        # would redefine the watermark): windowed agg + watermarked dedup
+        for shape, build in (
+            ("agg", pipeline.minutely_metrics),
+            ("dedup", pipeline.dedup_events_stream),
+        ):
+            with tempfile.TemporaryDirectory(prefix=f"rocks_{tag}_") as d:
+                df = build(pipeline.file_stream_source(spark, events_dir))
+                q = (
+                    df.writeStream.format("memory")
+                    .queryName(f"rocks_eq_{tag}_{shape}")
+                    .outputMode("append")
+                    .option("checkpointLocation", f"{d}/ckpt")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(180)
+                out.append(
+                    sorted(
+                        map(
+                            tuple,
+                            spark.table(f"rocks_eq_{tag}_{shape}").collect(),
+                        )
+                    )
+                )
+        return out
+
+    try:
+        default_rows = run("default")
+        pipeline.use_rocksdb_state(spark)
+        assert spark.conf.get(key) == pipeline.ROCKSDB_PROVIDER
+        rocks_rows = run("rocksdb")
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        )
+
+    assert rocks_rows == default_rows
+    assert all(len(rows) > 0 for rows in rocks_rows)
+
+
 def test_events_stream_source_generator_default(spark, monkeypatch):
     """Without a broker env var, the seam yields the deterministic
     generator twin with the EXACT events schema — downstream plans are
