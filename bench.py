@@ -151,7 +151,44 @@ def _llm_prod_queries():
         "embedding_knn_arrow": lambda spark, sf_dir: similarity.embedding_knn(
             tables_for(spark, sf_dir), impl="arrow"
         ),
+        # Additive r8 key: the steady-state curation pack. The first
+        # call per bench process drops + rebuilds the persisted
+        # curation/dedup state (that one-time build lands in the p0
+        # first-run number); the warm passes then measure what a
+        # production pipeline actually pays per re-pack — joins over
+        # persisted hashes and integers, zero text scans
+        # (A/B-identical to curated_pack, tests/test_operators.py).
+        "curated_pack_state": _curated_pack_state_fn(),
     }
+
+
+def _curated_pack_state_fn():
+    built: set[str] = set()
+
+    def run(spark, sf_dir):
+        import shutil
+
+        from ecom_etl_proj_spark.operators import textops
+        from ecom_etl_proj_spark.plans.registry import tables_for
+
+        prefix = "benchcps"
+        if sf_dir not in built:
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", ""
+            ).removeprefix("file:")
+            for tbl in (f"{prefix}_curation", f"{prefix}_dd_fp",
+                        f"{prefix}_dd_bands", f"{prefix}_dd_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                if warehouse:
+                    shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+            textops.build_curation_state(
+                spark, tables_for(spark, sf_dir), prefix,
+                hash_mode="xxhash64",
+            )
+            built.add(sf_dir)
+        return textops.curated_pack_state(spark, prefix)
+
+    return run
 
 
 def main() -> None:

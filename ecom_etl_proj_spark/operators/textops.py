@@ -1110,6 +1110,79 @@ def curated_pack(
     return _pack_from_counts(final_counts, ctx_len, n_shards)
 
 
+def build_curation_state(
+    spark,
+    t: dict[str, DataFrame],
+    prefix: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    n: int = 3,
+    hash_mode: str = "xxhash64",
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the curation layer's state ONCE: the per-document
+    verdict table ``{prefix}_curation`` (doc_id, n_tokens, kept;
+    bucketed by doc_id) plus the three dedup sketch tables
+    (``build_dedup_state`` under ``{prefix}_dd``).
+
+    This is the production shape behind ``curated_pack``'s docstring
+    promise: the text-scanning work (quality expressions, fingerprint
+    dedup, shingle sketching) runs exactly once per corpus snapshot;
+    every later pack/re-pack invocation (``curated_pack_state``) is
+    joins over hashes and integers — zero corpus text scans.
+    """
+    from ecom_etl_proj_spark.operators import dedup
+    from ecom_etl_proj_spark.operators.skew import write_bucketed
+
+    verdicts = curate_corpus(t, min_quality, min_tokens).select(
+        "doc_id", "n_tokens", "kept"
+    )
+    write_bucketed(verdicts, f"{prefix}_curation", "doc_id", n_buckets)
+    dedup.build_dedup_state(
+        t["documents"], f"{prefix}_dd", n, hash_mode, n_buckets
+    )
+
+
+def curated_pack_state(
+    spark,
+    prefix: str,
+    near_dup_threshold: float = 0.1,
+    ctx_len: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Steady-state ``curated_pack`` from persisted state: identical
+    output (A/B-asserted in tests), no document text read anywhere.
+
+    Near-dup pairs come from ``dedup_minhash_lsh_state`` (bucketed
+    band/set tables) and are then restricted to curation survivors —
+    equivalent to running LSH over the survivor corpus, because band
+    keys are document-local and Jaccard verification is pair-local:
+    pairs among all docs, filtered to kept endpoints, IS the survivor
+    pair set. Connected components + representative drop + packing run
+    on bounded hash/integer frames. At 100 TB this is the every-ingest
+    invocation shape; the state build amortizes over every re-pack,
+    threshold change, or ctx_len change.
+    """
+    from ecom_etl_proj_spark.operators import dedup
+
+    cur = spark.table(f"{prefix}_curation")
+    keep = cur.filter(F.col("kept")).select("doc_id", "n_tokens")
+    pairs = dedup.dedup_minhash_lsh_state(
+        spark, f"{prefix}_dd", near_dup_threshold
+    )
+    ka = keep.select(F.col("doc_id").alias("doc_a"))
+    kb = keep.select(F.col("doc_id").alias("doc_b"))
+    surv_pairs = pairs.join(ka, "doc_a", "left_semi").join(
+        kb, "doc_b", "left_semi"
+    )
+    comp = dedup.connected_components(surv_pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    final_counts = keep.join(losers, "doc_id", "left_anti")
+    return _pack_from_counts(final_counts, ctx_len, n_shards)
+
+
 def bpe_merge_candidates(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
     """The first iteration of BPE tokenizer training: corpus-wide
     counts of adjacent symbol pairs inside words, highest first.

@@ -1975,3 +1975,42 @@ def test_ngram_novelty_hand_corpus(spark):
     assert got[2]["novelty"] == 0.0
     assert (got[3]["n_shingles"], got[3]["n_novel"]) == (4, 3)
     assert got[3]["novelty"] == 0.75
+
+
+def test_curated_pack_state_equivalence(spark, tables):
+    """The steady-state pack (persisted curation + dedup state, zero
+    text scans per invocation) must return exactly curated_pack's
+    output — the pair-filter argument (band keys are doc-local,
+    verification pair-local) proven by A/B."""
+    import shutil
+
+    from ecom_etl_proj_spark.operators import textops
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for tbl in ("cpst_curation", "cpst_dd_fp", "cpst_dd_bands",
+                    "cpst_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+
+    drop()
+    try:
+        textops.build_curation_state(
+            spark, tables, "cpst", hash_mode="md5", n_buckets=4
+        )
+        got = sorted(
+            map(
+                tuple,
+                textops.curated_pack_state(spark, "cpst").collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, textops.curated_pack(tables, hash_mode="md5").collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        drop()
