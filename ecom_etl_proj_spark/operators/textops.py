@@ -1534,6 +1534,76 @@ def ngram_novelty(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def build_novelty_state(
+    docs: DataFrame, prefix: str, n: int = 3, n_buckets: int = 32
+) -> None:
+    """Materialize the corpus shingle VOCABULARY as one bucketed table
+    ``{prefix}_vocab`` (distinct shingle; bucketed by shingle) — the
+    state behind continuous novelty monitoring (``batch_novelty_state``).
+    Bucketing by the probe key means every batch probe shuffles only
+    the batch while the vocabulary sort-merges in place, the same
+    exchange-free-state property as the dedup state tables."""
+    from ecom_etl_proj_spark.operators.skew import write_bucketed
+
+    vocab = docs.select(
+        F.explode(X.word_shingles(n)).alias("shingle")
+    ).distinct()
+    write_bucketed(vocab, f"{prefix}_vocab", "shingle", n_buckets)
+
+
+def append_novelty_state(new_docs: DataFrame, prefix: str, n: int = 3) -> None:
+    """Fold an ingested batch's shingles into the vocabulary state.
+    ``insertInto`` respects the bucket spec. Batch-local duplicates
+    (and shingles already present) are NOT deduplicated against the
+    table — the probe's anti-join is existence-based, so duplicate
+    vocabulary rows cannot change any novelty number, and skipping the
+    corpus-wide distinct keeps the append batch-sized."""
+    batch_vocab = new_docs.select(
+        F.explode(X.word_shingles(n)).alias("shingle")
+    ).distinct()
+    batch_vocab.write.insertInto(f"{prefix}_vocab")
+
+
+def batch_novelty_state(
+    spark, batch_docs: DataFrame, prefix: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty of an ARRIVING batch against the persisted
+    corpus vocabulary: the fraction of each batch doc's distinct
+    shingles the corpus has never seen — ``ngram_novelty``'s
+    continuous-ingestion face (that operator scores a static corpus in
+    arrival order; this one scores today's crawl against all previous
+    state, the number a pipeline alerts on when a crawler starts
+    re-fetching what it already has).
+
+    Batch docs deliberately do NOT see each other (same rule as
+    ``incremental_dedup``: a batch probes the state as it stood).
+    Probe cost is O(batch): the batch explodes and shuffles on the
+    shingle key; the vocabulary is bucketed on that key and
+    sort-merges in place. Novelty is the exact integer-ppm half-up
+    quotient (see ``ngram_novelty``).
+    """
+    sh = batch_docs.select(
+        "doc_id", F.explode(X.word_shingles(n)).alias("shingle")
+    )
+    vocab = spark.table(f"{prefix}_vocab")
+    novel = sh.join(vocab, "shingle", "left_anti").groupBy("doc_id").agg(
+        F.count("*").alias("n_novel")
+    )
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+        .join(novel, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+    )
+    ppm = F.expr("(2 * n_novel * 1000000 + n_shingles) div (2 * n_shingles)")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (ppm.cast("double") / F.lit(1000000.0)).alias("novelty"),
+    ).orderBy("doc_id")
+
+
 def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus-unigram log-probability per document — the classic
     cheap stand-in for an LM-perplexity quality gate (docs whose words

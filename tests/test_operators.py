@@ -2014,3 +2014,79 @@ def test_curated_pack_state_equivalence(spark, tables):
         assert got == want and len(got) > 0
     finally:
         drop()
+
+
+def test_batch_novelty_state_matches_direct(spark, tables):
+    """The state-probed batch novelty must equal the novelty computed
+    directly against the corpus shingle set, the append must fold the
+    batch in (a re-probe of the same batch then scores ~0 novel), and
+    duplicate vocabulary rows must not change any number."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from ecom_etl_proj_spark.functions import text as X2
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = tables["documents"]
+    batch = docs.filter(F2.pmod("doc_id", F2.lit(10)) == 9)
+    corpus = docs.filter(F2.pmod("doc_id", F2.lit(10)) != 9)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        spark.sql("DROP TABLE IF EXISTS novst_vocab")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/novst_vocab", ignore_errors=True)
+
+    drop()
+    try:
+        textops.build_novelty_state(corpus, "novst", n_buckets=4)
+        got = sorted(
+            map(
+                tuple,
+                textops.batch_novelty_state(spark, batch, "novst").collect(),
+            )
+        )
+        # direct computation: batch shingles anti-joined on the corpus
+        # shingle set
+        bsh = batch.select(
+            "doc_id", F2.explode(X2.word_shingles(3)).alias("shingle")
+        )
+        csh = corpus.select(
+            F2.explode(X2.word_shingles(3)).alias("shingle")
+        ).distinct()
+        novel = bsh.join(csh, "shingle", "left_anti").groupBy("doc_id").agg(
+            F2.count("*").alias("n_novel")
+        )
+        want = sorted(
+            map(
+                tuple,
+                bsh.groupBy("doc_id")
+                .agg(F2.count("*").alias("n_shingles"))
+                .join(novel, "doc_id", "left")
+                .withColumn("n_novel", F2.coalesce("n_novel", F2.lit(0)))
+                .selectExpr(
+                    "doc_id",
+                    "n_shingles",
+                    "n_novel",
+                    "CAST((2 * n_novel * 1000000 + n_shingles) div "
+                    "(2 * n_shingles) AS DOUBLE) / 1000000.0 AS novelty",
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        assert any(r[2] > 0 for r in got)  # some novelty exists
+
+        # fold the batch in; a re-probe of the same batch is all-seen
+        textops.append_novelty_state(batch, "novst")
+        refold = textops.batch_novelty_state(spark, batch, "novst").collect()
+        assert all(r["n_novel"] == 0 for r in refold)
+        # duplicate vocab rows don't change the numbers: append again
+        textops.append_novelty_state(batch, "novst")
+        again = textops.batch_novelty_state(spark, batch, "novst").collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, refold))
+    finally:
+        drop()

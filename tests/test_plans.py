@@ -543,3 +543,57 @@ def test_plans_md_fresh():
         capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
+
+
+def test_novelty_probe_bucketed_state_no_exchange(spark, tables):
+    """batch_novelty_state's docstring claims the vocabulary state,
+    bucketed by shingle, anti-joins with NO exchange on the state side
+    — only the batch explodes and shuffles. The anti-join's right
+    (state) side subtree must contain no Exchange."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.functions import text as X
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.pmod("doc_id", F.lit(10)) != 9)
+    batch = docs.filter(F.pmod("doc_id", F.lit(10)) == 9)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        spark.sql("DROP TABLE IF EXISTS novpl_vocab")
+        if warehouse:
+            shutil.rmtree(f"{warehouse}/novpl_vocab", ignore_errors=True)
+
+    drop()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        textops.build_novelty_state(corpus, "novpl", n_buckets=4)
+        sh = batch.select(
+            "doc_id", F.explode(X.word_shingles(3)).alias("shingle")
+        )
+        j = sh.join(spark.table("novpl_vocab"), "shingle", "left_anti")
+        plan = plan_of(j)
+        # tree section = lines before the first blank line; the join's
+        # LEFT (batch) subtree lines are ':'-prefixed, the RIGHT (state)
+        # subtree and ancestors are not. Every Exchange must sit in the
+        # batch subtree — none above or below the bucketed state scan.
+        tree = []
+        for ln in plan.splitlines():
+            if not ln.strip():
+                break
+            tree.append(ln)
+        exchanges = [ln for ln in tree if "Exchange" in ln]
+        assert exchanges, plan  # the batch side does shuffle
+        assert all(ln.lstrip().startswith(":") for ln in exchanges), plan
+        assert any("SortMergeJoin" in ln for ln in tree), plan
+        assert any("Bucketed: true" in ln for ln in plan.splitlines()), plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop()
