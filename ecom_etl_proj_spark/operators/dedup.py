@@ -363,7 +363,7 @@ def dedup_minhash_lsh(
 
 
 def dedup_minhash_lsh_state(
-    spark, prefix: str, threshold: float = 0.1
+    spark, prefix: str, threshold: float = 0.1, keep_ids: DataFrame | None = None
 ) -> DataFrame:
     """Corpus self-dedup from the PERSISTED state tables
     (``build_dedup_state``): identical pair generation and verification
@@ -373,10 +373,30 @@ def dedup_minhash_lsh_state(
     in-plan form pays (sketch + both verify sides) — the state tables
     are hashes and shingle arrays, a few percent of corpus bytes, and
     the (band, bh) groupBy reads its key pre-bucketed. Equivalence to
-    the in-plan form is pytest-asserted."""
-    return _lsh_pairs_from(
-        spark.table(f"{prefix}_bands"), spark.table(f"{prefix}_sets"), threshold
-    )
+    the in-plan form is pytest-asserted.
+
+    ``keep_ids`` (optional, one ``doc_id`` column): restrict the dedup
+    to a SUBSET of the state's corpus — the bands are semi-joined to
+    the subset BEFORE bucket expansion, which is exactly LSH over the
+    subset corpus (band keys are document-local, so a subset's band
+    table IS the full table filtered to its rows). Filtering the full-
+    corpus PAIR OUTPUT to subset endpoints instead is NOT equivalent
+    once any (band, bh) bucket exceeds ``MINHASH_MAX_BUCKET``: the
+    over-cap star+chain expansion anchors edges at the FULL bucket's
+    min-id/sorted order, so pairs whose anchor fell outside the subset
+    would be dropped while the subset's own (possibly under-cap)
+    bucket would have expanded all i<j pairs. Cost of exactness: the
+    semi-join shuffles the subset's band rows (bounded hash-only longs,
+    BANDS rows per doc) off the (band, bh) bucket layout before the
+    bucket groupBy re-shuffles them — two key exchanges over a few
+    percent of corpus bytes, no text. The verify side needs NO filter:
+    candidates already carry subset-only endpoints, and the inner join
+    against the bucketed sets table stays exchange-free on the state
+    side."""
+    bands = spark.table(f"{prefix}_bands")
+    if keep_ids is not None:
+        bands = bands.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    return _lsh_pairs_from(bands, spark.table(f"{prefix}_sets"), threshold)
 
 
 def _lsh_pairs_from(

@@ -1151,29 +1151,35 @@ def curated_pack_state(
     n_shards: int = 32,
 ) -> DataFrame:
     """Steady-state ``curated_pack`` from persisted state: identical
-    output (A/B-asserted in tests), no document text read anywhere.
+    output (A/B-asserted in tests, including the over-cap bucket
+    regime), no document text read anywhere.
 
-    Near-dup pairs come from ``dedup_minhash_lsh_state`` (bucketed
-    band/set tables) and are then restricted to curation survivors —
-    equivalent to running LSH over the survivor corpus, because band
-    keys are document-local and Jaccard verification is pair-local:
-    pairs among all docs, filtered to kept endpoints, IS the survivor
-    pair set. Connected components + representative drop + packing run
-    on bounded hash/integer frames. At 100 TB this is the every-ingest
-    invocation shape; the state build amortizes over every re-pack,
-    threshold change, or ctx_len change.
+    Near-dup pairs come from ``dedup_minhash_lsh_state`` with the
+    survivor list as ``keep_ids``: the persisted band table is
+    filtered to curation survivors BEFORE bucket expansion, which is
+    exactly LSH over the survivor corpus (band keys are document-
+    local). An earlier formulation ran LSH over the FULL corpus and
+    filtered the pair OUTPUT to kept endpoints — equivalent only while
+    every (band, bh) bucket stays under ``MINHASH_MAX_BUCKET``; an
+    over-cap bucket's star+chain edges anchor at the full bucket's
+    min-id, so a curated-away anchor silently dropped survivor pairs
+    that the survivor bucket (possibly back under the cap) would have
+    expanded all-pairs. Filtering first makes the giant-duplicate-
+    group regime exact, at the cost of one doc_id semi-join over the
+    hash-only band rows (see the keep_ids note on
+    ``dedup_minhash_lsh_state``). Connected components +
+    representative drop + packing run on bounded hash/integer frames.
+    At 100 TB this is the every-ingest invocation shape; the state
+    build amortizes over every re-pack, threshold change, or ctx_len
+    change.
     """
     from ecom_etl_proj_spark.operators import dedup
 
     cur = spark.table(f"{prefix}_curation")
     keep = cur.filter(F.col("kept")).select("doc_id", "n_tokens")
-    pairs = dedup.dedup_minhash_lsh_state(
-        spark, f"{prefix}_dd", near_dup_threshold
-    )
-    ka = keep.select(F.col("doc_id").alias("doc_a"))
-    kb = keep.select(F.col("doc_id").alias("doc_b"))
-    surv_pairs = pairs.join(ka, "doc_a", "left_semi").join(
-        kb, "doc_b", "left_semi"
+    surv_pairs = dedup.dedup_minhash_lsh_state(
+        spark, f"{prefix}_dd", near_dup_threshold,
+        keep_ids=keep.select("doc_id"),
     )
     comp = dedup.connected_components(surv_pairs)
     losers = comp.filter(F.col("doc_id") != F.col("component_id")).select(

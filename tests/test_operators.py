@@ -2016,6 +2016,96 @@ def test_curated_pack_state_equivalence(spark, tables):
         drop()
 
 
+def test_curated_pack_state_equivalence_over_cap(spark, monkeypatch):
+    """A/B equality in the OVER-CAP bucket regime — the web-scale
+    giant-duplicate-group case the base equivalence test (all buckets
+    under the 256 cap at test SFs) never reaches.
+
+    Planted corpus, searched offline so every construction property is
+    asserted rather than hoped for: 8 near-dup docs (ids 10..17) share
+    ALL 16 MinHash band keys (each doc's extra tokens were chosen so
+    their shingle hashes never beat a base bin minimum). Docs 10 and
+    12 fail the quality gate (repeated punctuation junk token, which
+    adds only 3 distinct shingles, so band membership is preserved).
+    With the cap forced to 2, the full-corpus bucket expands as
+    star+chain anchored at doc 10: the PRE-FIX state path (full-corpus
+    pairs filtered to kept endpoints afterwards) loses every edge of
+    survivor 11 (star 10-11, chains 10-11 and 11-12 all have a curated
+    anchor), splitting the survivor component into {11} and {13..17}
+    and packing TWO representatives — while curated_pack, running LSH
+    over survivors only, anchors the bucket at 11 and packs it alone.
+    The fixed state path (bands filtered to survivors BEFORE
+    expansion) must match curated_pack exactly."""
+    import hashlib
+    import shutil
+
+    from ecom_etl_proj_spark.operators import dedup, textops
+
+    base = " ".join(f"w1x{i}" for i in range(300))
+    texts = {10: base + " ;" * 400, 12: base + " ;" * 401}
+    for did, u in zip((11, 13, 14, 15, 16, 17), range(6)):
+        texts[did] = f"{base} u1q{u}"
+
+    # Guard the planted invariant the divergence argument rests on:
+    # all 8 docs must share all 16 band key strings (pure-Python
+    # replica of minhash_bands' md5 mode).
+    def band_strings(text):
+        toks = text.lower().strip().split(" ")
+        shs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        minima: dict[int, int] = {}
+        for sh in shs:
+            h = int(hashlib.md5(sh.encode()).hexdigest()[:15], 16)
+            b = h % 64
+            if b not in minima or h < minima[b]:
+                minima[b] = h
+        return [
+            ",".join(
+                f"{b}:{minima[b]}"
+                for b in range(band * 4, band * 4 + 4)
+                if b in minima
+            )
+            for band in range(16)
+        ]
+
+    want_bands = band_strings(base)
+    assert all(band_strings(t) == want_bands for t in texts.values())
+
+    docs = spark.createDataFrame(
+        [(did, t, "en") for did, t in sorted(texts.items())],
+        "doc_id long, text string, lang string",
+    )
+    t_synth = {"documents": docs}
+    monkeypatch.setattr(dedup, "MINHASH_MAX_BUCKET", 2)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for tbl in ("cpoc_curation", "cpoc_dd_fp", "cpoc_dd_bands",
+                    "cpoc_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if warehouse:
+                shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+
+    drop()
+    try:
+        textops.build_curation_state(
+            spark, t_synth, "cpoc", hash_mode="md5", n_buckets=4
+        )
+        got = sorted(
+            map(tuple, textops.curated_pack_state(spark, "cpoc").collect())
+        )
+        want = sorted(
+            map(tuple, textops.curated_pack(t_synth, hash_mode="md5").collect())
+        )
+        assert got == want
+        # the survivor group collapses to ONE representative (doc 11);
+        # the pre-fix pair-filter path packed {11, 13} here
+        assert [r[0] for r in got] == [11]
+    finally:
+        drop()
+
+
 def test_batch_novelty_state_matches_direct(spark, tables):
     """The state-probed batch novelty must equal the novelty computed
     directly against the corpus shingle set, the append must fold the
