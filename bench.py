@@ -223,6 +223,21 @@ def main() -> None:
     prod_names = list(_llm_prod_queries())
     loadavg = os.getloadavg()
 
+    # SERIES BREAK (r9): ann_ivf_prod / ann_ivf_arrow warm numbers
+    # through r8 were cache-assisted — lloyd_refine's per-iteration
+    # centroid caches were never released, and the CacheManager
+    # matches by logical plan, so each warm pass was served the
+    # previous pass's materialized centroids instead of re-running the
+    # two Lloyd iterations. Releasing between passes (below, after
+    # every prod pass) makes the warm series measure honest full
+    # re-refinement; expect those two keys to step up vs <=r8.
+    def release_ann_caches() -> None:
+        from ecom_etl_proj_spark.operators.similarity import (
+            release_lloyd_caches,
+        )
+
+        release_lloyd_caches()
+
     def calibrate() -> float:
         """Warm-min of a fixed arithmetic aggregation: host-speed
         yardstick, independent of the code under test. Runs AFTER all
@@ -240,12 +255,15 @@ def main() -> None:
     cold_times, cold_total = one_pass("cold", HEADLINE)
     llm_cold, llm_cold_total = one_pass("llm-cold", LLM_HEADLINE)
     p0, _ = one_pass("llm-prod", prod_names)
+    release_ann_caches()
     t1, _ = one_pass("warm1", HEADLINE)
     l1, _ = one_pass("llm-warm1", LLM_HEADLINE)
     p1, _ = one_pass("llm-prod-warm1", prod_names)
+    release_ann_caches()
     t2, _ = one_pass("warm2", HEADLINE)
     l2, _ = one_pass("llm-warm2", LLM_HEADLINE)
     p2, _ = one_pass("llm-prod-warm2", prod_names)
+    release_ann_caches()
     g0, g0_total = one_pass("ingest", INGEST_HEADLINE)
     g1, _ = one_pass("ingest-warm1", INGEST_HEADLINE)
     g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)

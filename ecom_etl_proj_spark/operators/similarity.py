@@ -579,6 +579,31 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+# Per-iteration centroid caches registered by lloyd_refine, so callers
+# can release them once their first action has consumed the refined
+# centroids (see release_lloyd_caches).
+_lloyd_caches: list[DataFrame] = []
+
+
+def release_lloyd_caches() -> None:
+    """Unpersist every centroid cache ``lloyd_refine`` has registered.
+
+    The per-iteration caches are lazy (plan building stays action-free)
+    and tiny (~sqrt(corpus) x dim each), but Spark's CacheManager
+    matches by LOGICAL PLAN — so in a long-lived session a repeat
+    invocation of an identical ANN plan is silently served the previous
+    invocation's materialized centroids, and any timing of the repeat
+    run measures cache-assisted re-invocation, not the honest cost
+    (the same distortion the r8 curated_pack cache-leak fix corrected).
+    Call this AFTER the first action on the returned plan: releasing
+    earlier would reintroduce the quadratic recompute the caches exist
+    to prevent. bench.py calls it between passes so the ann_ivf_prod /
+    ann_ivf_arrow warm series measure full re-refinement.
+    """
+    while _lloyd_caches:
+        _lloyd_caches.pop().unpersist()
+
+
 def lloyd_refine(
     emb: DataFrame,
     cent: DataFrame,
@@ -627,23 +652,24 @@ def lloyd_refine(
         # a lazy checkpoint executes the shuffle stages at build), and
         # the CacheManager substitutes the materialized centroids into
         # every downstream reference after the first action.
-        # Deliberate residual: the per-iteration centroid caches are
-        # never unpersisted — releasing them at build time would be a
-        # no-op-or-worse (the lazy caches only materialize at the
-        # caller's first action, and an early unpersist reintroduces
-        # the quadratic recompute), and no builder-side hook exists
-        # after that action. Each frame is bounded at ~sqrt(corpus) x
-        # dim (a few MB at 1e9 vectors), unlike the corpus-sized
-        # lineages the curated_pack cache fix releases; a long-lived
-        # session calling lloyd-refined ANN repeatedly accumulates
-        # iters small frames per call (identical plans re-hit the same
-        # cache entries, so repeat calls add nothing new).
+        # The caches cannot be released at build time — they only
+        # materialize at the caller's first action, and an early
+        # unpersist reintroduces the quadratic recompute — so each one
+        # is REGISTERED for the caller to release afterwards via
+        # release_lloyd_caches(). Each frame is bounded at
+        # ~sqrt(corpus) x dim (a few MB at 1e9 vectors); left
+        # unreleased, a repeat invocation of an identical ANN plan is
+        # served the previous run's materialized centroids (the
+        # CacheManager matches by logical plan), which both grows
+        # session storage and fakes warm timings — bench releases
+        # between passes for exactly that reason.
         cent = means.select(
             "cell",
             F.array(
                 *[F.col(f"d{i}").cast("double") for i in range(dim)]
             ).alias("c_emb"),
         ).persist()
+        _lloyd_caches.append(cent)
     return cent
 
 

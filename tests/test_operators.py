@@ -1908,6 +1908,30 @@ def test_assign_cells_arrow_matches_expr(spark, tables):
     assert got_e == got_a
 
 
+def test_lloyd_cache_release_hook(spark, tables):
+    """lloyd_refine registers its per-iteration centroid caches and
+    release_lloyd_caches() drops them: after an ann_ivf(lloyd_iters=2)
+    action plus release, executor storage holds no more cached RDDs
+    than before the call — without the hook, every invocation leaked
+    iters frames for the session lifetime AND identical re-invocations
+    were silently served the previous run's centroids (cache-assisted
+    warm timings, see bench.py's r9 series-break note)."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    # earlier tests in this session may have registered (and even
+    # materialized — the CacheManager dedupes identical plans) lloyd
+    # caches of their own; start from a clean registry so the before
+    # snapshot is the true baseline
+    similarity.release_lloyd_caches()
+    jsc_sc = spark.sparkContext._jsc.sc()
+    before = len(jsc_sc.getRDDStorageInfo())
+    similarity.ann_ivf(tables, lloyd_iters=2).count()
+    assert len(jsc_sc.getRDDStorageInfo()) >= before + 2  # caches live
+    similarity.release_lloyd_caches()
+    assert len(jsc_sc.getRDDStorageInfo()) == before
+    assert similarity._lloyd_caches == []
+
+
 def test_embedding_knn_arrow_matches_expr(spark, tables):
     """The vectorized brute-force kNN must return exactly the
     expression form's neighbors, similarities, and ranks."""
