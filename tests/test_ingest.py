@@ -242,3 +242,14 @@ def test_scale_probe_synthesis_consistent(spark, tmp_path):
         return (r["hi"] - r["lo"]).total_seconds()
 
     assert span(scaled["events"]) > span(base["events"]) * (factor - 0.5)
+
+    # factor > 26 must be REJECTED, not silently synthesized: copy 26's
+    # Caesar rotation (26 % 26 = 0) is the identity, which would clone
+    # copy 0's documents verbatim and reintroduce the clone-degenerate
+    # dedup input the synthesis model promises to avoid
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="factor must be in"):
+        synthesize_scaled(spark, src, str(tmp_path / "x"), 27)
+    with _pytest.raises(ValueError, match="factor must be in"):
+        synthesize_scaled(spark, src, str(tmp_path / "x"), 0)

@@ -82,6 +82,19 @@ def synthesize_scaled(
 ) -> None:
     """Write the factor-times dataset under dst_dir (one parquet dir
     per table, same layout catalog.load_tables expects)."""
+    # The per-copy Caesar rotation is copy % 26, so copy 26 would be
+    # the identity — its documents would duplicate copy 0 EXACTLY,
+    # silently reintroducing the clone-degenerate dedup input
+    # (quadratic LSH candidate growth) this synthesis model exists to
+    # avoid. Cap the factor rather than compose a weaker transform: a
+    # per-copy marker token would keep texts distinct but not shingle
+    # vocabularies (the property dedup cost actually scales with).
+    if not 1 <= factor <= 26:
+        raise ValueError(
+            f"factor must be in [1, 26] (got {factor}): copy k uses Caesar "
+            "rotation k % 26, and rotation 0 would clone copy 0's documents "
+            "verbatim, breaking the disjoint-shingle-vocabulary guarantee"
+        )
     spans: dict[str, object] = {}
     for tbl, group in (("events", "events"), ("orders", "sales")):
         col = TIME_COLS[tbl][0]
