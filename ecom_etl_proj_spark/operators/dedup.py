@@ -1159,6 +1159,54 @@ def representative_selection(
     )
 
 
+def dedup_savings_report(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """What a near-dup dedup pass would SAVE, by cluster size: the
+    capacity-planning report a data team reads before committing to a
+    corpus-wide dedup run ("clusters of 2 are 80% of duplicates but
+    only 30% of reclaimable bytes; one 10k-doc boilerplate cluster is
+    half the win").
+
+    Composition: ``dedup_clusters`` components (checkpointed label
+    propagation over the LSH-verified pair list — only docs in some
+    near-dup pair appear), each member decorated with its byte size
+    via a doc_id-keyed join against the catalog's ``n_chars`` column
+    (no text re-scan), one component-grain aggregation (bounded rows:
+    one per cluster), then a bounded cluster-size rollup — output is
+    at most one row per distinct cluster size. Dropped bytes = sizes
+    of every non-representative member (the keep-min rule).
+
+    Output: (cluster_size, n_clusters, n_dup_docs, chars_dropped)
+    ascending by cluster_size.
+    """
+    clusters = dedup_clusters(t, n, threshold, hash_mode)
+    chars = t["documents"].select("doc_id", "n_chars")
+    per_comp = (
+        clusters.join(chars, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum(
+                F.when(~F.col("is_representative"), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("chars_dropped"),
+        )
+    )
+    return (
+        per_comp.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_dup_docs"),
+            F.sum("chars_dropped").cast("bigint").alias("chars_dropped"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def cross_source_duplication(
     t: dict[str, DataFrame],
     n: int = 3,

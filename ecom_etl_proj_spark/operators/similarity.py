@@ -753,6 +753,63 @@ def ann_ivf(
     )
 
 
+def ivf_cell_balance(
+    t: dict[str, DataFrame],
+    n_centroids: int | None = None,
+    corpus_size: int | None = None,
+    lloyd_iters: int = 0,
+    assign_impl: str = "expr",
+) -> DataFrame:
+    """IVF cell-population balance audit: one row per occupied cell
+    with its member count and load factor (population relative to the
+    perfectly-even corpus/cells split).
+
+    Cell SKEW is what actually limits IVF at 100 TB: probe latency is
+    the max over probed cells, so one cell holding 50x its share makes
+    every query that touches it pay 50x — recall (ann_recall_audit)
+    can look fine while the p99 melts. This is the report that catches
+    it before serving: load_factor ~1.0 everywhere = balanced index;
+    a heavy tail = re-train centroids (``lloyd_iters`` > 0, which is
+    exactly the fix, and re-running this audit shows the flattening).
+
+    Same machinery and scale shape as ``ann_ivf`` steps 1-2: seeded
+    (or Lloyd-refined) centroids, row-local broadcast argmin
+    assignment — one corpus scan, zero row expansion — then ONE
+    bounded groupBy(cell) count (~sqrt(n) output rows). The registry
+    pins ``lloyd_iters=0`` so the DuckDB oracle mirrors the centroid
+    set from first principles.
+
+    Output: (cell, n_vectors, load_factor) ascending by cell.
+    """
+    import math
+
+    emb = t["embeddings"]
+    total = _corpus_size(emb, corpus_size)
+    if n_centroids is None:
+        n_centroids = max(16, int(math.sqrt(total)))
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    if lloyd_iters:
+        cent = lloyd_refine(emb, cent, lloyd_iters, assign_impl=assign_impl)
+    assigned = (
+        _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
+    )(emb, cent)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors") * F.lit(n_centroids) / F.lit(float(total)),
+                6,
+            ).alias("load_factor"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ann_recall_audit(
     t: dict[str, DataFrame],
     n_queries: int = 10,

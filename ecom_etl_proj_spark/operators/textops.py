@@ -1650,3 +1650,72 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def oov_rate_by_source(
+    t: dict[str, DataFrame], vocab_size: int = 16
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: per source, what fraction
+    of token OCCURRENCES falls outside the corpus's own top-``vocab_
+    size`` vocabulary — the out-of-vocabulary / byte-fallback-rate
+    report run before freezing a tokenizer (a source with a high OOV
+    rate will tokenize into fragments, inflating its effective token
+    cost and degrading its training signal).
+
+    Scale shape, two corpus scans and no corpus-sized shuffle:
+
+    1. vocabulary build — explode tokens, one token-keyed count with
+       map-side partial combine (state = |distinct tokens|, not corpus
+       rows), top-K via TakeOrdered (count desc, token asc tie-break:
+       deterministic in both engines), collapsed to a ONE-ROW sorted
+       array;
+    2. probe — the vocab array broadcasts to every document row and
+       the OOV count is a ROW-LOCAL array filter (no explode, no
+       shuffle, no join on the token key), followed by a bounded
+       (|sources|) aggregation.
+
+    The row-local membership filter is linear in |vocab| per token —
+    the right shape for report-grade vocabularies (the top-K of this
+    audit); for a full 100k-entry production tokenizer vocab, swap
+    step 2 for a broadcast HASH join on the exploded token (same
+    output, pays the explode but gets O(1) membership).
+
+    Output: (source, n_docs, n_tokens, n_oov_tokens, oov_rate).
+    """
+    d = t["documents"]
+    toks = d.select(F.explode(X.tokens()).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    vocab_arr = vocab.agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+    per_doc = d.crossJoin(F.broadcast(vocab_arr)).select(
+        "source",
+        F.size(X.tokens()).alias("n_tok"),
+        F.size(
+            F.filter(
+                X.tokens(),
+                lambda x: ~F.array_contains(F.col("vocab"), x),
+            )
+        ).alias("n_oov"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_oov").cast("bigint").alias("n_oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_oov_tokens",
+            F.round(F.col("n_oov_tokens") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )
