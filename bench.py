@@ -159,10 +159,43 @@ def _llm_prod_queries():
         # persisted hashes and integers, zero text scans
         # (A/B-identical to curated_pack, tests/test_operators.py).
         "curated_pack_state": _curated_pack_state_fn(),
+        # Additive r10 key: the steady-state ANN serving path. The
+        # first call per bench process builds the persisted IVF index
+        # in PRODUCTION mode (Lloyd-refined centroids — the build pays
+        # the corpus scans, landing in the p0 first-run number); warm
+        # passes measure what serving actually pays per query batch —
+        # a broadcast probe of the bucketed inverted file, zero corpus
+        # scans, zero Lloyd (A/B-identical to ann_ivf per mode,
+        # tests/test_operators.py). This is the cost-shape fix for the
+        # r9 finding that ann_ivf_prod re-ran index construction per
+        # invocation.
+        "ann_ivf_state": _ann_ivf_state_fn(),
     }
 
 
-def _curated_pack_state_fn():
+def _ann_ivf_state_fn(prefix: str = "benchann"):
+    built: set[str] = set()
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from ecom_etl_proj_spark.operators import similarity
+        from ecom_etl_proj_spark.plans.registry import tables_for
+
+        t = tables_for(spark, sf_dir)
+        if sf_dir not in built:
+            similarity.build_ann_state(spark, t, prefix, lloyd_iters=2)
+            built.add(sf_dir)
+        queries = t["embeddings"].filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        return similarity.probe_ann_state(spark, prefix, queries)
+
+    return run
+
+
+def _curated_pack_state_fn(prefix: str = "benchcps"):
     built: set[str] = set()
 
     def run(spark, sf_dir):
@@ -171,7 +204,6 @@ def _curated_pack_state_fn():
         from ecom_etl_proj_spark.operators import textops
         from ecom_etl_proj_spark.plans.registry import tables_for
 
-        prefix = "benchcps"
         if sf_dir not in built:
             warehouse = spark.conf.get(
                 "spark.sql.warehouse.dir", ""
@@ -285,8 +317,33 @@ def main() -> None:
 
         factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
         try:
+            # state ring (r10): the build/probe state paths, probed
+            # under their own protocol (untimed build call, timed
+            # steady-state call) — distinct prefixes so the probe's
+            # scaled-corpus builds can't clobber this process's own
+            # bench state tables. incremental_dedup is the registry
+            # callable (no persisted build; the untimed first call is
+            # just its JIT warmup).
+            prod = _llm_prod_queries()
+            state_ring = {
+                "ann_ivf_state": _ann_ivf_state_fn(prefix="spann"),
+                "curated_pack_state": _curated_pack_state_fn(prefix="spcps"),
+                "incremental_dedup": registry.queries()["incremental_dedup"],
+                # per-invocation Lloyd rebuild, timed warm — the
+                # contrast series that shows what the persisted index
+                # saves at scale. Caches from the PREVIOUS invocation
+                # are released before each plan build so the timed
+                # call measures honest full re-refinement (the
+                # CacheManager would otherwise serve the untimed
+                # call's materialized centroids to the timed one).
+                "ann_ivf_prod": lambda spark, sf_dir: (
+                    release_ann_caches(),
+                    prod["ann_ivf_prod"](spark, sf_dir),
+                )[1],
+            }
             scale_probe = _scale_probe(
-                spark, sf_dir, factor, HEADLINE + LLM_HEADLINE
+                spark, sf_dir, factor, HEADLINE + LLM_HEADLINE,
+                state_queries=state_ring,
             )
         except Exception as exc:  # probe is attribution, never a bench fail
             scale_probe = {"error": str(exc)[:300]}

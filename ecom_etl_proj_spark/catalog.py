@@ -15,6 +15,7 @@ and bucketed by join key to make the fact-fact join shuffle-free.
 
 from __future__ import annotations
 
+import logging
 import os
 from functools import lru_cache
 
@@ -159,8 +160,10 @@ def _enable_nanos_read(spark: SparkSession) -> None:
     driver-owned SparkSession)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf may be static in some builds
-        pass
+    except Exception as exc:  # pragma: no cover - static conf builds
+        logging.getLogger(__name__).debug(
+            "nanosAsLong not settable at runtime: %s", exc
+        )
 
 
 @lru_cache(maxsize=256)

@@ -21,8 +21,19 @@ STOPWORDS = {
 
 
 def tokens(col: str = "text") -> Column:
-    """Whitespace tokens of the lowercased text."""
-    return F.split(F.lower(F.trim(F.col(col))), " ")
+    """Whitespace tokens of the lowercased text.
+
+    NULL text coalesces to '' BEFORE splitting: without the guard,
+    ``F.size(split(NULL))`` yields -1, which silently poisons every
+    downstream token-count sum (n_tokens, OOV rates, quality ratios)
+    the moment a NULL document appears. With it, a NULL doc behaves
+    like an empty one ([''] — one empty token, same as genuinely empty
+    text), keeping engine behavior total and monotone. The driver
+    corpus never contains NULL text, so oracle parity is unaffected;
+    a DuckDB mirror that must match NULL-bearing data should apply the
+    same ``coalesce(text, '')``.
+    """
+    return F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), " ")
 
 
 def token_count(col: str = "text") -> Column:

@@ -719,6 +719,7 @@ def build_dedup_state(
     n: int = 3,
     hash_mode: str = "xxhash64",
     n_buckets: int = 32,
+    location: str | None = None,
 ) -> None:
     """Materialize the corpus dedup state as three BUCKETED tables:
     ``{prefix}_fp`` (doc_id, fp; bucketed by fp), ``{prefix}_bands``
@@ -736,9 +737,11 @@ def build_dedup_state(
     from ecom_etl_proj_spark.operators.skew import write_bucketed
 
     fps, bands, sets = _dedup_state_frames(docs, n, hash_mode)
-    write_bucketed(fps, f"{prefix}_fp", "fp", n_buckets)
-    write_bucketed(bands, f"{prefix}_bands", ["band", "bh"], n_buckets)
-    write_bucketed(sets, f"{prefix}_sets", "doc_id", n_buckets)
+    write_bucketed(fps, f"{prefix}_fp", "fp", n_buckets, location)
+    write_bucketed(
+        bands, f"{prefix}_bands", ["band", "bh"], n_buckets, location
+    )
+    write_bucketed(sets, f"{prefix}_sets", "doc_id", n_buckets, location)
 
 
 def append_dedup_state(

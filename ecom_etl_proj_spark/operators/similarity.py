@@ -581,12 +581,19 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 # Per-iteration centroid caches registered by lloyd_refine, so callers
 # can release them once their first action has consumed the refined
-# centroids (see release_lloyd_caches).
+# centroids (see release_lloyd_caches). This module-global list is the
+# DEFAULT registry only: callers that may interleave plans (library
+# consumers, threaded use) should pass their own ``cache_registry``
+# list to lloyd_refine/ann_ivf and release exactly that list —
+# releasing the global registry unpersists every registered cache,
+# including ones belonging to a different still-unconsumed plan.
 _lloyd_caches: list[DataFrame] = []
 
 
-def release_lloyd_caches() -> None:
-    """Unpersist every centroid cache ``lloyd_refine`` has registered.
+def release_lloyd_caches(registry: list[DataFrame] | None = None) -> None:
+    """Unpersist every centroid cache in ``registry`` (default: the
+    module-global list ``lloyd_refine`` appends to when no per-call
+    registry is given).
 
     The per-iteration caches are lazy (plan building stays action-free)
     and tiny (~sqrt(corpus) x dim each), but Spark's CacheManager
@@ -599,9 +606,17 @@ def release_lloyd_caches() -> None:
     earlier would reintroduce the quadratic recompute the caches exist
     to prevent. bench.py calls it between passes so the ann_ivf_prod /
     ann_ivf_arrow warm series measure full re-refinement.
+
+    SINGLE-CONSUMER CONTRACT of the no-argument form: it pops the
+    GLOBAL registry, so it releases caches from every lloyd_refine
+    call that didn't pass its own registry — fine for a sequential
+    build-act-release flow (bench, tests), wrong for interleaved
+    plans. Multi-plan consumers pass a per-call list instead
+    (``build_ann_state`` does exactly this).
     """
-    while _lloyd_caches:
-        _lloyd_caches.pop().unpersist()
+    target = _lloyd_caches if registry is None else registry
+    while target:
+        target.pop().unpersist()
 
 
 def lloyd_refine(
@@ -610,6 +625,7 @@ def lloyd_refine(
     iters: int,
     dim: int = DIM,
     assign_impl: str = "expr",
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement of an IVF centroid set.
 
@@ -669,7 +685,9 @@ def lloyd_refine(
                 *[F.col(f"d{i}").cast("double") for i in range(dim)]
             ).alias("c_emb"),
         ).persist()
-        _lloyd_caches.append(cent)
+        (_lloyd_caches if cache_registry is None else cache_registry).append(
+            cent
+        )
     return cent
 
 
@@ -677,6 +695,7 @@ def ann_ivf(
     t: dict[str, DataFrame], n_centroids: int | None = None, n_probe: int = 2,
     n_queries: int = 10, k: int = 5, corpus_size: int | None = None,
     lloyd_iters: int = 2, assign_impl: str = "expr",
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -711,7 +730,10 @@ def ann_ivf(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     if lloyd_iters:
-        cent = lloyd_refine(emb, cent, lloyd_iters, assign_impl=assign_impl)
+        cent = lloyd_refine(
+            emb, cent, lloyd_iters, assign_impl=assign_impl,
+            cache_registry=cache_registry,
+        )
     assigned = (
         _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
     )(emb, cent)
@@ -759,6 +781,7 @@ def ivf_cell_balance(
     corpus_size: int | None = None,
     lloyd_iters: int = 0,
     assign_impl: str = "expr",
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """IVF cell-population balance audit: one row per occupied cell
     with its member count and load factor (population relative to the
@@ -779,6 +802,18 @@ def ivf_cell_balance(
     pins ``lloyd_iters=0`` so the DuckDB oracle mirrors the centroid
     set from first principles.
 
+    Normalization: with ``lloyd_iters=0`` every seed cell exists, so
+    load_factor = n_vectors * n_centroids / total and occupied-cell
+    factors average ~1.0 when balanced. With ``lloyd_iters>0`` Lloyd
+    drops cells that lose every member, so the factor is computed
+    against the SURVIVING cell count (a bounded self-aggregate over
+    the ~sqrt(n)-row result — one broadcast of a 1-row count, no extra
+    corpus work): "~1.0 everywhere = balanced" then still reads
+    correctly in exactly the retrain path this audit recommends.
+    Lloyd-mode callers own the registered caches — pass a
+    ``cache_registry`` list and release it via
+    ``release_lloyd_caches(registry)`` after the first action.
+
     Output: (cell, n_vectors, load_factor) ascending by cell.
     """
     import math
@@ -791,22 +826,177 @@ def ivf_cell_balance(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
     if lloyd_iters:
-        cent = lloyd_refine(emb, cent, lloyd_iters, assign_impl=assign_impl)
+        cent = lloyd_refine(
+            emb, cent, lloyd_iters, assign_impl=assign_impl,
+            cache_registry=cache_registry,
+        )
     assigned = (
         _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
     )(emb, cent)
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    if lloyd_iters:
+        surviving = counts.agg(F.count("*").alias("__n_cells"))
+        counts = counts.crossJoin(F.broadcast(surviving))
+        n_cells_col = F.col("__n_cells")
+    else:
+        n_cells_col = F.lit(n_centroids)
     return (
-        assigned.groupBy("cell")
-        .agg(F.count("*").alias("n_vectors"))
-        .select(
+        counts.select(
             "cell",
             "n_vectors",
             F.round(
-                F.col("n_vectors") * F.lit(n_centroids) / F.lit(float(total)),
+                F.col("n_vectors") * n_cells_col / F.lit(float(total)),
                 6,
             ).alias("load_factor"),
         )
         .orderBy("cell")
+    )
+
+
+def build_ann_state(
+    spark,
+    t: dict[str, DataFrame],
+    prefix: str,
+    n_centroids: int | None = None,
+    lloyd_iters: int = 2,
+    assign_impl: str = "expr",
+    n_buckets: int = 32,
+    corpus_size: int | None = None,
+    location: str | None = None,
+) -> None:
+    """Materialize the IVF ANN index ONCE as two tables:
+    ``{prefix}_centroids`` (cell, c_emb — the trained centroid set,
+    ~sqrt(n) rows) and ``{prefix}_cells`` (vec_id, embedding, cell —
+    the inverted file, BUCKETED by cell).
+
+    The production cost-shape fix the honest r9 bench demanded: every
+    prior "production" ANN invocation (``ann_ivf(lloyd_iters=2)``)
+    re-ran Lloyd refinement — two corpus scans per iteration — inside
+    the query call, because index construction was fused into the
+    plan. At 100 TB nobody retrains centroids per query batch: the
+    index is built once per corpus snapshot, persisted, and probed
+    many times. This is the same build/probe state split dedup already
+    has (``build_dedup_state``, dedup.py): build pays the corpus
+    scans exactly once; every ``probe_ann_state`` call afterwards
+    touches only the persisted index — zero corpus scans of the
+    embeddings table, zero Lloyd work, and the bucketed layout means
+    the state side of the probe join never shuffles
+    (plan-asserted in tests/test_plans.py).
+
+    Lloyd centroid caches are registered in a PER-CALL list and
+    released here after the writes consume them — the global-registry
+    foot-gun (releasing another in-flight plan's caches) cannot occur.
+
+    ``location`` (optional) writes both tables as EXTERNAL at
+    ``{location}/{table}`` instead of into the session warehouse dir —
+    the registry entry passes a temp dir so a vanilla driver session
+    with a read-only cwd can still build the index.
+    """
+    import shutil
+
+    from ecom_etl_proj_spark.operators.skew import write_bucketed
+
+    emb = t["embeddings"]
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(
+            16, int(math.sqrt(_corpus_size(emb, corpus_size)))
+        )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+    for tbl in (f"{prefix}_centroids", f"{prefix}_cells"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for base in (warehouse, location):
+            if base:
+                shutil.rmtree(f"{base}/{tbl}", ignore_errors=True)
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    caches: list[DataFrame] = []
+    if lloyd_iters:
+        cent = lloyd_refine(
+            emb, cent, lloyd_iters, assign_impl=assign_impl,
+            cache_registry=caches,
+        )
+    # Centroids stored as double arrays regardless of mode so the
+    # probe's cell-ranking arithmetic is identical whether the set is
+    # seeded (float32 source) or Lloyd-refined (decimal-exact doubles).
+    cent = cent.select(
+        "cell", F.col("c_emb").cast("array<double>").alias("c_emb")
+    )
+    cent_writer = cent.write.mode("overwrite").format("parquet")
+    if location is not None:
+        cent_writer = cent_writer.option(
+            "path", f"{location}/{prefix}_centroids"
+        )
+    cent_writer.saveAsTable(f"{prefix}_centroids")
+    # Assignment happens ONCE, at build — against the just-written
+    # centroid table (not the in-plan Lloyd chain) so the persisted
+    # inverted file is byte-consistent with the persisted centroids.
+    assigned = (
+        _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
+    )(emb, spark.table(f"{prefix}_centroids"))
+    write_bucketed(assigned, f"{prefix}_cells", "cell", n_buckets, location)
+    release_lloyd_caches(caches)
+
+
+def probe_ann_state(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k ANN for a bounded query batch against the PERSISTED IVF
+    index written by ``build_ann_state`` — the steady-state serving
+    path.
+
+    ``queries`` is (query_id, q_emb). Cost shape: one broadcast of the
+    tiny centroid table to rank each query's ``n_probe`` cells, then
+    ONE scan of the bucketed inverted file with the (query x probe)
+    block broadcast onto it — the state side is never shuffled, no
+    embeddings-corpus scan appears anywhere, and no Lloyd work runs
+    (the index is already trained). Identical output contract to
+    ``ann_ivf`` with the same parameters (A/B-asserted in tests for
+    both lloyd modes): same probe metric (-dot/||c||, query-norm-free),
+    same (dist, cell) and (cosine desc, neighbor asc) tie-breaks.
+    """
+    cent_n = spark.table(f"{prefix}_centroids").select(
+        "cell", "c_emb", V.norm("c_emb").alias("c_norm")
+    )
+    cells = spark.table(f"{prefix}_cells")
+    q = queries.select(
+        F.col("query_id"), F.col("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_n))
+        .withColumn("dist", -V.dot("q_emb", "c_emb") / F.col("c_norm"))
+        .withColumn("rnk", F.row_number().over(probe_w))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    # state side LEFT and streamed; probes broadcast — the bucketed
+    # inverted file sort-merges nothing and shuffles nothing.
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    sim = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(V.cosine("q_emb", "embedding"), 6).alias("cosine_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
 
 

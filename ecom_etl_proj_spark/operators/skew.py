@@ -51,7 +51,11 @@ def salted_join(
 
 
 def write_bucketed(
-    df: DataFrame, table_name: str, bucket_key, n_buckets: int = 32
+    df: DataFrame,
+    table_name: str,
+    bucket_key,
+    n_buckets: int = 32,
+    location: str | None = None,
 ) -> None:
     """Persist a table bucketed by its join key(s).
 
@@ -64,12 +68,21 @@ def write_bucketed(
     state-table layout. ``bucket_key`` may be one column name or a list
     (Spark requires the bucket spec to cover ALL join keys for exchange
     elimination — spark.sql.requireAllClusterKeysForCoPartition).
+
+    ``location`` makes the table EXTERNAL at ``{location}/{table_name}``
+    instead of managed-in-warehouse: registry-registered state builds
+    use it with a temp dir so they never depend on the session's
+    warehouse dir (= the caller's cwd under a vanilla driver session)
+    being writable. Caller owns the files (DROP TABLE won't delete
+    them — remove the directory when retiring the state).
     """
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
-    (
+    writer = (
         df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, *keys)
         .sortBy(*keys)
-        .saveAsTable(table_name)
     )
+    if location is not None:
+        writer = writer.option("path", f"{location}/{table_name}")
+    writer.saveAsTable(table_name)

@@ -1119,6 +1119,7 @@ def build_curation_state(
     n: int = 3,
     hash_mode: str = "xxhash64",
     n_buckets: int = 32,
+    location: str | None = None,
 ) -> None:
     """Materialize the curation layer's state ONCE: the per-document
     verdict table ``{prefix}_curation`` (doc_id, n_tokens, kept;
@@ -1137,9 +1138,11 @@ def build_curation_state(
     verdicts = curate_corpus(t, min_quality, min_tokens).select(
         "doc_id", "n_tokens", "kept"
     )
-    write_bucketed(verdicts, f"{prefix}_curation", "doc_id", n_buckets)
+    write_bucketed(
+        verdicts, f"{prefix}_curation", "doc_id", n_buckets, location
+    )
     dedup.build_dedup_state(
-        t["documents"], f"{prefix}_dd", n, hash_mode, n_buckets
+        t["documents"], f"{prefix}_dd", n, hash_mode, n_buckets, location
     )
 
 
@@ -1653,7 +1656,10 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def oov_rate_by_source(
-    t: dict[str, DataFrame], vocab_size: int = 16
+    t: dict[str, DataFrame],
+    vocab_size: int = 16,
+    vocab_mode: str = "array",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer-vocabulary coverage audit: per source, what fraction
     of token OCCURRENCES falls outside the corpus's own top-``vocab_
@@ -1674,22 +1680,76 @@ def oov_rate_by_source(
        shuffle, no join on the token key), followed by a bounded
        (|sources|) aggregation.
 
-    The row-local membership filter is linear in |vocab| per token —
-    the right shape for report-grade vocabularies (the top-K of this
-    audit); for a full 100k-entry production tokenizer vocab, swap
-    step 2 for a broadcast HASH join on the exploded token (same
-    output, pays the explode but gets O(1) membership).
+    ``vocab`` (optional, one "tok" string column) swaps the corpus
+    top-K for an EXTERNAL vocabulary — the production reality, where
+    the tokenizer vocab is a frozen artifact, not derived from the
+    corpus under audit.
+
+    The default probe (``vocab_mode="array"``, the oracle-pinned
+    registry mode) is a row-local membership filter — LINEAR in
+    |vocab| per token, the right shape for report-grade vocabularies
+    (the top-K of this audit; note the membership array can never
+    exceed the corpus's own distinct-token count when the vocab is
+    corpus-derived). For a tokenizer-sized EXTERNAL vocab,
+    ``vocab_mode="join"`` swaps step 2 for a broadcast HASH join on
+    the exploded token: O(1) membership per token regardless of vocab
+    size, at the cost of the explode (row volume = token occurrences,
+    still shuffle-free — the join is broadcast and the only exchange
+    is the final bounded groupBy(source), whose distinct-doc count
+    shuffles ~|docs| partially-deduped rows, never token rows).
+    A/B-identical output at any K and for external vocabs
+    (tests/test_operators.py). Measured at sf0.1 (5k docs, ~350k
+    token occurrences) against synthetic 10k- and 100k-entry external
+    vocabs, the two modes are within noise of each other (array
+    0.5-0.6s warm, join 0.4-0.5s) — the corpus is far too small for
+    the per-token linear-scan term to dominate its fixed costs. The
+    regime split is arithmetic, not a local benchmark: array mode
+    costs O(tokens x |vocab|) string compares (~1e16 at 1e11 corpus
+    tokens x 100k vocab — unusable), join mode O(tokens) hash probes
+    plus the explode. Array for report-grade top-K vocabs, join for
+    tokenizer-sized ones.
 
     Output: (source, n_docs, n_tokens, n_oov_tokens, oov_rate).
     """
     d = t["documents"]
-    toks = d.select(F.explode(X.tokens()).alias("tok"))
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("tok").asc())
-        .limit(vocab_size)
-    )
+    if vocab is None:
+        toks = d.select(F.explode(X.tokens()).alias("tok"))
+        vocab = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("tok").asc())
+            .limit(vocab_size)
+        )
+    if vocab_mode == "join":
+        ex = d.select(
+            "doc_id", "source", F.explode_outer(X.tokens()).alias("tok")
+        )
+        flag = vocab.select("tok", F.lit(True).alias("in_vocab"))
+        return (
+            ex.join(F.broadcast(flag), "tok", "left")
+            .groupBy("source")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.count("tok").cast("bigint").alias("n_tokens"),
+                F.sum(
+                    F.when(
+                        F.col("tok").isNotNull()
+                        & F.col("in_vocab").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_oov_tokens"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_tokens",
+                "n_oov_tokens",
+                F.round(
+                    F.col("n_oov_tokens") / F.col("n_tokens"), 6
+                ).alias("oov_rate"),
+            )
+            .orderBy("source")
+        )
     vocab_arr = vocab.agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
     per_doc = d.crossJoin(F.broadcast(vocab_arr)).select(
         "source",

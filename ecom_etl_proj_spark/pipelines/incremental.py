@@ -32,6 +32,7 @@ NOT MATCHED BY SOURCE THEN DELETE).
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 
@@ -56,13 +57,13 @@ def lakehouse_formats(spark: SparkSession) -> list[str]:
 
         jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
         found.append("delta")
-    except Exception:
-        pass
+    except Exception as exc:
+        logging.getLogger(__name__).debug("delta probe negative: %s", exc)
     try:
         jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         found.append("iceberg")
-    except Exception:
-        pass
+    except Exception as exc:
+        logging.getLogger(__name__).debug("iceberg probe negative: %s", exc)
     return found
 
 

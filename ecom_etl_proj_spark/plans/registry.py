@@ -1892,10 +1892,12 @@ register(
 # (similarity.lloyd_refine), whose iterative means resist a faithful
 # one-shot SQL mirror — the refined path is recall-tested against
 # exact embedding_knn instead (test_ann_ivf_lloyd_recall).
-register(
-    "ann_ivf",
-    lambda t: similarity.ann_ivf(t, lloyd_iters=0),
-    f"""
+# Shared by "ann_ivf" (index built in-plan) and "ann_ivf_state" (index
+# persisted by build_ann_state, probed from the bucketed tables): both
+# pin lloyd_iters=0 / n_queries=10 / n_probe=2 / k=5, and the state
+# path is A/B-identical to the in-plan path (tests), so ONE oracle
+# verifies both.
+_ANN_IVF_ORACLE = f"""
     WITH params AS (
         SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
                AS nc
@@ -1941,8 +1943,72 @@ register(
             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
         FROM sims)
     WHERE rank <= 5
-    """,
-)
+    """
+
+register("ann_ivf", lambda t: similarity.ann_ivf(t, lloyd_iters=0),
+         _ANN_IVF_ORACLE)
+
+
+# Build-once bookkeeping for registered state-path queries: keyed by
+# the TABLE HANDLE id (tables_for caches one handle per
+# (session, sf_dir), so handle identity is exactly corpus identity and
+# the handle outlives us in _TABLE_CACHE — the id can't be recycled).
+# Each distinct corpus gets its own small-counter prefix, so two sf
+# dirs in one session never clobber each other's state tables.
+_STATE_PREFIX: dict[tuple[str, int], str] = {}
+
+
+def _state_prefix(kind: str, handle_id: int) -> str:
+    key = (kind, handle_id)
+    if key not in _STATE_PREFIX:
+        _STATE_PREFIX[key] = f"q_{kind}{sum(k == kind for k, _ in _STATE_PREFIX)}"
+    return _STATE_PREFIX[key]
+
+
+_STATE_BUILT: set[tuple[str, int]] = set()
+
+# Registered state builds write EXTERNAL tables under one per-process
+# temp dir, never into spark.sql.warehouse.dir: the driver runs these
+# callables under a vanilla session whose warehouse defaults to ITS
+# cwd, which this package must not assume is writable (every other
+# registry entry is read-only). Process-lifetime dir, cleaned by the
+# OS tmp reaper; each (kind, corpus) prefix gets its own subtree via
+# the table-name prefix.
+_STATE_LOCATION: list[str] = []
+
+
+def _state_location() -> str:
+    if not _STATE_LOCATION:
+        import tempfile
+
+        _STATE_LOCATION.append(tempfile.mkdtemp(prefix="spark_graft_state_"))
+    return _STATE_LOCATION[0]
+
+
+def _ann_ivf_state(t: Tables) -> DataFrame:
+    """Registered steady-state ANN: build the persisted IVF index once
+    per corpus (first invocation in this process — eager, like any
+    index build), then serve every call from the bucketed state tables
+    with zero corpus scans and zero Lloyd work. lloyd_iters is pinned
+    to 0 like "ann_ivf" so the shared oracle mirrors the centroid set;
+    the production (Lloyd-refined) build is benched under
+    ann_ivf_state_prod and A/B-asserted in tests."""
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    prefix = _state_prefix("annst", id(emb))
+    if ("annst", id(emb)) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark, t, prefix, lloyd_iters=0, location=_state_location()
+        )
+        _STATE_BUILT.add(("annst", id(emb)))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return similarity.probe_ann_state(spark, prefix, queries)
+
+
+register("ann_ivf_state", _ann_ivf_state, _ANN_IVF_ORACLE)
 
 register(
     "ivf_cell_balance",
@@ -4014,10 +4080,12 @@ _MINHASH_ON_SURVIVORS = (
     )
 )
 
-register(
-    "curated_pack",
-    lambda t: textops.curated_pack(t, hash_mode="md5"),
-    """
+# Shared by "curated_pack" (full recompute) and "curated_pack_state"
+# (probe of the persisted curation + dedup sketch tables): both pin
+# hash_mode="md5", and the state path is A/B-identical output
+# (tests/test_operators.py, including the over-cap bucket regime), so
+# ONE oracle verifies both.
+_CURATED_PACK_ORACLE = """
     WITH RECURSIVE fp AS (
         SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
     ),
@@ -4089,8 +4157,50 @@ register(
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                % 512 AS BIGINT) AS bin_offset
     FROM pd
-    """,
+    """
+
+register(
+    "curated_pack",
+    lambda t: textops.curated_pack(t, hash_mode="md5"),
+    _CURATED_PACK_ORACLE,
 )
+
+
+def _curated_pack_state(t: Tables) -> DataFrame:
+    """Registered steady-state curation pack: build the persisted
+    curation verdicts + dedup sketch state once per corpus (first
+    invocation in this process), then pack from state — joins over
+    persisted hashes and integers, ZERO document-text scans
+    (textops.curated_pack_state). hash_mode is pinned to "md5" like
+    "curated_pack" so the shared oracle's fingerprints match; the
+    production xxhash64 build is the bench's curated_pack_state
+    series. Until r10 this path was the only engine capability whose
+    correctness rested solely on local tests — this entry puts it
+    behind the driver oracle."""
+    import shutil
+
+    docs = t["documents"]
+    spark = docs.sparkSession
+    prefix = _state_prefix("cpst", id(docs))
+    if ("cpst", id(docs)) not in _STATE_BUILT:
+        loc = _state_location()
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", ""
+        ).removeprefix("file:")
+        for tbl in (f"{prefix}_curation", f"{prefix}_dd_fp",
+                    f"{prefix}_dd_bands", f"{prefix}_dd_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            for base in (warehouse, loc):
+                if base:
+                    shutil.rmtree(f"{base}/{tbl}", ignore_errors=True)
+        textops.build_curation_state(
+            spark, t, prefix, hash_mode="md5", location=loc
+        )
+        _STATE_BUILT.add(("cpst", id(docs)))
+    return textops.curated_pack_state(spark, prefix)
+
+
+register("curated_pack_state", _curated_pack_state, _CURATED_PACK_ORACLE)
 
 # --- r7 additions: packing audit, unigram-LM quality proxy, dedup
 # threshold tuning curve (registered after the r7 verification head —
@@ -4247,77 +4357,31 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. ROUND-9 ROTATION: r8 sampled its full 50-slot head green
-# (CORRECTNESS_r08 50/50), so every query now has a driver row and the
-# rotation becomes a pure oldest-first cycle. Head composition this round:
-#   1) the 3 r9 additions (oov_rate_by_source, ivf_cell_balance,
-#      dedup_savings_report) — never driver-verified;
-#   2) the full r5-verified cohort (30 queries, stale 4 rounds — the
+# round. ROUND-10 ROTATION (pure oldest-first cycle, every query has a
+# driver row). Head composition this round:
+#   1) the 2 r10 additions (ann_ivf_state, curated_pack_state) — never
+#      driver-verified, and exactly the state paths whose correctness
+#      previously rested solely on local tests;
+#   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 17 of the r6-verified cohort to fill slot 50.
-# The remaining 16 r6 rows lead r10, then the r7 block, then the 50
-# r8-verified rows (freshest) go last. No implementation this round
-# touched a registered query's plan or oracle (the r9 changes were the
-# state-path keep_ids fix — curated_pack_state is bench/test surface,
-# not a registry entry — plus bench/tooling), so no changed-code
-# re-verification rides ahead of the staleness cycle. Max staleness at
-# r9 check time: the r5 cohort at 4 rounds, back to <= 3 from r10 on.
+#   3) the oldest 32 of the r7-verified cohort to fill slot 50.
+# The remaining r7 rows lead r11, then the r8 block, then the 50
+# r9-verified rows (freshest) go last. Changed-code audit for r10:
+# no oracle changed; two plan-affecting edits, both output-neutral on
+# the driver corpus — (a) ann_ivf/ivf_cell_balance gained optional
+# params (cache_registry; lloyd-mode-only load-factor normalization)
+# that leave the oracle-pinned lloyd_iters=0 plans byte-identical,
+# (b) X.tokens() now coalesces NULL text to '' (r9 ADVICE #3), which
+# adds a coalesce node to every token-based plan but changes no value
+# for non-NULL text (the corpus has none; A/B-verified by the local
+# oracle-parity run this round). The two new state entries share the
+# existing ann_ivf/curated_pack oracles. Max staleness at r10 check
+# time: the r6 cohort at 4 rounds, back to <= 3 from r11 on.
 _DRIVER_PRIORITY: list[str] = [
-    # --- never driver-verified (added r9) ---
-    "oov_rate_by_source",
-    "ivf_cell_balance",
-    "dedup_savings_report",
-    # --- r5-verified block: the oldest rows, stale 4 rounds ---
-    "inactive_customers",
-    "customer_snapshot_diff",
-    "nation_trade_volume",
-    "ship_priority_buckets",
-    "customer_order_distribution",
-    "large_volume_customers",
-    "brand_supplier_counts",
-    "event_attribution",
-    "event_funnel",
-    "event_props_stats",
-    "product_counters",
-    "product_leaderboard",
-    "category_counters",
-    "purchase_click_asof",
-    "product_decay_revenue",
-    "token_count_bpe",
-    "pii_scrub_report",
-    "doc_repetition",
-    "gopher_quality",
-    "ngram_doc_freq",
-    "tfidf_top_terms",
-    "bm25_search",
-    "doc_winnowing",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "train_val_split",
-    "stratified_sample",
-    "embedding_norms",
-    "quantize_embeddings",
-    # --- oldest r6-verified entries, fill to slot 50 ---
-    "data_profile_customer",
-    "order_status_distribution",
-    "event_type_distribution",
-    "cohort_retention",
-    "discount_elasticity",
-    "minutely_anomalies",
-    "rolling_active_users",
-    "delay_quantiles_approx",
-    "term_heavy_hitters",
-    "char_entropy",
-    "curate_corpus",
-    "chunk_documents",
-    "contamination_check",
-    "disjunctive_revenue",
-    "sole_supplier_orders",
-    "corpus_mix_report",
-    "doc_dup_spans",
-    # --- top-50 boundary ---
-    # --- remaining r6-verified (leads r10) ---
+    # --- never driver-verified (added r10) ---
+    "ann_ivf_state",
+    "curated_pack_state",
+    # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
     "shard_manifest",
@@ -4334,7 +4398,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cross_source_duplication",
     "corpus_report",
     "yoy_nation_revenue",
-    # --- r7-verified block ---
+    # --- oldest r7-verified entries, fill to slot 50 ---
     "term_cooccurrence",
     "session_duration_histogram",
     "langid_confusion",
@@ -4367,6 +4431,8 @@ _DRIVER_PRIORITY: list[str] = [
     "running_totals_scalable",
     "recent_events",
     "sessionization",
+    # --- top-50 boundary ---
+    # --- remaining r7-verified (leads r11) ---
     "event_value_stats",
     "topic_counters",
     "dedup_exact",
@@ -4382,7 +4448,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode",
     "pack_sequences",
     "corpus_alignment",
-    # --- r8-verified block (freshest; goes last) ---
+    # --- r8-verified block ---
     "covisitation_pairs",
     "dedup_threshold_sweep",
     "packing_efficiency",
@@ -4433,6 +4499,57 @@ _DRIVER_PRIORITY: list[str] = [
     "status_month_pivot",
     "repeat_customer_rate",
     "delivery_delay_percentiles",
+    # --- r9-verified block (freshest; goes last) ---
+    "oov_rate_by_source",
+    "ivf_cell_balance",
+    "dedup_savings_report",
+    "inactive_customers",
+    "customer_snapshot_diff",
+    "nation_trade_volume",
+    "ship_priority_buckets",
+    "customer_order_distribution",
+    "large_volume_customers",
+    "brand_supplier_counts",
+    "event_attribution",
+    "event_funnel",
+    "event_props_stats",
+    "product_counters",
+    "product_leaderboard",
+    "category_counters",
+    "purchase_click_asof",
+    "product_decay_revenue",
+    "token_count_bpe",
+    "pii_scrub_report",
+    "doc_repetition",
+    "gopher_quality",
+    "ngram_doc_freq",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_winnowing",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "train_val_split",
+    "stratified_sample",
+    "embedding_norms",
+    "quantize_embeddings",
+    "data_profile_customer",
+    "order_status_distribution",
+    "event_type_distribution",
+    "cohort_retention",
+    "discount_elasticity",
+    "minutely_anomalies",
+    "rolling_active_users",
+    "delay_quantiles_approx",
+    "term_heavy_hitters",
+    "char_entropy",
+    "curate_corpus",
+    "chunk_documents",
+    "contamination_check",
+    "disjunctive_revenue",
+    "sole_supplier_orders",
+    "corpus_mix_report",
+    "doc_dup_spans",
 ]
 
 

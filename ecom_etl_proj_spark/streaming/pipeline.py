@@ -123,8 +123,29 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
-    """Switch stateful streaming to the RocksDB state store.
+_ROCKSDB_PFX = "spark.sql.streaming.stateStore.rocksdb."
+
+# every key use_rocksdb_state may set — reset_rocksdb_state unsets all
+# of them so tests/pipelines can restore the default provider cleanly
+ROCKSDB_CONF_KEYS = (
+    "spark.sql.streaming.stateStore.providerClass",
+    _ROCKSDB_PFX + "changelogCheckpointing.enabled",
+    _ROCKSDB_PFX + "boundedMemoryUsage",
+    _ROCKSDB_PFX + "maxMemoryUsageMB",
+    _ROCKSDB_PFX + "writeBufferCacheRatio",
+    _ROCKSDB_PFX + "highPriorityPoolRatio",
+)
+
+
+def use_rocksdb_state(
+    spark: SparkSession,
+    changelog: bool = True,
+    max_memory_mb: int = 512,
+    write_buffer_ratio: float = 0.5,
+    high_priority_pool_ratio: float = 0.1,
+) -> None:
+    """Switch stateful streaming to the RocksDB state store, with the
+    executor memory BOUNDED.
 
     The default HDFS-backed provider keeps every key of streaming state
     in EXECUTOR HEAP — fine for bench-scale windows, a hard wall for
@@ -132,22 +153,55 @@ def use_rocksdb_state(spark: SparkSession, changelog: bool = True) -> None:
     aggregations, sessionization, dropDuplicatesWithinWatermark,
     applyInPandasWithState): at 100 TB/day of events the dedup horizon
     alone holds hundreds of millions of keys per partition-hour.
-    RocksDB spills state to executor-local disk with a bounded block
-    cache, and changelog checkpointing uploads per-batch deltas
-    instead of full snapshots. Session-level conf: set BEFORE starting
-    a stream; running queries keep the provider they started with.
-    Results are provider-independent (asserted against the default
-    provider and the batch twin in tests/test_streaming.py).
+    RocksDB spills state to executor-local disk, and changelog
+    checkpointing uploads per-batch deltas instead of full snapshots.
+
+    Memory tuning (the part defaults get WRONG at scale): without
+    ``boundedMemoryUsage``, every state-store instance on an executor
+    owns its own block cache and write buffers — an executor running
+    32 stateful partitions multiplies whatever per-instance default
+    RocksDB picks, and native (off-heap) memory is exactly what YARN/
+    K8s kills executors for exceeding. ``max_memory_mb`` caps the
+    TOTAL across all instances on the executor via a shared LRU cache
+    (``maxMemoryUsageMB``), with ``write_buffer_ratio`` of it
+    reserved for memtables and ``high_priority_pool_ratio`` for
+    index/filter blocks — the three knobs Spark exposes for the
+    shared-cache split. 512 MB default: comfortably inside a typical
+    8-16 GB executor's overhead allowance while holding ~millions of
+    hot keys; the cold tail lives on local disk, which is the point.
+    The soak test (tests/test_streaming.py) asserts the reported
+    ``rocksdbTotalMemoryUsageBytes`` stays under the cap while
+    results stay provider-equivalent.
+
+    Session-level conf: set BEFORE starting a stream; running queries
+    keep the provider they started with. Results are
+    provider-independent (asserted against the default provider and
+    the batch twin in tests/test_streaming.py). Undo with
+    ``reset_rocksdb_state``.
     """
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
     if changelog:
         spark.conf.set(
-            "spark.sql.streaming.stateStore.rocksdb."
-            "changelogCheckpointing.enabled",
-            "true",
+            _ROCKSDB_PFX + "changelogCheckpointing.enabled", "true"
         )
+    spark.conf.set(_ROCKSDB_PFX + "boundedMemoryUsage", "true")
+    spark.conf.set(_ROCKSDB_PFX + "maxMemoryUsageMB", str(max_memory_mb))
+    spark.conf.set(
+        _ROCKSDB_PFX + "writeBufferCacheRatio", str(write_buffer_ratio)
+    )
+    spark.conf.set(
+        _ROCKSDB_PFX + "highPriorityPoolRatio",
+        str(high_priority_pool_ratio),
+    )
+
+
+def reset_rocksdb_state(spark: SparkSession) -> None:
+    """Unset every conf key ``use_rocksdb_state`` sets, restoring the
+    default heap-backed provider for streams started afterwards."""
+    for key in ROCKSDB_CONF_KEYS:
+        spark.conf.unset(key)
 
 
 def minutely_metrics(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:

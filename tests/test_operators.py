@@ -2204,3 +2204,123 @@ def test_batch_novelty_state_matches_direct(spark, tables):
         assert sorted(map(tuple, again)) == sorted(map(tuple, refold))
     finally:
         drop()
+
+
+def test_ann_state_build_probe_matches_in_plan(spark, tables):
+    """Persisted IVF index (build_ann_state) probed via probe_ann_state
+    yields EXACTLY the in-plan ann_ivf result in both centroid modes:
+    seeded (lloyd_iters=0, the oracle-pinned registry mode) and
+    Lloyd-refined (lloyd_iters=2, the production mode) — parquet
+    round-trip of the centroid/assignment state changes nothing
+    (doubles are exact, float->double casts are exact, and Lloyd's
+    decimal accumulation is order-independent)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop(prefix):
+        for suffix in ("centroids", "cells"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                )
+
+    queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    for iters, prefix in ((0, "annst_t0"), (2, "annst_t2")):
+        drop(prefix)
+        try:
+            similarity.build_ann_state(
+                spark, tables, prefix, lloyd_iters=iters, n_buckets=4
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.probe_ann_state(
+                        spark, prefix, queries
+                    ).collect(),
+                )
+            )
+            want = sorted(
+                map(tuple, similarity.ann_ivf(tables, lloyd_iters=iters).collect())
+            )
+            similarity.release_lloyd_caches()
+            assert got == want, f"lloyd_iters={iters}"
+            assert len(got) == 50
+        finally:
+            drop(prefix)
+
+
+def test_oov_rate_vocab_mode_join_matches_array(spark, tables):
+    """oov_rate_by_source's broadcast-hash-join probe (the production
+    shape for tokenizer-sized vocabularies) is output-identical to the
+    row-local array-membership probe (the oracle-pinned default) — at
+    the default K and at a K larger than the corpus vocabulary (every
+    token in-vocab: the OOV column must be exactly zero, exercising
+    the left-join null flag path)."""
+    from ecom_etl_proj_spark.operators import textops
+
+    for k in (16, 100000):
+        a = sorted(
+            map(
+                tuple,
+                textops.oov_rate_by_source(
+                    tables, vocab_size=k, vocab_mode="array"
+                ).collect(),
+            )
+        )
+        j = sorted(
+            map(
+                tuple,
+                textops.oov_rate_by_source(
+                    tables, vocab_size=k, vocab_mode="join"
+                ).collect(),
+            )
+        )
+        assert a == j, f"K={k}"
+        if k == 100000:
+            assert all(row[3] == 0 for row in a)
+    # external (tokenizer-artifact) vocabulary: same A/B identity
+    ext = spark.range(500).select(
+        F.md5(F.col("id").cast("string")).alias("tok")
+    )
+    a = sorted(map(tuple, textops.oov_rate_by_source(
+        tables, vocab_mode="array", vocab=ext).collect()))
+    j = sorted(map(tuple, textops.oov_rate_by_source(
+        tables, vocab_mode="join", vocab=ext).collect()))
+    assert a == j
+    # nothing in the corpus is an md5 string: every token is OOV
+    assert all(row[2] == row[3] for row in a)
+
+
+def test_tokens_null_text_guard(spark):
+    """X.tokens() is total over NULL text: size() must be 1 (NULL
+    coalesces to '', one empty token — same as genuinely empty text),
+    never Spark's size(NULL) = -1, which would silently poison every
+    downstream token-count sum the first time a NULL document appears
+    (latent engine-divergence edge flagged in r9 ADVICE)."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "two words")],
+        T.StructType([
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(X.tokens()).alias("n")
+        ).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 2}

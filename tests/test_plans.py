@@ -597,3 +597,68 @@ def test_novelty_probe_bucketed_state_no_exchange(spark, tables):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop()
+
+
+def test_ann_state_probe_exchange_free_and_scan_free(spark, tables):
+    """probe_ann_state's docstring claims the persisted inverted file
+    is never shuffled and no embeddings-corpus scan appears in the
+    probe plan. Assert both: the bucketed {prefix}_cells scan side of
+    the candidate join carries no Exchange (the probe block is
+    broadcast onto it), and the only file scans in the whole plan are
+    the two state tables plus the bounded query block."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for suffix in ("centroids", "cells"):
+            spark.sql(f"DROP TABLE IF EXISTS annplan_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/annplan_{suffix}", ignore_errors=True
+                )
+
+    drop()
+    try:
+        similarity.build_ann_state(
+            spark, tables, "annplan", lloyd_iters=0, n_buckets=4
+        )
+        queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        df = similarity.probe_ann_state(spark, "annplan", queries)
+        plan = plan_of(df)
+        lines = plan.splitlines()
+        # no Exchange on the path from the inverted-file scan up to the
+        # join: the cells scan is the STREAMED side of a
+        # BroadcastHashJoin, so between it and the join there must be
+        # no shuffle (the only Exchanges are the bounded probe-block
+        # window and the final top-k window).
+        assert "BroadcastHashJoin" in plan, plan
+        scan_idx = next(
+            i for i, ln in enumerate(lines) if "annplan_cells" in ln
+        )
+        join_idx = max(
+            i for i, ln in enumerate(lines)
+            if "BroadcastHashJoin" in ln and i < scan_idx
+        )
+        scan_indent = len(lines[scan_idx]) - len(lines[scan_idx].lstrip(" :+-"))
+        for ln in lines[join_idx + 1 : scan_idx]:
+            indent = len(ln) - len(ln.lstrip(" :+-"))
+            if indent < scan_indent and "Exchange" in ln:
+                raise AssertionError(plan)
+        # no Lloyd / no corpus scan: nothing in the plan reads the
+        # embeddings parquet except the bounded query-block filter
+        # (vec_id < 10 pushed to the scan)
+        emb_scans = [ln for ln in lines if "embeddings.parquet" in ln]
+        assert all("vec_id" in ln for ln in emb_scans) or len(emb_scans) <= 1, plan
+        assert df.count() == 50
+    finally:
+        drop()
