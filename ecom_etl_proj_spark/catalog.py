@@ -213,16 +213,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return out
 
 
+# Handle cache: loading all 10 tables costs ~1s of py4j round trips +
+# parquet footer reads, and every consumer (bench warmup, the registry's
+# tables_for, tools) was paying it separately — the first registry query
+# of a process was absorbing a full reload inside its own timed window
+# (misattributed as that query's "compile overhead" through r9).
+# DataFrames are immutable plan handles, so sharing is safe. Keyed by
+# session id + dir + register flag; the cached handles keep the session
+# reachable, which is fine for this engine's long-lived-session usage.
+_TABLES_CACHE: dict[tuple[int, str, bool], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
 ) -> dict[str, DataFrame]:
     """Load every catalog table; optionally register temp views for SQL."""
+    key = (id(spark), sf_dir, register)
+    if key in _TABLES_CACHE:
+        return dict(_TABLES_CACHE[key])
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
+    _TABLES_CACHE[key] = dict(out)
     return out
 
 

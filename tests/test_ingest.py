@@ -253,3 +253,36 @@ def test_scale_probe_synthesis_consistent(spark, tmp_path):
         synthesize_scaled(spark, src, str(tmp_path / "x"), 27)
     with _pytest.raises(ValueError, match="factor must be in"):
         synthesize_scaled(spark, src, str(tmp_path / "x"), 0)
+
+
+def test_load_tables_handle_cache(spark):
+    """load_tables caches table handles per (session, dir, register):
+    the second call must return the SAME DataFrame objects (no repeat
+    py4j/footer work — through r9 the first registry query of a
+    process silently absorbed a full 10-table reload inside its own
+    timed window) while still returning a fresh dict the caller may
+    mutate without poisoning the cache."""
+    from ecom_etl_proj_spark.catalog import load_tables
+
+    a = load_tables(spark, "/root/testdata/sf0.001", register=False)
+    b = load_tables(spark, "/root/testdata/sf0.001", register=False)
+    assert all(a[k] is b[k] for k in a)
+    b["lineitem"] = None
+    c = load_tables(spark, "/root/testdata/sf0.001", register=False)
+    assert c["lineitem"] is a["lineitem"]
+
+
+def test_engine_warmup_once_and_gated(spark, monkeypatch):
+    """_engine_warmup is once-per-session (repeat get_spark calls must
+    not re-pay the priming) and SPARK_GRAFT_WARMUP=0 skips it for
+    session-construction tests and ephemeral tooling."""
+    from ecom_etl_proj_spark import session as S
+
+    S._engine_warmup(spark)  # idempotent: second call returns fast
+    import time
+
+    t0 = time.time()
+    S._engine_warmup(spark)
+    assert time.time() - t0 < 0.05
+    monkeypatch.setenv("SPARK_GRAFT_WARMUP", "0")
+    assert S.get_spark("gated") is spark  # getOrCreate reuse, no warm
