@@ -171,6 +171,13 @@ def _llm_prod_queries():
         # r9 finding that ann_ivf_prod re-ran index construction per
         # invocation.
         "ann_ivf_state": _ann_ivf_state_fn(),
+        # Additive r10 key: steady-state semantic incremental dedup —
+        # an arriving batch screened against the persisted production
+        # (Lloyd-refined) IVF index of the existing corpus. Build is
+        # once per process (p0); warm passes measure the per-batch
+        # screen a continuous-ingestion pipeline pays: broadcast probe
+        # of the bucketed inverted file, zero corpus scans.
+        "semantic_dedup_state": _semantic_dedup_state_fn(),
     }
 
 
@@ -192,6 +199,41 @@ def _ann_ivf_state_fn(prefix: str = "benchann"):
             F.col("embedding").alias("q_emb"),
         )
         return similarity.probe_ann_state(spark, prefix, queries)
+
+    return run
+
+
+def _semantic_dedup_state_fn(prefix: str = "benchsem"):
+    built: set[str] = set()
+
+    def run(spark, sf_dir):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from ecom_etl_proj_spark.operators import similarity
+        from ecom_etl_proj_spark.plans.registry import tables_for
+
+        t = tables_for(spark, sf_dir)
+        emb = t["embeddings"]
+        total = similarity._corpus_size(emb)
+        b = min(100, max(1, total // 5))
+        split = total - b
+        if sf_dir not in built:
+            similarity.build_ann_state(
+                spark,
+                {"embeddings": emb.filter(F.col("vec_id") < split)},
+                prefix,
+                n_centroids=max(16, int(math.sqrt(split))),
+                lloyd_iters=2,
+                corpus_size=split,
+            )
+            built.add(sf_dir)
+        batch = emb.filter(F.col("vec_id") >= split).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        return similarity.semantic_screen_state(spark, prefix, batch)
 
     return run
 
@@ -343,6 +385,9 @@ def main() -> None:
             state_ring = {
                 "ann_ivf_state": _ann_ivf_state_fn(prefix="spann"),
                 "curated_pack_state": _curated_pack_state_fn(prefix="spcps"),
+                "semantic_dedup_state": _semantic_dedup_state_fn(
+                    prefix="spsem"
+                ),
                 "incremental_dedup": registry.queries()["incremental_dedup"],
                 # per-invocation Lloyd rebuild, timed warm — the
                 # contrast series that shows what the persisted index

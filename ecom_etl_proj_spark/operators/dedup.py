@@ -362,6 +362,62 @@ def dedup_minhash_lsh(
     return _lsh_pairs_from(bands, sets, threshold)
 
 
+def minhash_recall_audit(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """LSH-quality audit: how much of the exact near-dup pair set does
+    the banded MinHash pipeline recover? The dedup analog of
+    ``ann_recall_audit`` — the number a 100 TB dedup run needs BEFORE
+    trusting the approximate path with the corpus (band/row settings
+    are a recall/cost dial; this is the gauge on the dial).
+
+    Reference set = ``dedup_ngram_jaccard`` (inverted-index exact
+    Jaccard >= threshold over the DF-capped shingle space); candidate
+    set = ``dedup_minhash_lsh`` (banded OPH candidates, exact-verified
+    at the same threshold). recall = |lsh ∩ exact| / |exact|, with the
+    intersection counted via an inner join on the ordered pair key —
+    NOT by assuming lsh ⊆ exact, because the exact side's document-
+    frequency cap can drop hot-shingle pairs that the banding still
+    surfaces. Both sides share one text scan each; the three counts
+    are 1-row aggregates combined by broadcast (the scalar-broadcast
+    pattern), so the audit adds nothing to either pipeline's cost
+    shape. At scale this runs on a SAMPLE of the corpus (both inputs
+    take the same ``t``, so callers pass a sampled documents frame).
+
+    Output: one row (n_exact_pairs, n_lsh_pairs, n_common_pairs,
+    recall), recall NULL when the reference set is empty.
+    """
+    exact = dedup_ngram_jaccard(t, n=n, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    lsh = dedup_minhash_lsh(
+        t, n=n, threshold=threshold, hash_mode=hash_mode
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    nl = lsh.agg(F.count("*").cast("bigint").alias("n_lsh_pairs"))
+    nc = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("bigint").alias("n_common_pairs")
+    )
+    return (
+        ne.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_common_pairs",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.round(
+                    F.col("n_common_pairs") / F.col("n_exact_pairs"), 6
+                ),
+            ).alias("recall"),
+        )
+    )
+
+
 def dedup_minhash_lsh_state(
     spark, prefix: str, threshold: float = 0.1, keep_ids: DataFrame | None = None
 ) -> DataFrame:

@@ -942,6 +942,60 @@ def build_ann_state(
     release_lloyd_caches(caches)
 
 
+def _rank_probe_cells(
+    queries: DataFrame, cent_n: DataFrame, n_probe: int
+) -> DataFrame:
+    """(query_id, q_emb, cell): each query's ``n_probe`` nearest cells
+    by the query-norm-free probe metric -dot/||c||, ties by cell asc.
+    ``cent_n`` is the (cell, c_emb, c_norm) centroid frame, always tiny
+    (~sqrt(corpus)) and broadcast; the window partitions by query, so
+    its exchange moves only the bounded (query x cells) block."""
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    return (
+        queries.crossJoin(F.broadcast(cent_n))
+        .withColumn("dist", -V.dot("q_emb", "c_emb") / F.col("c_norm"))
+        .withColumn("rnk", F.row_number().over(probe_w))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+
+
+def _screen_verdicts(
+    batch: DataFrame, sims: DataFrame, threshold: float
+) -> DataFrame:
+    """(vec_id, best_match_id, best_cosine, status) from per-candidate
+    rounded cosines ``sims`` (query_id, vec_id, c): struct-max picks
+    (max cosine, then min vec_id) in ONE bounded aggregate per batch
+    vector — no corpus-wide window — and batch vectors with no
+    candidate surface as (NULL, NULL, new) via the left join."""
+    best = (
+        sims.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (-F.col("vec_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            (-F.col("b.neg_id")).cast("bigint").alias("best_match_id"),
+            F.col("b.c").alias("best_cosine"),
+        )
+    )
+    return batch.select("query_id").join(best, "query_id", "left").select(
+        F.col("query_id").alias("vec_id"),
+        "best_match_id",
+        "best_cosine",
+        F.when(F.col("best_cosine") >= threshold, F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
 def probe_ann_state(
     spark,
     prefix: str,
@@ -967,19 +1021,8 @@ def probe_ann_state(
         "cell", "c_emb", V.norm("c_emb").alias("c_norm")
     )
     cells = spark.table(f"{prefix}_cells")
-    q = queries.select(
-        F.col("query_id"), F.col("q_emb")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_n))
-        .withColumn("dist", -V.dot("q_emb", "c_emb") / F.col("c_norm"))
-        .withColumn("rnk", F.row_number().over(probe_w))
-        .filter(F.col("rnk") <= n_probe)
-        .select("query_id", "q_emb", "cell")
-    )
+    q = queries.select(F.col("query_id"), F.col("q_emb"))
+    probes = _rank_probe_cells(q, cent_n, n_probe)
     # state side LEFT and streamed; probes broadcast — the bucketed
     # inverted file sort-merges nothing and shuffles nothing.
     cand = cells.join(F.broadcast(probes), "cell").filter(
@@ -998,6 +1041,115 @@ def probe_ann_state(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def incremental_semantic_dedup(
+    t: dict[str, DataFrame],
+    batch_size: int = 100,
+    n_probe: int = 2,
+    threshold: float = 0.4,
+    n_centroids: int | None = None,
+    lloyd_iters: int = 0,
+    corpus_size: int | None = None,
+    assign_impl: str = "expr",
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) incremental dedup: a NEW BATCH of
+    vectors is screened against the EXISTING corpus through an IVF
+    probe, yielding a near_dup/new verdict per batch vector — the
+    vector-space mirror of ``incremental_dedup`` (fingerprint/MinHash
+    state probes) and the continuous-ingestion shape for embedding
+    dedup at 100 TB: each arriving crawl shard is screened against the
+    corpus WITHOUT an all-pairs join or a corpus self-scan per batch.
+
+    Split: the last ``min(batch_size, total//5)`` vec_ids simulate the
+    arriving batch; everything below is the corpus (mirrored exactly in
+    the DuckDB oracle). Cost shape: corpus centroid seeding +
+    row-local assignment (one corpus scan, zero shuffle —
+    ``_assign_cells``), then the batch ranks its ``n_probe`` cells
+    against the broadcast centroid table and the (batch x probe) block
+    broadcasts onto the assigned corpus — candidate verification
+    touches only probed cells' members. Verdict: highest rounded
+    cosine (ties -> smallest vec_id, via a single struct-max
+    aggregate, no window over the corpus) >= threshold -> near_dup,
+    else new; batch vectors whose probed cells hold no corpus member
+    surface as new with NULL match columns.
+
+    The steady-state production variant probes the PERSISTED index
+    instead of assigning in-plan: build ``build_ann_state`` once per
+    corpus snapshot and screen each batch with the same probe metric —
+    ``probe_ann_state``'s cost shape (zero corpus scans per batch).
+    The registered entry pins the in-plan lloyd_iters=0 form so the
+    DuckDB oracle reproduces the centroid set from first principles.
+
+    Output: (vec_id, best_match_id, best_cosine, status).
+    """
+    import math
+
+    emb = t["embeddings"]
+    total = _corpus_size(emb, corpus_size)
+    b = min(batch_size, max(1, total // 5))
+    split = total - b
+    corpus = emb.filter(F.col("vec_id") < split)
+    batch = emb.filter(F.col("vec_id") >= split).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    if n_centroids is None:
+        n_centroids = max(16, int(math.sqrt(split)))
+    cent = corpus.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    if lloyd_iters:
+        cent = lloyd_refine(
+            corpus, cent, lloyd_iters, assign_impl=assign_impl,
+            cache_registry=cache_registry,
+        )
+    assigned = (
+        _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
+    )(corpus, cent)
+    cent_n = cent.select("cell", "c_emb", V.norm("c_emb").alias("c_norm"))
+    probes = _rank_probe_cells(batch, cent_n, n_probe)
+    sims = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id"),
+        F.round(V.cosine("q_emb", "embedding"), 6).alias("c"),
+    )
+    return _screen_verdicts(batch, sims, threshold)
+
+
+def semantic_screen_state(
+    spark,
+    prefix: str,
+    batch: DataFrame,
+    n_probe: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Steady-state ``incremental_semantic_dedup``: screen an arriving
+    batch (query_id, q_emb) against the PERSISTED IVF index written by
+    ``build_ann_state`` over the existing corpus.
+
+    This is the every-ingest invocation shape for semantic dedup at
+    100 TB: the index is built once per corpus snapshot; each batch
+    pays one broadcast probe of the bucketed inverted file — zero
+    corpus scans, zero Lloyd work, the state side never shuffles
+    (same plan shape as ``probe_ann_state``, asserted in
+    tests/test_plans.py). With a seeded (lloyd_iters=0) build over the
+    same corpus split, verdicts are A/B-identical to the in-plan
+    registered query (tests/test_operators.py).
+    """
+    cent_n = spark.table(f"{prefix}_centroids").select(
+        "cell", "c_emb", V.norm("c_emb").alias("c_norm")
+    )
+    cells = spark.table(f"{prefix}_cells")
+    q = batch.select(F.col("query_id"), F.col("q_emb"))
+    probes = _rank_probe_cells(q, cent_n, n_probe)
+    sims = cells.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("vec_id"),
+        F.round(V.cosine("q_emb", "embedding"), 6).alias("c"),
+    )
+    return _screen_verdicts(q, sims, threshold)
 
 
 def ann_recall_audit(

@@ -760,9 +760,8 @@ register(
 # (NGRAM_MAX_SHINGLE_FREQ): shingles shared by more docs carry ~zero
 # Jaccard information but quadratic join cost, so both engines drop them
 # BEFORE pair generation and size the Jaccard over the kept shingles.
-register(
-    "dedup_ngram_jaccard",
-    lambda t: dedup.dedup_ngram_jaccard(t, n=3, threshold=0.1),
+# Named so minhash_recall_audit below can compose it as a subquery.
+_NGRAM_JACCARD_ORACLE = (
     _SHINGLE_SQL
     + f""",
     ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
@@ -785,7 +784,13 @@ register(
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 4) >= 0.1
-    """,
+    """
+)
+
+register(
+    "dedup_ngram_jaccard",
+    lambda t: dedup.dedup_ngram_jaccard(t, n=3, threshold=0.1),
+    _NGRAM_JACCARD_ORACLE,
 )
 
 # --- MinHash-LSH oracle -------------------------------------------------
@@ -845,10 +850,40 @@ _MINHASH_CTES = (
 """
 )
 
+_MINHASH_LSH_ORACLE = (
+    _MINHASH_CTES
+    + "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1"
+)
+
 register(
     "dedup_minhash_lsh",
     lambda t: dedup.dedup_minhash_lsh(t, threshold=0.1, hash_mode="md5"),
-    _MINHASH_CTES + "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.1",
+    _MINHASH_LSH_ORACLE,
+)
+
+# LSH-quality audit: the dedup analog of ann_recall_audit. Composes
+# the two oracles above as subqueries (DuckDB allows WITH inside a
+# derived table), so the audit's reference and candidate sets are
+# hash-verified by construction: recall = |lsh ∩ exact| / |exact|.
+# n_common is counted via an inner join on the ordered pair key rather
+# than assuming lsh ⊆ exact — the exact side's document-frequency cap
+# can drop hot-shingle pairs the LSH banding still surfaces.
+register(
+    "minhash_recall_audit",
+    lambda t: dedup.minhash_recall_audit(t, threshold=0.1, hash_mode="md5"),
+    f"""
+    WITH ep AS (SELECT doc_a, doc_b FROM ({_NGRAM_JACCARD_ORACLE})),
+         lp AS (SELECT doc_a, doc_b FROM ({_MINHASH_LSH_ORACLE}))
+    SELECT ne.n_exact_pairs, nl.n_lsh_pairs, nc.n_common_pairs,
+           CASE WHEN ne.n_exact_pairs > 0
+                THEN round(CAST(nc.n_common_pairs AS DOUBLE)
+                           / ne.n_exact_pairs, 6)
+           END AS recall
+    FROM (SELECT count(*) AS n_exact_pairs FROM ep) ne,
+         (SELECT count(*) AS n_lsh_pairs FROM lp) nl,
+         (SELECT count(*) AS n_common_pairs
+          FROM ep JOIN lp USING (doc_a, doc_b)) nc
+    """,
 )
 
 register(
@@ -1183,6 +1218,80 @@ register(
     SELECT node AS vec_id, min(lbl) AS component_id,
            node = min(lbl) AS is_representative
     FROM reach GROUP BY node
+    """,
+)
+
+# Semantic incremental dedup: the last min(100, n//5) vec_ids are the
+# "arriving batch", screened against the rest (the corpus) through an
+# IVF probe — centroid seeding, assignment tie-breaks, probe ranking,
+# and the rounded-cosine best match all mirror the ann_ivf oracle's
+# arithmetic; the batch/corpus split and the CASE verdict are the only
+# new pieces. lloyd_iters pinned to 0 like ann_ivf so DuckDB rebuilds
+# the centroid set from first principles.
+register(
+    "incremental_semantic_dedup",
+    lambda t: similarity.incremental_semantic_dedup(t),
+    f"""
+    WITH tot AS (SELECT count(*) AS n FROM embeddings),
+    params AS (
+        SELECT n - least(100, greatest(1, n // 5)) AS split,
+               greatest(16, CAST(floor(sqrt(CAST(
+                   n - least(100, greatest(1, n // 5)) AS DOUBLE))) AS INT))
+                   AS nc
+        FROM tot
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < (SELECT split FROM params)
+    ),
+    batch AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id >= (SELECT split FROM params)
+    ),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM corpus e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+            FROM dists)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q_emb, cell FROM (
+            SELECT b.query_id, b.q_emb, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.query_id
+                       ORDER BY {_CELL_DIST_SQL.format(a='b.q_emb', b='c.c_emb')} ASC,
+                                c.cell ASC) AS rnk
+            FROM batch b CROSS JOIN cent c)
+        WHERE rnk <= 2
+    ),
+    sims AS (
+        SELECT p.query_id, a.vec_id,
+               round({_COSINE_SQL.format(a='p.q_emb', b='a.embedding')}, 6)
+                   AS c
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+    ),
+    best AS (
+        SELECT query_id, vec_id AS best_match_id, c AS best_cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY c DESC, vec_id ASC) AS rn
+            FROM sims)
+        WHERE rn = 1
+    )
+    SELECT b.query_id AS vec_id, best.best_match_id, best.best_cosine,
+           CASE WHEN best.best_cosine >= 0.4 THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN best ON b.query_id = best.query_id
     """,
 )
 
@@ -4359,12 +4468,13 @@ register(
 # The driver's correctness harness checks the FIRST 50 registry entries per
 # round. ROUND-10 ROTATION (pure oldest-first cycle, every query has a
 # driver row). Head composition this round:
-#   1) the 2 r10 additions (ann_ivf_state, curated_pack_state) — never
-#      driver-verified, and exactly the state paths whose correctness
-#      previously rested solely on local tests;
+#   1) the 4 r10 additions (ann_ivf_state, curated_pack_state,
+#      minhash_recall_audit, incremental_semantic_dedup) — never
+#      driver-verified; the first two are exactly the state paths whose
+#      correctness previously rested solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 32 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 30 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4381,6 +4491,8 @@ _DRIVER_PRIORITY: list[str] = [
     # --- never driver-verified (added r10) ---
     "ann_ivf_state",
     "curated_pack_state",
+    "minhash_recall_audit",
+    "incremental_semantic_dedup",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4429,10 +4541,10 @@ _DRIVER_PRIORITY: list[str] = [
     "geo_fallback_join",
     "running_totals",
     "running_totals_scalable",
-    "recent_events",
-    "sessionization",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "recent_events",
+    "sessionization",
     "event_value_stats",
     "topic_counters",
     "dedup_exact",

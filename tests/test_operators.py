@@ -2324,3 +2324,136 @@ def test_tokens_null_text_guard(spark):
         ).collect()
     }
     assert got == {"a": 1, "b": 1, "c": 2}
+
+
+def test_minhash_recall_audit_invariants(spark, tables):
+    """One-row audit; the intersection can exceed neither side; recall
+    is a [0,1] fraction of the exact pair set (NULL only when the
+    reference set is empty). Both hash modes produce a valid audit
+    (md5 is the oracle pin; xxhash64 the production default)."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    for mode in ("md5", "xxhash64"):
+        rows = dedup.minhash_recall_audit(tables, hash_mode=mode).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_common_pairs"] <= min(
+            r["n_exact_pairs"], r["n_lsh_pairs"]
+        )
+        if r["n_exact_pairs"] > 0:
+            assert 0.0 <= r["recall"] <= 1.0
+        else:
+            assert r["recall"] is None
+
+
+def test_incremental_semantic_dedup_verdicts(spark, tables):
+    """Every batch vector gets exactly one verdict row; near_dup iff
+    the best probed cosine clears the threshold; matches always point
+    INTO the corpus (vec_id < split), never at another batch vector."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    total = tables["embeddings"].count()
+    b = min(100, max(1, total // 5))
+    split = total - b
+    rows = similarity.incremental_semantic_dedup(
+        tables, corpus_size=total
+    ).collect()
+    assert len(rows) == b
+    assert {r["vec_id"] for r in rows} == set(range(split, total))
+    for r in rows:
+        if r["status"] == "near_dup":
+            assert r["best_cosine"] >= 0.4
+        else:
+            assert r["best_cosine"] is None or r["best_cosine"] < 0.4
+        if r["best_match_id"] is not None:
+            assert r["best_match_id"] < split
+
+
+def test_incremental_semantic_dedup_lloyd_mode(spark, tables):
+    """The production (Lloyd-refined) screen runs with a per-call cache
+    registry and keeps the verdict contract (same batch, corpus-only
+    matches); refined centroids may move vectors between cells, so only
+    the contract — not the exact verdicts — is compared."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    total = tables["embeddings"].count()
+    b = min(100, max(1, total // 5))
+    caches = []
+    rows = similarity.incremental_semantic_dedup(
+        tables, lloyd_iters=1, corpus_size=total, cache_registry=caches
+    ).collect()
+    similarity.release_lloyd_caches(caches)
+    assert not caches
+    assert len(rows) == b
+    assert all(r["status"] in ("near_dup", "new") for r in rows)
+
+
+def test_semantic_screen_state_matches_in_plan(spark, tables):
+    """semantic_screen_state over a persisted seeded index built on the
+    corpus split is verdict-identical to the in-plan registered query
+    (same split, lloyd_iters=0): parquet round-trip of the index
+    changes nothing, so the steady-state screen can replace the
+    in-plan screen per arriving batch with zero corpus scans."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for suffix in ("centroids", "cells"):
+            spark.sql(f"DROP TABLE IF EXISTS semst_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/semst_{suffix}", ignore_errors=True
+                )
+
+    emb = tables["embeddings"]
+    total = emb.count()
+    b = min(100, max(1, total // 5))
+    split = total - b
+    corpus = emb.filter(F.col("vec_id") < split)
+    batch = emb.filter(F.col("vec_id") >= split).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    drop()
+    try:
+        # centroid count must mirror the in-plan rule (sqrt of the
+        # CORPUS split, not of the full table build_ann_state defaults
+        # to when handed the whole frame)
+        import math
+
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": corpus},
+            "semst",
+            n_centroids=max(16, int(math.sqrt(split))),
+            lloyd_iters=0,
+            n_buckets=4,
+            corpus_size=split,
+        )
+        got = sorted(
+            map(
+                tuple,
+                similarity.semantic_screen_state(
+                    spark, "semst", batch
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                similarity.incremental_semantic_dedup(
+                    tables, corpus_size=total
+                ).collect(),
+            )
+        )
+        assert got == want
+        assert len(got) == b
+    finally:
+        drop()
