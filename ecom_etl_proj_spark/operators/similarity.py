@@ -996,6 +996,31 @@ def _screen_verdicts(
     )
 
 
+def append_ann_state(
+    spark,
+    prefix: str,
+    new_vectors: DataFrame,
+    assign_impl: str = "expr",
+) -> None:
+    """Fold an ingested vector batch into the persisted IVF index —
+    the ANN mirror of ``append_dedup_state``. New vectors (vec_id,
+    embedding) are assigned to the EXISTING trained centroids (one
+    broadcast of the tiny centroid table, row-local argmin — no Lloyd,
+    no re-train) and appended to the inverted file; ``insertInto``
+    respects the table's bucket spec, so appended rows land in the
+    right buckets and every probe's cost shape is preserved. Screen
+    the batch (``semantic_screen_state``/``probe_ann_state``) BEFORE
+    appending — a batch must not match itself. Centroids drift as the
+    corpus grows; retrain cadence is an offline decision gauged by
+    ``ivf_cell_balance`` + ``ann_recall_audit``, exactly the knobs a
+    production IVF deployment watches.
+    """
+    assigned = (
+        _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
+    )(new_vectors, spark.table(f"{prefix}_centroids"))
+    assigned.write.insertInto(f"{prefix}_cells")
+
+
 def probe_ann_state(
     spark,
     prefix: str,

@@ -1228,10 +1228,7 @@ register(
 # arithmetic; the batch/corpus split and the CASE verdict are the only
 # new pieces. lloyd_iters pinned to 0 like ann_ivf so DuckDB rebuilds
 # the centroid set from first principles.
-register(
-    "incremental_semantic_dedup",
-    lambda t: similarity.incremental_semantic_dedup(t),
-    f"""
+_SEMANTIC_DEDUP_ORACLE = f"""
     WITH tot AS (SELECT count(*) AS n FROM embeddings),
     params AS (
         SELECT n - least(100, greatest(1, n // 5)) AS split,
@@ -1292,8 +1289,52 @@ register(
            CASE WHEN best.best_cosine >= 0.4 THEN 'near_dup'
                 ELSE 'new' END AS status
     FROM batch b LEFT JOIN best ON b.query_id = best.query_id
-    """,
+    """
+
+register(
+    "incremental_semantic_dedup",
+    lambda t: similarity.incremental_semantic_dedup(t),
+    _SEMANTIC_DEDUP_ORACLE,
 )
+
+
+def _semantic_dedup_state(t: Tables) -> DataFrame:
+    """Registered steady-state semantic screen: build the persisted
+    IVF index over the corpus split once per process, then serve every
+    call by probing the bucketed state — zero corpus scans per batch
+    (similarity.semantic_screen_state). Seeded (lloyd_iters=0) build
+    over the same split as the in-plan query, so the two are
+    A/B-identical (tests/test_operators.py) and ONE oracle verifies
+    both. The production (Lloyd-refined) build is benched under
+    semantic_dedup_state in bench.py's prod ring."""
+    import math
+
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    total = similarity._corpus_size(emb)
+    b = min(100, max(1, total // 5))
+    split = total - b
+    prefix = _state_prefix("semst", id(emb))
+    if ("semst", id(emb)) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb.filter(F.col("vec_id") < split)},
+            prefix,
+            n_centroids=max(16, int(math.sqrt(split))),
+            lloyd_iters=0,
+            corpus_size=split,
+            location=_state_location(),
+        )
+        _STATE_BUILT.add(("semst", id(emb)))
+    batch = emb.filter(F.col("vec_id") >= split).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return similarity.semantic_screen_state(spark, prefix, batch)
+
+
+register("semantic_dedup_state", _semantic_dedup_state,
+         _SEMANTIC_DEDUP_ORACLE)
 
 _EN = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 _DE = "'der', 'die', 'das', 'und', 'ist', 'nicht'"
@@ -4468,13 +4509,13 @@ register(
 # The driver's correctness harness checks the FIRST 50 registry entries per
 # round. ROUND-10 ROTATION (pure oldest-first cycle, every query has a
 # driver row). Head composition this round:
-#   1) the 4 r10 additions (ann_ivf_state, curated_pack_state,
-#      minhash_recall_audit, incremental_semantic_dedup) — never
-#      driver-verified; the first two are exactly the state paths whose
-#      correctness previously rested solely on local tests;
+#   1) the 5 r10 additions (ann_ivf_state, curated_pack_state,
+#      minhash_recall_audit, incremental_semantic_dedup,
+#      semantic_dedup_state) — never driver-verified; the state paths
+#      among them previously rested solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 30 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 29 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4493,6 +4534,7 @@ _DRIVER_PRIORITY: list[str] = [
     "curated_pack_state",
     "minhash_recall_audit",
     "incremental_semantic_dedup",
+    "semantic_dedup_state",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4540,9 +4582,9 @@ _DRIVER_PRIORITY: list[str] = [
     "category_translation",
     "geo_fallback_join",
     "running_totals",
-    "running_totals_scalable",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "running_totals_scalable",
     "recent_events",
     "sessionization",
     "event_value_stats",

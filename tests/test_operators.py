@@ -2457,3 +2457,73 @@ def test_semantic_screen_state_matches_in_plan(spark, tables):
         assert len(got) == b
     finally:
         drop()
+
+
+def test_append_ann_state_equals_full_build(spark, tables):
+    """build on corpus A + append_ann_state(batch B) probes EXACTLY
+    like an index whose inverted file covers A∪B with A's centroids:
+    appended rows are assigned to the existing trained centroids (no
+    retrain) and insertInto lands them in the right buckets, so the
+    incremental index is byte-equivalent to assigning B at build time."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop(prefix):
+        for suffix in ("centroids", "cells"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                )
+
+    emb = tables["embeddings"]
+    total = emb.count()
+    split = total - max(1, total // 5)
+    nc = max(16, int(split ** 0.5))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    drop("apA")
+    drop("apB")
+    try:
+        # incremental: build on A, append B
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb.filter(F.col("vec_id") < split)},
+            "apA",
+            n_centroids=nc,
+            lloyd_iters=0,
+            n_buckets=4,
+            corpus_size=split,
+        )
+        similarity.append_ann_state(
+            spark, "apA", emb.filter(F.col("vec_id") >= split)
+        )
+        # reference: one build over the full corpus with A's centroid
+        # count (centroid seeds vec_id < nc are inside A either way)
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb},
+            "apB",
+            n_centroids=nc,
+            lloyd_iters=0,
+            n_buckets=4,
+            corpus_size=total,
+        )
+        got = sorted(map(tuple, similarity.probe_ann_state(
+            spark, "apA", queries).collect()))
+        want = sorted(map(tuple, similarity.probe_ann_state(
+            spark, "apB", queries).collect()))
+        assert got == want
+        assert len(got) == 50
+    finally:
+        drop("apA")
+        drop("apB")
