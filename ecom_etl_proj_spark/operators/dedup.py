@@ -1347,3 +1347,109 @@ def dedup_threshold_sweep(
         "n_pairs",
         F.sum("n_pairs").over(w).alias("pairs_at_or_above"),
     ).orderBy("threshold")
+
+
+def lsh_bucket_profile(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    hash_mode: str = "xxhash64",
+    cap: int = MINHASH_MAX_BUCKET,
+) -> DataFrame:
+    """LSH bucket-size distribution — the candidate-generation cost
+    audit run BEFORE a corpus-wide dedup join (the banding counterpart
+    of ``ivf_cell_balance``): per power-of-two bucket-size bin, how
+    many (band, band_hash) buckets land there and how many candidate
+    pairs they would emit, uncapped (k·(k-1)/2, the quadratic mass a
+    naive all-pairs expansion pays) vs capped (the star+chain
+    expansion's 2k-3 for over-cap buckets). At 100 TB this one report
+    answers "is the banding selective enough to run?": a fat tail of
+    over-cap buckets means boilerplate-heavy content where the
+    guaranteed-linear expansion regime dominates, and the
+    uncapped-vs-capped gap is exactly the join work the cap saves.
+
+    Scale shape: the same one-text-scan row-local sketch as
+    ``dedup_minhash_lsh`` (ref spark_transform.py dedup is exact-only;
+    this audits the approximate path), the SAME single (band, bh)
+    exchange the dedup itself pays (a count per bucket, map-side
+    combined), then a bounded rollup — output rows = distinct
+    bucket-size bins (≤ log2(corpus)). Every derived quantity is exact
+    integer arithmetic (size_bin via the binary-string length, pair
+    counts via integer div), so the DuckDB oracle matches bit-for-bit.
+
+    Output: (size_bin, n_buckets, n_docs, n_pairs_uncapped,
+    n_pairs_capped, n_over_cap) ascending by size_bin, where
+    size_bin = floor(log2(bucket size)) computed exactly.
+    """
+    bands = minhash_bands(shingle_sets(t, n), hash_mode)
+    sizes = bands.groupBy("band", "bh").agg(F.count("*").alias("k"))
+    uncapped = F.expr("k * (k - 1) div 2")
+    per = sizes.select(
+        (F.length(F.bin(F.col("k"))) - 1).alias("size_bin"),
+        F.col("k"),
+        uncapped.alias("u"),
+        F.when(F.col("k") <= F.lit(cap), uncapped)
+        .otherwise(2 * F.col("k") - 3)
+        .alias("c"),
+        F.when(F.col("k") > F.lit(cap), 1).otherwise(0).alias("oc"),
+    )
+    return (
+        per.groupBy("size_bin")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("k").cast("bigint").alias("n_docs"),
+            F.sum("u").cast("bigint").alias("n_pairs_uncapped"),
+            F.sum("c").cast("bigint").alias("n_pairs_capped"),
+            F.sum("oc").cast("bigint").alias("n_over_cap"),
+        )
+        .orderBy("size_bin")
+    )
+
+
+def shingle_df_profile(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    cap: int = NGRAM_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Shingle document-frequency distribution — the skew audit behind
+    the exact-Jaccard pipeline's df cap (``NGRAM_MAX_SHINGLE_FREQ``):
+    per power-of-two df bin, how many distinct shingles land there,
+    their posting mass (sum of df — the exploded row count the
+    pair-join actually processes), and how much of both the cap drops.
+    The cap exists because a shingle shared by d docs contributes
+    d·(d-1)/2 candidate pairs for ~zero Jaccard information; this
+    report measures that head so the cap is a sized decision ("the top
+    bin is 0.1% of shingles but 40% of postings and 97% of pair mass")
+    instead of folklore — at 100 TB the capped-pair column is the
+    difference between a linear join and an un-runnable one.
+
+    Scale shape: one text scan → row-local distinct-shingle arrays →
+    ONE shingle-keyed count with map-side partial combine (state =
+    |distinct shingles|, the same exchange the exact pipeline's df
+    filter already pays) → bounded df_bin rollup (≤ log2(corpus)
+    rows). All-integer arithmetic end to end, bit-exact vs the oracle.
+
+    Output: (df_bin, n_shingles, n_postings, n_pairs_uncapped,
+    n_capped_shingles, n_dropped_postings) ascending by df_bin.
+    """
+    ex = shingle_sets(t, n).select(F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    per = dfreq.select(
+        (F.length(F.bin(F.col("df"))) - 1).alias("df_bin"),
+        F.col("df"),
+        F.expr("df * (df - 1) div 2").alias("u"),
+        F.when(F.col("df") > F.lit(cap), 1).otherwise(0).alias("capped"),
+        F.when(F.col("df") > F.lit(cap), F.col("df"))
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    return (
+        per.groupBy("df_bin")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_postings"),
+            F.sum("u").cast("bigint").alias("n_pairs_uncapped"),
+            F.sum("capped").cast("bigint").alias("n_capped_shingles"),
+            F.sum("dropped").cast("bigint").alias("n_dropped_postings"),
+        )
+        .orderBy("df_bin")
+    )

@@ -886,6 +886,50 @@ register(
     """,
 )
 
+# Candidate-generation cost audits (r10). Both are all-integer end to
+# end (size bins via binary-string length, pair counts via integer
+# div), so engine parity is exact by construction — no float rounding
+# surface at all. lsh_bucket_profile reuses _MINHASH_CTES through
+# `bkeys` (bucket membership, md5 band keys); the downstream cand/
+# verified CTEs are unreferenced and DuckDB never evaluates them.
+register(
+    "lsh_bucket_profile",
+    lambda t: dedup.lsh_bucket_profile(t, hash_mode="md5"),
+    _MINHASH_CTES
+    + f""",
+    ks AS (SELECT band, bh, count(*) AS k FROM bkeys GROUP BY 1, 2)
+    SELECT CAST(length(bin(k)) - 1 AS INT) AS size_bin,
+           count(*) AS n_buckets,
+           CAST(sum(k) AS BIGINT) AS n_docs,
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_pairs_uncapped,
+           CAST(sum(CASE WHEN k <= {dedup.MINHASH_MAX_BUCKET}
+                         THEN k * (k - 1) // 2
+                         ELSE 2 * k - 3 END) AS BIGINT) AS n_pairs_capped,
+           CAST(sum(CASE WHEN k > {dedup.MINHASH_MAX_BUCKET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+    FROM ks GROUP BY 1 ORDER BY size_bin
+    """,
+)
+
+register(
+    "shingle_df_profile",
+    lambda t: dedup.shingle_df_profile(t),
+    _SHINGLE_SQL
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+    SELECT CAST(length(bin(df)) - 1 AS INT) AS df_bin,
+           count(*) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(df * (df - 1) // 2) AS BIGINT) AS n_pairs_uncapped,
+           CAST(sum(CASE WHEN df > {dedup.NGRAM_MAX_SHINGLE_FREQ}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_shingles,
+           CAST(sum(CASE WHEN df > {dedup.NGRAM_MAX_SHINGLE_FREQ}
+                         THEN df ELSE 0 END) AS BIGINT) AS n_dropped_postings
+    FROM dfreq GROUP BY 1 ORDER BY df_bin
+    """,
+)
+
 _INCREMENTAL_DEDUP_ORACLE = (
     _SHINGLE_SQL
     + f""",
@@ -4549,12 +4593,13 @@ register(
 # driver row). Head composition this round:
 #   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
 #      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) — never
-#      driver-verified; the state paths among them previously rested
-#      solely on local tests;
+#      semantic_dedup_state, incremental_dedup_state) plus the two
+#      r10 cost-audit queries (lsh_bucket_profile, shingle_df_profile)
+#      — never driver-verified; the state paths among them previously
+#      rested solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 28 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 26 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4575,6 +4620,8 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_semantic_dedup",
     "semantic_dedup_state",
     "incremental_dedup_state",
+    "lsh_bucket_profile",
+    "shingle_df_profile",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4619,10 +4666,10 @@ _DRIVER_PRIORITY: list[str] = [
     "market_segment_share",
     "top_customers",
     "part_size_histogram",
-    "category_translation",
-    "geo_fallback_join",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "category_translation",
+    "geo_fallback_join",
     "running_totals",
     "running_totals_scalable",
     "recent_events",
