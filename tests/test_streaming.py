@@ -819,6 +819,71 @@ def test_rocksdb_memory_bound_soak(spark, tables, events_dir):
         pipeline.reset_rocksdb_state(spark)
 
 
+def test_rocksdb_large_state_soak(spark):
+    """The memory bound must hold as STATE GROWS, not just at the
+    events-corpus key count (~hundreds of window keys): run a stateful
+    aggregation whose state holds 200k distinct keys — about three
+    orders of magnitude more than the corpus soak above — under the
+    same deliberately small shared-cache cap, and assert (a) the
+    provider actually held every key (numRowsTotal), (b) the reported
+    state-store memory stays under the cap, i.e. the cold tail went to
+    local disk instead of native memory, which is the entire 100 TB
+    story for long-horizon state (a heap-backed provider's footprint
+    is linear in keys and would blow any fixed cap at this shape).
+
+    Source: four 50k-row parquet files streamed one file per
+    micro-batch, so state accretes across four commits rather than
+    arriving in one — RocksDB sees real batch-over-batch growth with
+    changelog checkpointing on."""
+    import tempfile
+
+    cap_mb = 64
+    n_keys = 200_000
+    try:
+        pipeline.use_rocksdb_state(spark, max_memory_mb=cap_mb)
+        with tempfile.TemporaryDirectory(prefix="rocks_big_") as d:
+            for i in range(4):
+                (
+                    spark.range(i * 50_000, (i + 1) * 50_000)
+                    .select(F.col("id").alias("k"))
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(f"{d}/in/f{i}")
+                )
+            src = (
+                spark.readStream.schema("k bigint")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/in/f*")
+            )
+            agg = src.groupBy("k").agg(F.count("*").alias("n"))
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("rocks_big")
+                .outputMode("update")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            progress = q.recentProgress
+            assert progress, "no progress events recorded"
+            ops = [op for p in progress for op in p["stateOperators"]]
+            assert any(
+                "rocksdbPinnedBlocksMemoryUsage"
+                in op.get("customMetrics", {})
+                for op in ops
+            ), ops
+            # every key is IN the store...
+            assert max(int(op["numRowsTotal"]) for op in ops) == n_keys
+            # ...while native memory stays bounded by the shared cache
+            mems = [int(op["memoryUsedBytes"]) for op in ops]
+            assert mems and max(mems) > 0
+            assert max(mems) <= cap_mb * 1024 * 1024, max(mems)
+        assert spark.table("rocks_big").count() == n_keys
+    finally:
+        pipeline.reset_rocksdb_state(spark)
+
+
 def test_events_stream_source_generator_default(spark, monkeypatch):
     """Without a broker env var, the seam yields the deterministic
     generator twin with the EXACT events schema — downstream plans are
