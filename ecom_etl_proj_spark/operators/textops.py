@@ -954,6 +954,108 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    t: dict[str, DataFrame],
+    hash_mode: str = "xxhash64",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted source rebalancing at α = 0.5 — the
+    multilingual-corpus mixing rule (sampled share of source s ∝
+    n_s^α, so over-crawled head sources are thinned toward the tail
+    without flattening to uniform the way ``mixture_sample`` does).
+    Budget = the corpus size: target share q_s = sqrt(n_s)/Σ sqrt(n_t),
+    per-doc keep probability p_s = min(1, q_s·N/n_s) — head sources
+    are hash-Bernoulli-thinned, sources already at-or-under their
+    temperature share pass through whole (a filter cannot upsample;
+    the >1 regime is where a repetition-factor planner takes over).
+
+    α is pinned to 0.5 because engine parity is EXACT there: IEEE
+    sqrt, +, ×, / are correctly rounded, so as long as both engines
+    evaluate the same expression tree in the same order every double
+    is bit-identical — the denominator Σ sqrt(n_t) is folded LEFT over
+    the per-source terms in ascending source order on both sides
+    (unordered SUM would let partial-aggregation order pick the
+    rounding), and the keep test compares the doc's integer hash bin
+    against p_s·grain built from those bits. A general-α pow() has no
+    correctness guarantee and WOULD drift between libm builds.
+
+    Scale shape, mirroring ``mixture_sample``: one bounded
+    (|sources|) count, the fold and totals are 1-row broadcasts, the
+    keep decision is row-local on the scan — the corpus is never
+    shuffled — and the report is a bounded per-source rollup.
+
+    Output: (source, n_docs, keep_prob, target_share, n_kept,
+    kept_share) ascending by source.
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.pmod(
+            hash64(F.concat(F.lit("tmix:"), F.col("doc_id")), hash_mode),
+            F.lit(grain),
+        ).alias("h"),
+    )
+    per_src = d.groupBy("source").agg(F.count("*").alias("src_cnt"))
+    stats = per_src.agg(
+        F.sum("src_cnt").cast("bigint").alias("n_total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("source"), F.col("src_cnt")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["src_cnt"]),
+        ).alias("denom"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.sqrt("src_cnt")
+        * F.col("n_total").cast("double")
+        / F.col("denom")
+        / F.col("src_cnt").cast("double"),
+    )
+    per_source = (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("p", p)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("p"), 6).alias("keep_prob"),
+            F.round(
+                F.min(F.sqrt("src_cnt") / F.col("denom")), 6
+            ).alias("target_share"),
+            F.sum(
+                F.when(
+                    F.col("h").cast("double")
+                    < F.col("p") * F.lit(float(grain)),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+        )
+    )
+    total_kept = per_source.agg(
+        F.sum("n_kept").cast("bigint").alias("total_kept")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(total_kept))
+        .select(
+            "source",
+            "n_docs",
+            "keep_prob",
+            "target_share",
+            "n_kept",
+            F.round(
+                F.col("n_kept").cast("double")
+                / F.col("total_kept").cast("double"),
+                6,
+            ).alias("kept_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def pack_sequences(
     t: dict[str, DataFrame], ctx_len: int = 512, n_shards: int = 32
 ) -> DataFrame:

@@ -1055,6 +1055,55 @@ register(
     """,
 )
 
+# Temperature-mixture parity note: every double on both sides comes
+# from correctly-rounded IEEE ops (sqrt, +, x, /) evaluated in the
+# same order — the denominator folds LEFT over sqrt(src_cnt) in
+# ascending source order (list_reduce over a 0.0-prepended ordered
+# list here; F.aggregate over a sorted struct array in Spark), so the
+# keep test's p*grain boundary is bit-identical by construction.
+register(
+    "temperature_mixture",
+    lambda t: textops.temperature_mixture(t, hash_mode="md5"),
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST('0x' || substring(md5('tmix:' || doc_id), 1, 15) AS BIGINT)
+                   % 1000000 AS h
+        FROM documents
+    ),
+    ps AS (SELECT source, count(*) AS src_cnt FROM d GROUP BY source),
+    st AS (
+        SELECT CAST(sum(src_cnt) AS BIGINT) AS n_total,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(sqrt(src_cnt) ORDER BY source)),
+                   (a, b) -> a + b) AS denom
+        FROM ps
+    ),
+    dec AS (
+        SELECT d.source, d.h, ps.src_cnt, st.n_total, st.denom,
+               least(CAST(1.0 AS DOUBLE),
+                     sqrt(ps.src_cnt) * CAST(st.n_total AS DOUBLE)
+                     / st.denom / CAST(ps.src_cnt AS DOUBLE)) AS p
+        FROM d JOIN ps ON d.source = ps.source CROSS JOIN st
+    ),
+    rep AS (
+        SELECT source,
+               count(*) AS n_docs,
+               round(min(p), 6) AS keep_prob,
+               round(min(sqrt(src_cnt) / denom), 6) AS target_share,
+               CAST(sum(CASE WHEN CAST(h AS DOUBLE) < p * 1000000.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM dec GROUP BY source
+    )
+    SELECT source, n_docs, keep_prob, target_share, n_kept,
+           round(CAST(n_kept AS DOUBLE)
+                 / CAST((SELECT sum(n_kept) FROM rep) AS DOUBLE), 6)
+               AS kept_share
+    FROM rep ORDER BY source
+    """,
+)
+
 register(
     "cross_source_duplication",
     lambda t: dedup.cross_source_duplication(t, hash_mode="md5"),
@@ -4593,13 +4642,13 @@ register(
 # driver row). Head composition this round:
 #   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
 #      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) plus the two
-#      r10 cost-audit queries (lsh_bucket_profile, shingle_df_profile)
-#      — never driver-verified; the state paths among them previously
-#      rested solely on local tests;
+#      semantic_dedup_state, incremental_dedup_state) plus the three
+#      r10 additions (lsh_bucket_profile, shingle_df_profile,
+#      temperature_mixture) — never driver-verified; the state paths
+#      among them previously rested solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 26 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 25 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4622,6 +4671,7 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_dedup_state",
     "lsh_bucket_profile",
     "shingle_df_profile",
+    "temperature_mixture",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4665,9 +4715,9 @@ _DRIVER_PRIORITY: list[str] = [
     "monthly_sales",
     "market_segment_share",
     "top_customers",
-    "part_size_histogram",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "part_size_histogram",
     "category_translation",
     "geo_fallback_join",
     "running_totals",

@@ -1285,6 +1285,36 @@ def test_mixture_sample_balances_sources(spark):
     assert 8 <= n_rare <= 32
 
 
+def test_temperature_mixture_thins_head_keeps_tail(spark):
+    """temperature_mixture at alpha=0.5 thins only sources ABOVE their
+    temperature share and passes the tail whole — the driver corpus is
+    perfectly balanced (every keep_prob = 1), so the thinning branch
+    is exercised here on a 900/90/10 skew: sqrt weights give the head
+    q≈0.703 → p≈0.78, while both smaller sources land in the p=1
+    regime. The report's realized counts must match the analytic keep
+    probability to hash-Bernoulli spread, and shares must sum to 1."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [(i, "w w", "head") for i in range(900)]
+    rows += [(2000 + i, "w w", "mid") for i in range(90)]
+    rows += [(4000 + i, "w w", "tail") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = {r["source"]: r for r in
+           textops.temperature_mixture({"documents": docs}).collect()}
+    assert rep["mid"]["keep_prob"] == 1.0
+    assert rep["tail"]["keep_prob"] == 1.0
+    assert rep["mid"]["n_kept"] == 90 and rep["tail"]["n_kept"] == 10
+    # head: p = sqrt(900)*1000/(30+sqrt(90)+sqrt(10))/900 ≈ 0.7816
+    assert 0.75 <= rep["head"]["keep_prob"] <= 0.81
+    expected = rep["head"]["keep_prob"] * 900
+    assert abs(rep["head"]["n_kept"] - expected) <= 60  # Bernoulli spread
+    assert abs(sum(r["kept_share"] for r in rep.values()) - 1.0) < 1e-5
+    # deterministic: rerun selects the identical report
+    again = {r["source"]: r["n_kept"] for r in
+             textops.temperature_mixture({"documents": docs}).collect()}
+    assert again == {s: r["n_kept"] for s, r in rep.items()}
+
+
 def test_representative_selection_quality_keeper(spark):
     """representative_selection keeps the HIGHEST-quality member of a
     near-dup component even when it is not the smallest doc_id."""
