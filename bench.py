@@ -178,6 +178,15 @@ def _llm_prod_queries():
         # screen a continuous-ingestion pipeline pays: broadcast probe
         # of the bucketed inverted file, zero corpus scans.
         "semantic_dedup_state": _semantic_dedup_state_fn(),
+        # Additive r10 key: steady-state TEXT incremental dedup — the
+        # registered incremental_dedup_state shape under bench-local
+        # tables. Build sketches the corpus split once into the
+        # bucketed fp/band/shingle state (p0); warm passes measure the
+        # per-batch probe a continuous-ingestion pipeline pays —
+        # batch-keyed joins, the state sort-merges in place, zero
+        # corpus text scans (verdict-identical to incremental_dedup,
+        # tests/test_operators.py).
+        "incremental_dedup_state": _incremental_dedup_state_fn(),
     }
 
 
@@ -234,6 +243,37 @@ def _semantic_dedup_state_fn(prefix: str = "benchsem"):
             F.col("embedding").alias("q_emb"),
         )
         return similarity.semantic_screen_state(spark, prefix, batch)
+
+    return run
+
+
+def _incremental_dedup_state_fn(prefix: str = "benchidds"):
+    built: set[str] = set()
+
+    def run(spark, sf_dir):
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from ecom_etl_proj_spark.operators import dedup
+        from ecom_etl_proj_spark.plans.registry import tables_for
+
+        docs = tables_for(spark, sf_dir)["documents"]
+        if sf_dir not in built:
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", ""
+            ).removeprefix("file:")
+            for tbl in (f"{prefix}_fp", f"{prefix}_bands",
+                        f"{prefix}_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                if warehouse:
+                    shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+            dedup.build_dedup_state(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9), prefix
+            )
+            built.add(sf_dir)
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9)
+        return dedup.probe_dedup_state(spark, batch, prefix)
 
     return run
 
@@ -389,6 +429,9 @@ def main() -> None:
                     prefix="spsem"
                 ),
                 "incremental_dedup": registry.queries()["incremental_dedup"],
+                "incremental_dedup_state": _incremental_dedup_state_fn(
+                    prefix="spidds"
+                ),
                 # per-invocation Lloyd rebuild, timed warm — the
                 # contrast series that shows what the persisted index
                 # saves at scale. Caches from the PREVIOUS invocation
