@@ -954,6 +954,52 @@ def mixture_sample(
     )
 
 
+def _temperature_frame(
+    t: dict[str, DataFrame], hash_mode: str, grain: int
+) -> DataFrame:
+    """Shared decoration for the α=0.5 temperature samplers: every doc
+    row carries (h, src_cnt, n_total, denom) — its hash bin, its
+    source's count, and the two 1-row broadcast corpus stats. The
+    denominator Σ sqrt(n_t) is folded LEFT in ascending source order
+    (see temperature_mixture's parity note)."""
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.pmod(
+            hash64(F.concat(F.lit("tmix:"), F.col("doc_id")), hash_mode),
+            F.lit(grain),
+        ).alias("h"),
+    )
+    per_src = d.groupBy("source").agg(F.count("*").alias("src_cnt"))
+    stats = per_src.agg(
+        F.sum("src_cnt").cast("bigint").alias("n_total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("source"), F.col("src_cnt")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["src_cnt"]),
+        ).alias("denom"),
+    )
+    return d.join(F.broadcast(per_src), "source").crossJoin(
+        F.broadcast(stats)
+    )
+
+
+def _temperature_rate() -> F.Column:
+    """Uncapped resampling rate r_s = q_s·N/n_s over the
+    ``_temperature_frame`` columns — the same correctly-rounded
+    expression tree the oracles mirror term for term."""
+    return (
+        F.sqrt("src_cnt")
+        * F.col("n_total").cast("double")
+        / F.col("denom")
+        / F.col("src_cnt").cast("double")
+    )
+
+
 def temperature_mixture(
     t: dict[str, DataFrame],
     hash_mode: str = "xxhash64",
@@ -987,37 +1033,9 @@ def temperature_mixture(
     Output: (source, n_docs, keep_prob, target_share, n_kept,
     kept_share) ascending by source.
     """
-    from ecom_etl_proj_spark.operators.dedup import hash64
-
-    d = t["documents"].select(
-        "doc_id",
-        "source",
-        F.pmod(
-            hash64(F.concat(F.lit("tmix:"), F.col("doc_id")), hash_mode),
-            F.lit(grain),
-        ).alias("h"),
-    )
-    per_src = d.groupBy("source").agg(F.count("*").alias("src_cnt"))
-    stats = per_src.agg(
-        F.sum("src_cnt").cast("bigint").alias("n_total"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("source"), F.col("src_cnt")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + F.sqrt(x["src_cnt"]),
-        ).alias("denom"),
-    )
-    p = F.least(
-        F.lit(1.0),
-        F.sqrt("src_cnt")
-        * F.col("n_total").cast("double")
-        / F.col("denom")
-        / F.col("src_cnt").cast("double"),
-    )
+    p = F.least(F.lit(1.0), _temperature_rate())
     per_source = (
-        d.join(F.broadcast(per_src), "source")
-        .crossJoin(F.broadcast(stats))
+        _temperature_frame(t, hash_mode, grain)
         .withColumn("p", p)
         .groupBy("source")
         .agg(
@@ -1053,6 +1071,64 @@ def temperature_mixture(
             ).alias("kept_share"),
         )
         .orderBy("source")
+    )
+
+
+def mixture_epochs(
+    t: dict[str, DataFrame],
+    hash_mode: str = "xxhash64",
+    grain: int = 1_000_000,
+) -> DataFrame:
+    """Materialize the α=0.5 temperature mixture WITH upsampling — the
+    half a filter cannot do: each doc is emitted ``floor(r_s)`` times
+    plus one more with probability ``frac(r_s)`` (deterministic
+    hash-Bernoulli), where r_s = q_s·N/n_s is the uncapped resampling
+    rate ``temperature_mixture`` truncates at 1. Tail sources repeat
+    (their epochs over the corpus pass), head sources thin — in
+    expectation every source lands exactly on its temperature share at
+    a constant total budget, which is how a training-order
+    materialization actually consumes the mixture plan.
+
+    Parity: r_s reuses the bit-identical expression tree of
+    ``temperature_mixture`` (correctly-rounded IEEE ops + ordered
+    fold); floor and ``r - floor(r)`` are correctly rounded too, so
+    the integer copy count and the fractional-epoch boundary are exact
+    in both engines. The copy fan-out is a row-local
+    explode(sequence(1, n_copies)) — Spark's sequence(1, 0) yields a
+    DESCENDING [1, 0], so zero-copy docs short-circuit to an empty
+    array explicitly (same guard as functions/text.word_shingles).
+
+    Scale shape: identical to ``temperature_mixture`` until the
+    explode — bounded per-source stats broadcast onto the scan,
+    row-local copy decision and fan-out, never a corpus shuffle. The
+    output is larger than the input only by the upsampled tail (the
+    expected total is the corpus size).
+
+    Output: (doc_id, source, copy_idx) — copy_idx 1..n_copies.
+    """
+    r = _temperature_rate()
+    frame = _temperature_frame(t, hash_mode, grain).withColumn("r", r)
+    n_copies = (
+        F.floor("r").cast("bigint")
+        + F.when(
+            F.col("h").cast("double")
+            < (F.col("r") - F.floor("r")) * F.lit(float(grain)),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        frame.withColumn("n_copies", n_copies)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.col("n_copies") > 0,
+                    F.sequence(F.lit(1).cast("bigint"), F.col("n_copies")),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
     )
 
 

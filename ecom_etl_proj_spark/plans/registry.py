@@ -1105,6 +1105,44 @@ register(
 )
 
 register(
+    "mixture_epochs",
+    lambda t: textops.mixture_epochs(t, hash_mode="md5"),
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST('0x' || substring(md5('tmix:' || doc_id), 1, 15) AS BIGINT)
+                   % 1000000 AS h
+        FROM documents
+    ),
+    ps AS (SELECT source, count(*) AS src_cnt FROM d GROUP BY source),
+    st AS (
+        SELECT CAST(sum(src_cnt) AS BIGINT) AS n_total,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(sqrt(src_cnt) ORDER BY source)),
+                   (a, b) -> a + b) AS denom
+        FROM ps
+    ),
+    dec AS (
+        SELECT d.doc_id, d.source, d.h,
+               sqrt(ps.src_cnt) * CAST(st.n_total AS DOUBLE)
+                   / st.denom / CAST(ps.src_cnt AS DOUBLE) AS r
+        FROM d JOIN ps ON d.source = ps.source CROSS JOIN st
+    ),
+    copies AS (
+        SELECT doc_id, source,
+               CAST(floor(r) AS BIGINT)
+               + CASE WHEN CAST(h AS DOUBLE) < (r - floor(r)) * 1000000.0
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM dec
+    )
+    SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
+    FROM copies
+    ORDER BY doc_id, copy_idx
+    """,
+)
+
+register(
     "cross_source_duplication",
     lambda t: dedup.cross_source_duplication(t, hash_mode="md5"),
     _MINHASH_CTES
@@ -4642,13 +4680,14 @@ register(
 # driver row). Head composition this round:
 #   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
 #      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) plus the three
+#      semantic_dedup_state, incremental_dedup_state) plus the four
 #      r10 additions (lsh_bucket_profile, shingle_df_profile,
-#      temperature_mixture) — never driver-verified; the state paths
-#      among them previously rested solely on local tests;
+#      temperature_mixture, mixture_epochs) — never driver-verified;
+#      the state paths among them previously rested solely on local
+#      tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 25 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 24 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4672,6 +4711,7 @@ _DRIVER_PRIORITY: list[str] = [
     "lsh_bucket_profile",
     "shingle_df_profile",
     "temperature_mixture",
+    "mixture_epochs",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4714,9 +4754,9 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_counts",
     "monthly_sales",
     "market_segment_share",
-    "top_customers",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "top_customers",
     "part_size_histogram",
     "category_translation",
     "geo_fallback_join",

@@ -1315,6 +1315,39 @@ def test_temperature_mixture_thins_head_keeps_tail(spark):
     assert again == {s: r["n_kept"] for s, r in rep.items()}
 
 
+def test_mixture_epochs_upsamples_tail(spark):
+    """mixture_epochs materializes the UNCAPPED rate: on the 900/90/10
+    skew the head thins (r≈0.78: docs emit 0 or 1 copies), the mid
+    source repeats 2-3x (r≈2.47) and the tail 7-8x (r≈7.41), with the
+    realized total landing on the constant corpus budget (N=1000) to
+    hash-Bernoulli spread. Every per-doc copy list is contiguous
+    1..n_copies."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [(i, "w w", "head") for i in range(900)]
+    rows += [(2000 + i, "w w", "mid") for i in range(90)]
+    rows += [(4000 + i, "w w", "tail") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.mixture_epochs({"documents": docs}).collect()
+    per_doc: dict[int, list[int]] = {}
+    per_src: dict[str, int] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_doc.values())
+    # floor/ceil of each source's rate bound the per-doc copy counts
+    head_copies = {len(per_doc[i]) for i in range(900) if i in per_doc}
+    assert head_copies <= {1}  # thinned: 0 (absent) or 1
+    assert {len(per_doc[2000 + i]) for i in range(90)} <= {2, 3}
+    assert {len(per_doc[4000 + i]) for i in range(10)} <= {7, 8}
+    # expectations: head≈703, mid≈222, tail≈74 — total ≈ N = 1000
+    assert abs(per_src["head"] - 703) <= 60
+    assert abs(per_src["mid"] - 222) <= 25
+    assert abs(per_src["tail"] - 74) <= 8
+    assert abs(len(out) - 1000) <= 80
+
+
 def test_representative_selection_quality_keeper(spark):
     """representative_selection keeps the HIGHEST-quality member of a
     near-dup component even when it is not the smallest doc_id."""
