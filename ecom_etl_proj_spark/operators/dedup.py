@@ -1453,3 +1453,104 @@ def shingle_df_profile(
         )
         .orderBy("df_bin")
     )
+
+
+def lsh_band_planner(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    floor: float = 0.1,
+    target: float = 0.5,
+) -> DataFrame:
+    """Banding-configuration planner: for every (bands, rows-per-band)
+    split of the 64-bin sketch budget, evaluate the analytic LSH
+    detection probability p(s) = 1-(1-s^r)^b against the corpus's OWN
+    observed pair-similarity distribution — the tuning table read
+    before committing a banding to a 100 TB dedup run, complementing
+    ``lsh_bucket_profile`` (join cost) and ``minhash_recall_audit``
+    (realized recall of the production config). Per config: the
+    implied threshold (1/b)^(1/r), how many observed dup-grade pairs
+    (s ≥ target) the config would catch at ≥0.9 / ≥0.5 probability,
+    and how many below-target pairs it would still surface as
+    candidates (verification cost).
+
+    Engine parity is bit-exact with no pow(): s^r and (1-s^r)^b are
+    LEFT FOLDS of correctly-rounded multiplications (F.aggregate here,
+    list_reduce in the oracle — identical op sequence, identical
+    bits), and the implied threshold exploits r being a power of two:
+    (1/b)^(1/r) = sqrt applied log2(r) times to 1/b, each sqrt
+    correctly rounded. The p ≥ 0.9 / 0.5 count cuts then compare
+    identical doubles, so the counts are exact integers in both
+    engines.
+
+    Scale shape: the bounded verified pair set (df-capped exact
+    pipeline) × a 5-row broadcast config grid, ≤ 64+r row-local
+    multiplications per row, bounded per-config rollup. At corpus
+    scale you run this on a sampled split — the s-distribution, not
+    the corpus, is the input.
+
+    Output: (bands, rows_per_band, implied_threshold, n_pairs,
+    n_high, high_p90, high_p50, low_p50) by bands descending.
+    """
+    pairs = dedup_ngram_jaccard(t, n, floor)
+    spark = t["documents"].sparkSession
+    configs = spark.createDataFrame(
+        [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)],
+        "bands int, rows_per_band int",
+    )
+    dec = (
+        pairs.crossJoin(F.broadcast(configs))
+        .withColumn(
+            "s_r",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("rows_per_band")),
+                F.lit(1.0),
+                lambda acc, i: acc * F.col("jaccard"),
+            ),
+        )
+        .withColumn(
+            "p",
+            F.lit(1.0)
+            - F.aggregate(
+                F.sequence(F.lit(1), F.col("bands")),
+                F.lit(1.0),
+                lambda acc, i: acc * (F.lit(1.0) - F.col("s_r")),
+            ),
+        )
+    )
+    # (1/b)^(1/r) via log2(r) correctly-rounded square roots; r=1 needs
+    # the explicit branch (sequence(1, 0) would yield DESCENDING [1,0])
+    k = F.length(F.bin(F.col("rows_per_band"))) - 1
+    inv_b = F.lit(1.0) / F.col("bands").cast("double")
+    thr = F.when(F.col("rows_per_band") == 1, inv_b).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), k), inv_b, lambda acc, i: F.sqrt(acc)
+        )
+    )
+    tgt = F.lit(target)
+    return (
+        dec.withColumn("thr", thr)
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.round(F.min("thr"), 6).alias("implied_threshold"),
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("jaccard") >= tgt, 1).otherwise(0)
+            ).cast("bigint").alias("n_high"),
+            F.sum(
+                F.when(
+                    (F.col("jaccard") >= tgt) & (F.col("p") >= 0.9), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("high_p90"),
+            F.sum(
+                F.when(
+                    (F.col("jaccard") >= tgt) & (F.col("p") >= 0.5), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("high_p50"),
+            F.sum(
+                F.when(
+                    (F.col("jaccard") < tgt) & (F.col("p") >= 0.5), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("low_p50"),
+        )
+        .orderBy(F.col("bands").desc())
+    )

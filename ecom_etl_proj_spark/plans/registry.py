@@ -886,6 +886,61 @@ register(
     """,
 )
 
+# Banding planner (r10): p(s) = 1-(1-s^r)^b with NO pow() — s^r and
+# the failure product are left folds of correctly-rounded multiplies
+# (list_reduce here, F.aggregate in Spark: identical op sequence →
+# identical bits), and (1/b)^(1/r) is log2(r) nested sqrts since every
+# grid r is a power of two. The p>=0.9/0.5 cuts therefore compare
+# identical doubles and the counts are exact integers in both engines.
+register(
+    "lsh_band_planner",
+    lambda t: dedup.lsh_band_planner(t),
+    f"""
+    WITH pr AS (SELECT doc_a, doc_b, jaccard FROM ({_NGRAM_JACCARD_ORACLE})),
+    cfg(bands, rows_per_band) AS (
+        VALUES (64, 1), (32, 2), (16, 4), (8, 8), (4, 16)
+    ),
+    dec AS (
+        SELECT c.bands, c.rows_per_band, p.jaccard,
+               list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE),
+                                range(1, c.rows_per_band + 1)),
+                   (a, i) -> a * p.jaccard) AS s_r
+        FROM pr p CROSS JOIN cfg c
+    ),
+    dec2 AS (
+        SELECT bands, rows_per_band, jaccard,
+               CAST(1.0 AS DOUBLE) - list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE), range(1, bands + 1)),
+                   (a, i) -> a * (CAST(1.0 AS DOUBLE) - s_r)) AS p
+        FROM dec
+    ),
+    thr AS (
+        SELECT bands, rows_per_band,
+               CASE WHEN rows_per_band = 1
+                    THEN CAST(1.0 AS DOUBLE) / bands
+                    ELSE list_reduce(
+                        list_prepend(CAST(1.0 AS DOUBLE) / bands,
+                                     range(1, length(bin(rows_per_band)))),
+                        (a, i) -> sqrt(a)) END AS t0
+        FROM cfg
+    )
+    SELECT d.bands, d.rows_per_band,
+           round(min(t.t0), 6) AS implied_threshold,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN jaccard >= 0.5 AND p >= 0.9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_p90,
+           CAST(sum(CASE WHEN jaccard >= 0.5 AND p >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_p50,
+           CAST(sum(CASE WHEN jaccard < 0.5 AND p >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_p50
+    FROM dec2 d JOIN thr t USING (bands, rows_per_band)
+    GROUP BY 1, 2 ORDER BY bands DESC
+    """,
+)
+
 # Candidate-generation cost audits (r10). Both are all-integer end to
 # end (size bins via binary-string length, pair counts via integer
 # div), so engine parity is exact by construction — no float rounding
@@ -4680,14 +4735,14 @@ register(
 # driver row). Head composition this round:
 #   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
 #      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) plus the four
+#      semantic_dedup_state, incremental_dedup_state) plus the five
 #      r10 additions (lsh_bucket_profile, shingle_df_profile,
-#      temperature_mixture, mixture_epochs) — never driver-verified;
-#      the state paths among them previously rested solely on local
-#      tests;
+#      temperature_mixture, mixture_epochs, lsh_band_planner) — never
+#      driver-verified; the state paths among them previously rested
+#      solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 24 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 23 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4712,6 +4767,7 @@ _DRIVER_PRIORITY: list[str] = [
     "shingle_df_profile",
     "temperature_mixture",
     "mixture_epochs",
+    "lsh_band_planner",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4753,9 +4809,9 @@ _DRIVER_PRIORITY: list[str] = [
     "revenue_forecast",
     "order_priority_counts",
     "monthly_sales",
-    "market_segment_share",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "market_segment_share",
     "top_customers",
     "part_size_histogram",
     "category_translation",
