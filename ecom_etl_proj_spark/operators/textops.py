@@ -62,6 +62,48 @@ def text_quality(t: dict[str, DataFrame]) -> DataFrame:
     return feats.withColumn("quality_score", F.round(score, 6))
 
 
+def quality_threshold_sweep(t: dict[str, DataFrame]) -> DataFrame:
+    """Curation-threshold tuning curve: how many docs/tokens survive a
+    "quality_score ≥ c" filter at each 0.05-wide cutoff — the report
+    run BEFORE fixing the curation bar, so "0.6 keeps 80% of tokens,
+    0.8 keeps 30%" is a measurement (the quality analog of
+    ``dedup_threshold_sweep``). One ``text_quality`` scan feeds a
+    ≤20-bucket histogram; the cumulative at-or-above counts are a
+    window over the aggregated buckets — the unpartitioned window is
+    bounded by the bucket count, not the data. Bucketing goes through
+    an exact integer (quality_score is round-6 over exact multiples of
+    1e-5, so round(q·1e6) div 50000 is pure integer arithmetic) — no
+    float floor boundary to disagree between engines.
+
+    Output: (min_quality, n_docs, n_tokens, docs_at_or_above,
+    tokens_at_or_above) per non-empty bucket, ascending.
+    """
+    from pyspark.sql import Window
+
+    q = text_quality(t)
+    bucket = F.expr(
+        "least(cast(round(quality_score * 1000000) as bigint) div 50000, 19)"
+    )
+    per = (
+        q.select(bucket.alias("b"), "n_tokens")
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.round(F.col("b") / 20.0, 2).alias("min_quality"),
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_at_or_above"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("tokens_at_or_above"),
+    ).orderBy("min_quality")
+
+
 def token_count(t: dict[str, DataFrame]) -> DataFrame:
     """Whitespace + alphanumeric-regex token counts (BPE-ish proxy)."""
     d = t["documents"]

@@ -1670,10 +1670,8 @@ register(
     """,
 )
 
-register(
-    "text_quality",
-    textops.text_quality,
-    f"""
+# Named so quality_threshold_sweep below can compose it as a subquery.
+_TEXT_QUALITY_ORACLE = f"""
     WITH feats AS (
         SELECT doc_id,
                length(text) AS n_chars_actual,
@@ -1689,6 +1687,37 @@ register(
                  + (1 - least(punct_ratio * 5, 1.0)) * 0.3
                  + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
     FROM feats
+    """
+
+register(
+    "text_quality",
+    textops.text_quality,
+    _TEXT_QUALITY_ORACLE,
+)
+
+# Bucketing goes through an exact integer (quality_score is round-6
+# over exact multiples of 1e-5, so round(q*1e6) is an exact integer
+# and the 0.05-wide bucket is integer div) — no float floor boundary
+# can disagree between engines; same trick as dedup_threshold_sweep.
+register(
+    "quality_threshold_sweep",
+    textops.quality_threshold_sweep,
+    f"""
+    WITH tq AS (SELECT n_tokens, quality_score
+                FROM ({_TEXT_QUALITY_ORACLE})),
+    per AS (
+        SELECT least(CAST(round(quality_score * 1000000) AS BIGINT)
+                     // 50000, 19) AS b,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM tq GROUP BY 1
+    )
+    SELECT round(b / 20.0, 2) AS min_quality, n_docs, n_tokens,
+           CAST(sum(n_docs) OVER (ORDER BY b DESC) AS BIGINT)
+               AS docs_at_or_above,
+           CAST(sum(n_tokens) OVER (ORDER BY b DESC) AS BIGINT)
+               AS tokens_at_or_above
+    FROM per ORDER BY min_quality
     """,
 )
 
@@ -4735,14 +4764,14 @@ register(
 # driver row). Head composition this round:
 #   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
 #      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) plus the five
+#      semantic_dedup_state, incremental_dedup_state) plus the six
 #      r10 additions (lsh_bucket_profile, shingle_df_profile,
-#      temperature_mixture, mixture_epochs, lsh_band_planner) — never
-#      driver-verified; the state paths among them previously rested
-#      solely on local tests;
+#      temperature_mixture, mixture_epochs, lsh_band_planner,
+#      quality_threshold_sweep) — never driver-verified; the state
+#      paths among them previously rested solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 23 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 22 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4768,6 +4797,7 @@ _DRIVER_PRIORITY: list[str] = [
     "temperature_mixture",
     "mixture_epochs",
     "lsh_band_planner",
+    "quality_threshold_sweep",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4808,9 +4838,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sales_geolocation",
     "revenue_forecast",
     "order_priority_counts",
-    "monthly_sales",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "monthly_sales",
     "market_segment_share",
     "top_customers",
     "part_size_histogram",

@@ -377,6 +377,8 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
     - dedup_threshold_sweep     cumulative sum over <= 10 Jaccard
                                 histogram buckets (bounded by the
                                 bucket count, not the data)
+    - quality_threshold_sweep   cumulative sum over <= 20 quality
+                                histogram buckets (same shape)
     """
     import re
 
@@ -391,6 +393,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
         "product_leaderboard",
         "bm25_search",
         "dedup_threshold_sweep",
+        "quality_threshold_sweep",
     }
     offenders = set()
     for name, fn in registry.queries().items():
