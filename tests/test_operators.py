@@ -1285,6 +1285,30 @@ def test_mixture_sample_balances_sources(spark):
     assert 8 <= n_rare <= 32
 
 
+def test_lsh_bucket_profile_over_cap_accounting(spark):
+    """A planted clone group larger than MINHASH_MAX_BUCKET must land
+    in the over-cap regime with star+chain pair accounting: 300
+    identical docs collide into one bucket per non-empty band (every
+    clone emits the same band keys), so each such bucket reports
+    2k-3 capped pairs instead of the quadratic k(k-1)/2 — the exact
+    saving the cap exists to buy."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(300)], "doc_id long, text string"
+    )
+    rows = dedup.lsh_bucket_profile({"documents": docs}, cap=256).collect()
+    assert len(rows) == 1          # all buckets have the same size
+    r = rows[0]
+    k = r["n_docs"] // r["n_buckets"]
+    assert k == 300
+    assert r["size_bin"] == 8      # floor(log2(300))
+    assert r["n_over_cap"] == r["n_buckets"]
+    assert r["n_pairs_uncapped"] == r["n_buckets"] * (300 * 299 // 2)
+    assert r["n_pairs_capped"] == r["n_buckets"] * (2 * 300 - 3)
+
+
 def test_temperature_mixture_thins_head_keeps_tail(spark):
     """temperature_mixture at alpha=0.5 thins only sources ABOVE their
     temperature share and passes the tail whole — the driver corpus is
