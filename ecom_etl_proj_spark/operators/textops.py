@@ -1120,6 +1120,7 @@ def mixture_epochs(
     t: dict[str, DataFrame],
     hash_mode: str = "xxhash64",
     grain: int = 1_000_000,
+    max_epochs: int = 16,
 ) -> DataFrame:
     """Materialize the α=0.5 temperature mixture WITH upsampling — the
     half a filter cannot do: each doc is emitted ``floor(r_s)`` times
@@ -1140,15 +1141,26 @@ def mixture_epochs(
     DESCENDING [1, 0], so zero-copy docs short-circuit to an empty
     array explicitly (same guard as functions/text.word_shingles).
 
+    ``max_epochs`` caps the rate BEFORE the floor/frac decomposition
+    (r' = min(r, max_epochs), a correctly-rounded least in both
+    engines): an extremely rare source's uncapped rate grows like
+    N/(denom·sqrt(n_s)) without bound, and repeating any document
+    hundreds of times degrades training more than it balances — every
+    production recipe caps epochs. The capped sources land under
+    their temperature share, so the realized total can sit slightly
+    below the corpus budget; that shortfall is the cap's visible,
+    intended cost.
+
     Scale shape: identical to ``temperature_mixture`` until the
     explode — bounded per-source stats broadcast onto the scan,
-    row-local copy decision and fan-out, never a corpus shuffle. The
-    output is larger than the input only by the upsampled tail (the
-    expected total is the corpus size).
+    row-local copy decision and fan-out (bounded by max_epochs+1 rows
+    per doc), never a corpus shuffle. The output is larger than the
+    input only by the upsampled tail (the expected total is the
+    corpus size, minus the cap shortfall).
 
     Output: (doc_id, source, copy_idx) — copy_idx 1..n_copies.
     """
-    r = _temperature_rate()
+    r = F.least(_temperature_rate(), F.lit(float(max_epochs)))
     frame = _temperature_frame(t, hash_mode, grain).withColumn("r", r)
     n_copies = (
         F.floor("r").cast("bigint")

@@ -1180,8 +1180,9 @@ register(
     ),
     dec AS (
         SELECT d.doc_id, d.source, d.h,
-               sqrt(ps.src_cnt) * CAST(st.n_total AS DOUBLE)
-                   / st.denom / CAST(ps.src_cnt AS DOUBLE) AS r
+               least(sqrt(ps.src_cnt) * CAST(st.n_total AS DOUBLE)
+                     / st.denom / CAST(ps.src_cnt AS DOUBLE),
+                     CAST(16.0 AS DOUBLE)) AS r
         FROM d JOIN ps ON d.source = ps.source CROSS JOIN st
     ),
     copies AS (

@@ -1372,6 +1372,23 @@ def test_mixture_epochs_upsamples_tail(spark):
     assert abs(len(out) - 1000) <= 80
 
 
+def test_mixture_epochs_caps_rare_source(spark):
+    """An extremely rare source's uncapped rate (~21x on a 998/2
+    split) must clamp to max_epochs: every rare doc emits exactly
+    max_epochs copies (frac(r')=0 once clamped), never more."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [(i, "w w", "head") for i in range(998)]
+    rows += [(5000 + i, "w w", "rare") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.mixture_epochs({"documents": docs}).collect()
+    rare_copies = [r for r in out if r["source"] == "rare"]
+    assert len(rare_copies) == 2 * 16
+    assert max(r["copy_idx"] for r in rare_copies) == 16
+    low = textops.mixture_epochs({"documents": docs}, max_epochs=4).collect()
+    assert sum(1 for r in low if r["source"] == "rare") == 2 * 4
+
+
 def test_representative_selection_quality_keeper(spark):
     """representative_selection keeps the HIGHEST-quality member of a
     near-dup component even when it is not the smallest doc_id."""
