@@ -3273,6 +3273,77 @@ register(
     """,
 )
 
+# Constraint-audit oracle: the check list is generated from the same
+# declarations in a tiny comprehension so the two engines can never
+# drift on WHICH expectations exist — only the per-check SQL shapes
+# below are hand-written, and each mirrors cleaning.constraint_audit's
+# aggregate exactly (concat_ws composite keys, NULL FK = orphan,
+# CASE-ELSE-1 so a NULL range predicate counts as a violation).
+_CA_PK = [
+    ("region", ["r_regionkey"]),
+    ("nation", ["n_nationkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+    ("events", ["event_id"]),
+]
+_CA_FK = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+_CA_COND = [
+    ("orders", "not_null:o_orderdate", "o_orderdate IS NOT NULL"),
+    ("lineitem", "not_null:l_shipdate", "l_shipdate IS NOT NULL"),
+    ("documents", "not_null:text", "text IS NOT NULL"),
+    ("lineitem", "range:0<=l_discount<=1",
+     "l_discount >= 0 AND l_discount <= 1"),
+    ("lineitem", "range:l_quantity>0", "l_quantity > 0"),
+    ("orders", "range:o_totalprice>=0", "o_totalprice >= 0"),
+]
+_CA_ROWS = (
+    [
+        f"""SELECT '{e}' AS entity, 'pk_unique:{"+".join(cols)}' AS check_name,
+            count(*) AS n_rows,
+            count(*) - count(DISTINCT concat_ws('|', {", ".join(cols)}))
+                AS n_violations FROM {e}"""
+        for e, cols in _CA_PK
+    ]
+    + [
+        f"""SELECT '{e}', 'fk:{col}->{p}', count(*),
+            sum(CASE WHEN pk.__pk IS NULL THEN 1 ELSE 0 END)
+            FROM {e} c LEFT JOIN
+            (SELECT DISTINCT {pcol} AS __pk FROM {p}) pk
+            ON c.{col} = pk.__pk"""
+        for e, col, p, pcol in _CA_FK
+    ]
+    + [
+        f"""SELECT '{e}', '{name}', count(*),
+            sum(CASE WHEN ({ok}) THEN 0 ELSE 1 END) FROM {e}"""
+        for e, name, ok in _CA_COND
+    ]
+)
+
+register(
+    "constraint_audit",
+    cleaning.constraint_audit,
+    f"""
+    WITH raw AS ({" UNION ALL ".join(_CA_ROWS)})
+    SELECT entity, check_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS ok
+    FROM raw ORDER BY entity, check_name
+    """,
+)
+
 register(
     "chunk_documents",
     textops.chunk_documents,
@@ -4765,14 +4836,15 @@ register(
 # driver row). Head composition this round:
 #   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
 #      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) plus the six
+#      semantic_dedup_state, incremental_dedup_state) plus the seven
 #      r10 additions (lsh_bucket_profile, shingle_df_profile,
 #      temperature_mixture, mixture_epochs, lsh_band_planner,
-#      quality_threshold_sweep) — never driver-verified; the state
-#      paths among them previously rested solely on local tests;
+#      quality_threshold_sweep, constraint_audit) — never
+#      driver-verified; the state paths among them previously rested
+#      solely on local tests;
 #   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
 #      oldest rows anywhere);
-#   3) the oldest 22 of the r7-verified cohort to fill slot 50.
+#   3) the oldest 21 of the r7-verified cohort to fill slot 50.
 # The remaining r7 rows lead r11, then the r8 block, then the 50
 # r9-verified rows (freshest) go last. Changed-code audit for r10:
 # no oracle changed; two plan-affecting edits, both output-neutral on
@@ -4799,6 +4871,7 @@ _DRIVER_PRIORITY: list[str] = [
     "mixture_epochs",
     "lsh_band_planner",
     "quality_threshold_sweep",
+    "constraint_audit",
     # --- r6-verified block: the oldest rows, stale 4 rounds ---
     "ann_recall_audit",
     "dedup_spans_removal",
@@ -4838,9 +4911,9 @@ _DRIVER_PRIORITY: list[str] = [
     "daily_sales",
     "sales_geolocation",
     "revenue_forecast",
-    "order_priority_counts",
     # --- top-50 boundary ---
     # --- remaining r7-verified (leads r11) ---
+    "order_priority_counts",
     "monthly_sales",
     "market_segment_share",
     "top_customers",

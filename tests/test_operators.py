@@ -1285,6 +1285,48 @@ def test_mixture_sample_balances_sources(spark):
     assert 8 <= n_rare <= 32
 
 
+def test_constraint_audit_counts_planted_violations(spark):
+    """Planted defects must land in the right verdict rows: a dup PK,
+    a dangling FK, a NULL in a NOT NULL column, and an out-of-range
+    discount — with n_violations counting rows, not just flagging."""
+    from ecom_etl_proj_spark.operators import cleaning
+
+    t = {
+        "region": spark.createDataFrame([(0, "r")], "r_regionkey long, r_name string"),
+        "nation": spark.createDataFrame(
+            [(0, "a", 0), (1, "b", 9)],  # nationkey 1 -> regionkey 9 dangles
+            "n_nationkey long, n_name string, n_regionkey long",
+        ),
+        "customer": spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long"),
+        "supplier": spark.createDataFrame([(1, 0)], "s_suppkey long, s_nationkey long"),
+        "part": spark.createDataFrame([(1,)], "p_partkey long"),
+        "orders": spark.createDataFrame(
+            [(10, 1, None, 5.0), (10, 1, "1995-01-01", -1.0)],  # dup PK, NULL date, neg price
+            "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double",
+        ),
+        "lineitem": spark.createDataFrame(
+            [(10, 1, 1, 1, 1.0, 1.5, "1995-01-02")],  # discount 1.5 out of range
+            "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long,"
+            " l_quantity double, l_discount double, l_shipdate string",
+        ),
+        "documents": spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        "embeddings": spark.createDataFrame([(1,)], "vec_id long"),
+        "events": spark.createDataFrame([(1,)], "event_id long"),
+    }
+    got = {
+        (r["entity"], r["check_name"]): (r["n_violations"], r["ok"])
+        for r in cleaning.constraint_audit(t).collect()
+    }
+    assert len(got) == 23
+    assert got[("orders", "pk_unique:o_orderkey")] == (1, 0)
+    assert got[("nation", "fk:n_regionkey->region")] == (1, 0)
+    assert got[("orders", "not_null:o_orderdate")] == (1, 0)
+    assert got[("orders", "range:o_totalprice>=0")] == (1, 0)
+    assert got[("lineitem", "range:0<=l_discount<=1")] == (1, 0)
+    assert got[("lineitem", "pk_unique:l_orderkey+l_linenumber")] == (0, 1)
+    assert got[("customer", "fk:c_nationkey->nation")] == (0, 1)
+
+
 def test_lsh_bucket_profile_over_cap_accounting(spark):
     """A planted clone group larger than MINHASH_MAX_BUCKET must land
     in the over-cap regime with star+chain pair accounting: 300
