@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import os
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -166,6 +167,35 @@ def _enable_nanos_read(spark: SparkSession) -> None:
         )
 
 
+# Row-count hints read from parquet FOOTERS at load time (metadata
+# only, no Spark job), keyed weakly on the DataFrame handle. Operators
+# that auto-scale parameters from the corpus size (similarity's ANN
+# family) consult this before ever firing a count() action, so a
+# registered plan build on a fresh handle triggers zero Spark jobs.
+# Weak keys: entries die with the handle; a re-load after an append
+# re-reads the footers, so the hint is as fresh as the handle itself.
+ROW_HINTS: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+@lru_cache(maxsize=256)
+def _footer_rows(path: str) -> int | None:
+    """Total row count from parquet footer metadata (file or dir)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return total
+    except Exception:  # pragma: no cover - remote/odd layouts
+        return None
+
+
 @lru_cache(maxsize=256)
 def _few_splits(path: str) -> bool:
     """True if the parquet path can't parallelize a scan (fewer than 8
@@ -210,6 +240,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = SPLIT_KEYS.get(name)
     if key is not None and _few_splits(path):
         out = out.repartition(spark.sparkContext.defaultParallelism, key)
+    n = _footer_rows(path)
+    if n is not None:
+        try:
+            ROW_HINTS[out] = n
+        except TypeError:  # pragma: no cover - unhashable handle
+            pass
     return out
 
 
@@ -224,13 +260,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TABLES_CACHE: dict[tuple[int, str, bool], dict[str, DataFrame]] = {}
 
 
+def _session_stopped(frames: dict[str, DataFrame]) -> bool:
+    """True if the session backing these cached handles is stopped."""
+    try:
+        df = next(iter(frames.values()))
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
 ) -> dict[str, DataFrame]:
     """Load every catalog table; optionally register temp views for SQL."""
+    # Evict entries whose session has been stopped: id(spark) can be
+    # reused by a new session object, and a stale hit would hand out
+    # handles bound to a dead JVM-side plan.
+    for k in [k for k, v in _TABLES_CACHE.items() if _session_stopped(v)]:
+        del _TABLES_CACHE[k]
     key = (id(spark), sf_dir, register)
     if key in _TABLES_CACHE:
-        return dict(_TABLES_CACHE[key])
+        cached = dict(_TABLES_CACHE[key])
+        if register:
+            # Temp views are session state the cache can't see: a view
+            # dropped or overwritten since the first call must be
+            # restored (10 cheap py4j calls, no re-read).
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+        return cached
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)

@@ -208,8 +208,9 @@ def constraint_audit(t: dict[str, DataFrame]) -> DataFrame:
     sort-merge for fact-fact; a NULL or dangling FK both count as
     orphans), and the result is a ~23-row literal-width union —
     nothing funnels through one task. All counts are exact integers;
-    composite keys compare via a concat_ws key so both engines count
-    the same tuples.
+    composite keys compare via a STRUCT key (injective, NULL-safe per
+    component) so both engines count the same tuples even on keys with
+    NULLs or delimiter-like values.
 
     Output: (entity, check_name, n_rows, n_violations, ok) ordered by
     (entity, check_name). On the driver corpus every check passes
@@ -231,7 +232,15 @@ def constraint_audit(t: dict[str, DataFrame]) -> DataFrame:
         )
 
     def pk(entity: str, *cols: str) -> DataFrame:
-        key = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        # Distinct over a STRUCT of the raw columns, not a concat_ws
+        # string: concat_ws skips NULL components and a delimiter
+        # inside a value can collide ('a|b','c') with ('a','b|c'),
+        # so the string key is not injective. A struct with NULL
+        # fields is itself non-NULL, so the count is NULL-safe per
+        # component and injective (DuckDB's (a, b) row value has the
+        # same semantics — verified both engines count identically on
+        # NULL/delimiter-bearing keys).
+        key = F.struct(*[F.col(c) for c in cols])
         return row(
             entity,
             "pk_unique:" + "+".join(cols),

@@ -393,10 +393,20 @@ def _corpus_size(emb: DataFrame, hint: int | None = None) -> int:
     and derived parameters (n_tables/bits/n_centroids) stay sized for
     the smaller corpus. That only degrades bucket-population tuning,
     never correctness; callers who mutate tables should build a fresh
-    handle (cheap — it is just a logical plan) or pass the hint."""
+    handle (cheap — it is just a logical plan) or pass the hint.
+
+    Catalog-loaded handles carry a parquet-FOOTER row count
+    (catalog.ROW_HINTS, seeded at load time with zero Spark jobs), so
+    registered plan builds on a fresh handle never fire a count()
+    action, and a re-load after an append re-reads fresh footers —
+    removing the stale-memo class for every catalog-sourced corpus."""
     if hint is not None:
         return hint
     cached = _COUNT_MEMO.get(emb)
+    if cached is None:
+        from ecom_etl_proj_spark import catalog as _catalog
+
+        cached = _catalog.ROW_HINTS.get(emb)
     if cached is None:
         cached = emb.count()
         try:

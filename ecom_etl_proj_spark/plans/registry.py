@@ -1463,8 +1463,13 @@ _SEMANTIC_DEDUP_ORACLE = f"""
         FROM tot
     ),
     cent AS (
+        -- Seed centroids from the CORPUS split only (mirrors the
+        -- engine, which never lets an arriving-batch vector become a
+        -- centroid): when split < nc the engine caps the seed set at
+        -- the corpus, so least(nc, split) — not nc — is the bound.
         SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-        WHERE vec_id < (SELECT nc FROM params)
+        WHERE vec_id < least((SELECT nc FROM params),
+                             (SELECT split FROM params))
     ),
     corpus AS (
         SELECT vec_id, embedding FROM embeddings
@@ -3277,8 +3282,10 @@ register(
 # declarations in a tiny comprehension so the two engines can never
 # drift on WHICH expectations exist — only the per-check SQL shapes
 # below are hand-written, and each mirrors cleaning.constraint_audit's
-# aggregate exactly (concat_ws composite keys, NULL FK = orphan,
-# CASE-ELSE-1 so a NULL range predicate counts as a violation).
+# aggregate exactly (ROW(...) struct keys — injective and NULL-safe
+# per component, matching Spark's count_distinct(struct(...)); NULL FK
+# = orphan, CASE-ELSE-1 so a NULL range predicate counts as a
+# violation).
 _CA_PK = [
     ("region", ["r_regionkey"]),
     ("nation", ["n_nationkey"]),
@@ -3313,7 +3320,7 @@ _CA_ROWS = (
     [
         f"""SELECT '{e}' AS entity, 'pk_unique:{"+".join(cols)}' AS check_name,
             count(*) AS n_rows,
-            count(*) - count(DISTINCT concat_ws('|', {", ".join(cols)}))
+            count(*) - count(DISTINCT ROW({", ".join(cols)}))
                 AS n_violations FROM {e}"""
         for e, cols in _CA_PK
     ]

@@ -45,7 +45,18 @@ def get_spark(app_name: str = "ecom-etl-proj-spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
-        _engine_warmup(spark)
+        # Warmup is an optimization, never a correctness dependency: if
+        # the priming queries fail (constrained driver memory, exotic
+        # configs), degrade to an unprimed session rather than making
+        # session acquisition itself raise.
+        try:
+            _engine_warmup(spark)
+        except Exception as exc:  # pragma: no cover - defensive
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "engine warmup failed; continuing unprimed: %s", exc
+            )
     return spark
 
 

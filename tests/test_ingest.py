@@ -272,6 +272,22 @@ def test_load_tables_handle_cache(spark):
     assert c["lineitem"] is a["lineitem"]
 
 
+def test_load_tables_cache_hit_restores_views(spark):
+    """register=True must re-register temp views even on a cache hit:
+    a view dropped (or overwritten) after the first call is session
+    state the handle cache cannot see, so every registered call
+    replays createOrReplaceTempView (cheap py4j, no re-read)."""
+    from ecom_etl_proj_spark.catalog import load_tables
+
+    a = load_tables(spark, "/root/testdata/sf0.001", register=True)
+    spark.catalog.dropTempView("region")
+    spark.range(1).createOrReplaceTempView("nation")  # overwritten
+    b = load_tables(spark, "/root/testdata/sf0.001", register=True)
+    assert all(a[k] is b[k] for k in a)  # still a cache hit
+    assert spark.table("region").columns == ["r_regionkey", "r_name"]
+    assert "n_nationkey" in spark.table("nation").columns
+
+
 def test_engine_warmup_once_and_gated(spark, monkeypatch):
     """_engine_warmup is once-per-session (repeat get_spark calls must
     not re-pay the priming) and SPARK_GRAFT_WARMUP=0 skips it for

@@ -110,6 +110,32 @@ def test_ann_plan_build_action_free(spark, tables):
     assert list(tracker.getJobIdsForGroup("ann_build_memo")) == []
 
 
+def test_ann_plan_build_footer_hinted_fresh_handle(spark):
+    """A FRESH catalog handle carries the parquet-footer row count
+    (catalog.ROW_HINTS, seeded at load time), so even the FIRST
+    unhinted ANN plan build on it fires zero Spark jobs — the
+    stale-memo class (appended corpus under a reused handle) is gone
+    for catalog-sourced tables because a re-load re-reads footers."""
+    import os
+
+    from ecom_etl_proj_spark import catalog
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    assert catalog.ROW_HINTS.get(emb) is not None
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("ann_build_footer", "fresh-handle plan build")
+    t = {"embeddings": emb}
+    sim.ann_lsh(t)
+    sim.ann_ivf(t)
+    sim.incremental_semantic_dedup(t)
+    assert list(tracker.getJobIdsForGroup("ann_build_footer")) == []
+
+
 def test_ivf_assignment_row_local(tables):
     """Centroid assignment must be a row-local fold: no shuffle keyed on
     vec_id anywhere (the old crossJoin + row_number-over-vec_id window
