@@ -1180,3 +1180,404 @@ def test_incremental_dedup_stream_stateful_soak(spark, tables):
             )
     finally:
         drop()
+
+
+# ---------------------------------------------------------------------------
+# KV serving store (streaming/serving.py): the reference's Redis surface
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal  # noqa: E402
+
+from ecom_etl_proj_spark.streaming import serving  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def served_store(spark, tables):
+    """Drive the full consumer-metrics sink over the events corpus in
+    THREE time-ordered micro-batches with a shared checkpoint (each
+    slice arrives while the stream is stopped, so this also exercises
+    checkpoint restart), and return the populated store."""
+    import os
+
+    e = tables["events"]
+    lo, hi = e.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        e.filter(F.unix_timestamp("ts") < c1),
+        e.filter(
+            (F.unix_timestamp("ts") >= c1) & (F.unix_timestamp("ts") < c2)
+        ),
+        e.filter(F.unix_timestamp("ts") >= c2),
+    ]
+    store = serving.EmbeddedKVStore()
+    src = tempfile.mkdtemp(prefix="serving_src_")
+    ckpt = tempfile.mkdtemp(prefix="serving_ckpt_")
+    try:
+        for i, part in enumerate(slices):
+            part.repartition(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(e.schema).parquet(src)
+            q = serving.serve_consumer_metrics(stream, store, ckpt)
+            q.awaitTermination(120)
+        yield store
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_serving_totals_match_topic_counters(spark, tables, served_store):
+    """metrics:totals must equal the oracle'd topic_counters batch
+    query (family counts + orders revenue)."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    topic_to_fam = {
+        "product_views": "views",
+        "cart_additions": "cart_adds",
+        "wishlist_additions": "wishlist_adds",
+        "orders": "orders",
+    }
+    totals = served_store.hgetall("metrics:totals")
+    batch = {
+        r["topic"]: r for r in ev.topic_counters(tables).collect()
+    }
+    assert set(topic_to_fam) == set(batch)
+    for topic, fam in topic_to_fam.items():
+        assert totals[f"total_{fam}"] == batch[topic]["n_events"], fam
+    assert float(
+        round(totals["total_revenue"], 2)
+    ) == batch["orders"]["total_value"]
+    assert "last_updated" in totals
+
+
+def test_serving_minutely_match_events_minutely(spark, tables, served_store):
+    """The four <fam>:minutely hashes + revenue:minutely must equal the
+    oracle'd events_minutely aggregate, minute for minute."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    fam_of = {"view": "views", "click": "cart_adds",
+              "signup": "wishlist_adds", "purchase": "orders"}
+    batch = ev.events_minutely(tables).collect()
+    counts: dict[tuple, int] = {}
+    revenue: dict[str, float] = {}
+    for r in batch:
+        fam = fam_of.get(r["event_type"])
+        if fam is None:
+            continue
+        minute = r["minute"].strftime("%Y-%m-%d-%H-%M")
+        counts[(fam, minute)] = r["num_events"]
+        if fam == "orders":
+            revenue[minute] = r["total_value"]
+    for (fam, minute), n in counts.items():
+        key = serving.MINUTELY_KEY[fam]
+        assert served_store.hgetall(key)[minute] == n, (fam, minute)
+    got_rev = {
+        m: float(round(v, 2))
+        for m, v in served_store.hgetall("revenue:minutely").items()
+    }
+    assert got_rev == revenue
+    # no extra minutes appear in any family hash
+    for fam, key in serving.MINUTELY_KEY.items():
+        got = set(served_store.hgetall(key))
+        want = {m for (f, m) in counts if f == fam}
+        assert got == want, fam
+
+
+def test_serving_product_user_counters(spark, tables, served_store):
+    """product:<fam> and user:views hashes must equal the oracle'd
+    product_counters / user_activity batch queries."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    pc = {r["product_id"]: r for r in ev.product_counters(tables).collect()}
+    for fam, col in (
+        ("views", "n_views"),
+        ("cart_adds", "n_clicks"),
+        ("orders", "n_purchases"),
+    ):
+        got = {
+            int(k): v
+            for k, v in served_store.hgetall(f"product:{fam}").items()
+        }
+        want = {p: r[col] for p, r in pc.items() if r[col] > 0}
+        assert got == want, fam
+    ua = {
+        r["user_id"]: r["views"]
+        for r in ev.user_activity(tables).collect()
+        if r["views"] > 0
+    }
+    got_users = {
+        int(k): v for k, v in served_store.hgetall("user:views").items()
+    }
+    assert got_users == ua
+
+
+def test_serving_recent_lists_match_batch(spark, tables, served_store):
+    """recent:<fam> lists must hold the same newest-100 event ids, in
+    the same newest-first order, as recent_events_by_family."""
+    import json as _json
+
+    from ecom_etl_proj_spark.operators import events as ev
+
+    fam_of = {"view": "views", "click": "cart_adds",
+              "signup": "wishlist_adds", "purchase": "orders"}
+    batch: dict[str, list[int]] = {}
+    rows = ev.recent_events_by_family(tables).collect()
+    for et, fam in fam_of.items():
+        ordered = sorted(
+            (r for r in rows if r["event_type"] == et),
+            key=lambda r: (r["ts"], r["event_id"]),
+            reverse=True,
+        )
+        batch[fam] = [r["event_id"] for r in ordered]
+    for fam, want in batch.items():
+        got = [
+            _json.loads(item)["event_id"]
+            for item in served_store.lrange(f"recent:{fam}", 100)
+        ]
+        assert got == want, fam
+
+
+def test_serving_running_totals_parity(spark, tables, served_store):
+    """Cumulative revenue reconstructed from revenue:minutely must
+    equal the oracle'd running_totals query."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    want = [
+        (r["minute"].strftime("%Y-%m-%d-%H-%M"), r["cumulative_revenue"])
+        for r in ev.running_totals(tables).collect()
+    ]
+    want.sort()
+    rev = served_store.hgetall("revenue:minutely")
+    acc = Decimal(0)
+    got = []
+    for minute in sorted(rev):
+        acc += Decimal(str(round(rev[minute], 2)))
+        got.append((minute, float(round(acc, 2))))
+    assert got == sorted(want)
+
+
+def test_serving_epoch_replay_is_noop(spark, tables):
+    """foreachBatch is at-least-once: re-applying an epoch (the crash-
+    between-apply-and-commit replay) must change nothing, and the op
+    list itself must be deterministic so the replayed epoch stages
+    identical ops."""
+    batch = tables["events"].limit(500)
+    ops1 = serving.consumer_metric_ops(batch)
+    ops2 = serving.consumer_metric_ops(batch)
+    assert ops1 == ops2
+    store = serving.EmbeddedKVStore()
+    assert store.apply_batch("s", 0, ops1) is True
+    snap = (
+        store.hgetall("metrics:totals"),
+        store.hgetall("views:minutely"),
+        store.lrange("recent:views"),
+    )
+    assert store.apply_batch("s", 0, ops2) is False
+    assert snap == (
+        store.hgetall("metrics:totals"),
+        store.hgetall("views:minutely"),
+        store.lrange("recent:views"),
+    )
+    # a NEW epoch still applies
+    assert store.apply_batch("s", 1, ops1) is True
+    assert (
+        store.hgetall("metrics:totals")["total_views"]
+        == 2 * snap[0]["total_views"]
+    )
+
+
+def test_kv_store_op_semantics():
+    """The op contract every implementation must honor (the embedded
+    store is the reference implementation; the env-gated Redis test
+    below replays the same list against a live server)."""
+    store = serving.EmbeddedKVStore()
+    ops = [
+        ("hincr", "h", {"a": 1, "b": Decimal("2.5")}),
+        ("hincr", "h", {"a": 3}),
+        ("hset", "h", {"c": "x"}),
+        ("lpush_trim", "l", ["1", "2", "3"], 2),
+        ("lpush_trim", "l", ["4"], 2),
+        ("set", "v", "latest"),
+    ]
+    store.apply_batch("t", 0, ops)
+    h = store.hgetall("h")
+    assert h["a"] == 4 and h["b"] == Decimal("2.5") and h["c"] == "x"
+    # lpush semantics: later items land at the head; trim keeps newest
+    assert store.lrange("l") == ["4", "3"]
+    assert store.get("v") == "latest"
+
+
+def test_redis_store_matches_embedded():
+    """Env-gated live-Redis contract test (same seam style as Kafka):
+    the identical op stream must read back equal through redis-py."""
+    import os
+
+    url = os.environ.get(serving.REDIS_URL_ENV)
+    if not url:
+        pytest.skip(f"no {serving.REDIS_URL_ENV} configured")
+    ops = [
+        ("hincr", "t:h", {"a": 1, "b": 2.5}),
+        ("hincr", "t:h", {"a": 3}),
+        ("lpush_trim", "t:l", ["1", "2"], 2),
+        ("set", "t:v", "x"),
+    ]
+    emb = serving.EmbeddedKVStore()
+    emb.apply_batch("contract", 0, ops)
+    red = serving.RedisKVStore(url)
+    red.apply_batch("contract", 0, ops)
+    assert red.apply_batch("contract", 0, ops) is False  # marker held
+    assert int(red.hgetall("t:h")["a"]) == emb.hgetall("t:h")["a"]
+    assert abs(
+        float(red.hgetall("t:h")["b"]) - float(emb.hgetall("t:h")["b"])
+    ) < 1e-6
+    assert red.lrange("t:l") == emb.lrange("t:l")
+    assert red.get("t:v") == emb.get("t:v")
+
+
+# ---------------------------------------------------------------------------
+# Producer twin (streaming/producer.py): the write side of the broker seam
+# ---------------------------------------------------------------------------
+
+from ecom_etl_proj_spark.streaming import producer  # noqa: E402
+
+
+def test_producer_payload_round_trips(spark, tables):
+    """What to_kafka_records encodes, parse_event_payload must decode
+    back row-for-row (the payload contract both sides of the broker
+    seam share) — batch-testable with no broker."""
+    events = tables["events"].limit(2000)
+    records = producer.to_kafka_records(events)
+    decoded = pipeline.parse_event_payload(records.select("value"))
+    want = sorted(
+        map(
+            tuple,
+            events.filter(
+                F.col("event_type").isin(*producer.TOPIC_OF)
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, decoded.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_producer_topic_mapping_and_keys(spark, tables):
+    """Topic fan-out must follow the reference's four-family mapping
+    with key=user_id; error events are dropped."""
+    events = tables["events"]
+    records = producer.to_kafka_records(events)
+    got = {
+        r["topic"]: r["n"]
+        for r in records.groupBy("topic").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        producer.TOPIC_OF[r["event_type"]]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["event_type"] in producer.TOPIC_OF
+    }
+    assert got == want
+    sample = records.limit(5).collect()
+    assert all(r["key"] is not None and r["key"].isdigit() for r in sample)
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_KAFKA_BOOTSTRAP" not in __import__("os").environ,
+    reason="needs a reachable Kafka broker + spark-sql-kafka connector "
+    "(set SPARK_GRAFT_KAFKA_BOOTSTRAP to run)",
+)
+def test_kafka_producer_consumer_round_trip(spark, tables):
+    """Full realtime path in a broker-equipped environment: the
+    producer twin writes the events corpus to the four reference
+    topics; the consumer seam reads it back; every mapped event
+    arrives exactly once with its full payload."""
+    import os as _os
+
+    bootstrap = _os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"]
+    sent = tables["events"].limit(1000)
+    producer.produce_events(sent, bootstrap)
+    df = pipeline.events_stream_source(spark)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("kafka_round_trip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.table("kafka_round_trip")
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in sent.filter(F.col("event_type").isin(*producer.TOPIC_OF))
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    }
+    assert want <= got
+
+
+def test_serving_sink_crash_replay_exactly_once(spark, tables):
+    """Crash-replay proof for the SERVING sink (the r8 harness shape):
+    the injected crash lands AFTER the store applied an epoch but
+    BEFORE the checkpoint committed it — the worst-case at-least-once
+    window for increment ops. On restart the epoch replays, the store's
+    applied-epoch marker makes it a no-op, and the final counters equal
+    the batch aggregate exactly (no double counting)."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    class CrashOnceStore(serving.EmbeddedKVStore):
+        def __init__(self):
+            super().__init__()
+            self.crashed = False
+
+        def apply_batch(self, sink_id, epoch, ops):
+            applied = super().apply_batch(sink_id, epoch, ops)
+            if applied and not self.crashed:
+                self.crashed = True
+                raise RuntimeError(
+                    "injected crash: store applied, epoch commit did not"
+                )
+            return applied
+
+    events = tables["events"].filter(F.col("event_id") % 7 == 0)
+    store = CrashOnceStore()
+    with tempfile.TemporaryDirectory(prefix="serving_crash_") as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        events.repartition(3).write.parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = serving.serve_consumer_metrics(stream, store, ckpt)
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                pass  # the injected crash surfaces here on run 1
+
+        run()
+        assert store.crashed, "crash must have fired on the first run"
+        run()  # restart on the same checkpoint: replay + drain the rest
+
+    topic_to_fam = {
+        "product_views": "views",
+        "cart_additions": "cart_adds",
+        "wishlist_additions": "wishlist_adds",
+        "orders": "orders",
+    }
+    totals = store.hgetall("metrics:totals")
+    batch = {
+        r["topic"]: r
+        for r in ev.topic_counters({"events": events}).collect()
+    }
+    for topic, fam in topic_to_fam.items():
+        assert totals[f"total_{fam}"] == batch[topic]["n_events"], fam
+    assert float(
+        round(totals["total_revenue"], 2)
+    ) == batch["orders"]["total_value"]
