@@ -3192,6 +3192,74 @@ register(
     """,
 )
 
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Code-gen the unrolled-CTE oracle for bpe_train_merges: one
+    (pairs → top-1 → replace → token-count) CTE block per merge round,
+    chained — the same unrolled-iteration pattern as the pagerank
+    oracle. The merge application is the identical non-overlapping
+    leftmost-first ``replace`` over the ``|sym||sym|`` delimited string
+    the engine uses, so both engines learn byte-identical merge tables;
+    NULL-coalesced patterns make an exhausted round (no pairs left) a
+    no-op instead of a NULL wipe. All-integer outputs → bit-exact."""
+    ctes = [
+        """syms0 AS MATERIALIZED (
+        SELECT count(*) AS freq,
+               '|' || array_to_string(string_split(w, ''), '||') || '|' AS sym
+        FROM (
+            SELECT replace(unnest(
+                string_split(lower(trim(text)), ' ')), '|', '') AS w
+            FROM documents
+        ) WHERE length(w) > 0 GROUP BY w
+    )"""
+    ]
+    finals = []
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""pairs{r} AS MATERIALIZED (
+        SELECT a AS l, b AS r, sum(freq) AS n FROM (
+            SELECT freq,
+                   unnest(larr[1:len(larr) - 1]) AS a,
+                   unnest(larr[2:len(larr)]) AS b
+            FROM (SELECT freq, string_split(trim(sym, '|'), '||') AS larr
+                  FROM syms{p})
+            WHERE len(larr) >= 2
+        ) GROUP BY 1, 2
+    )""")
+        ctes.append(f"""top{r} AS MATERIALIZED (
+        SELECT l, r, n FROM pairs{r}
+        ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    )""")
+        ctes.append(f"""syms{r} AS MATERIALIZED (
+        SELECT freq, replace(sym,
+            coalesce('|' || (SELECT l FROM top{r}) || '||'
+                         || (SELECT r FROM top{r}) || '|', chr(1)),
+            coalesce('|' || (SELECT l FROM top{r})
+                         || (SELECT r FROM top{r}) || '|', '')) AS sym
+        FROM syms{p}
+    )""")
+        ctes.append(f"""tok{r} AS MATERIALIZED (
+        SELECT sum(freq * len(string_split(trim(sym, '|'), '||'))) AS n
+        FROM syms{r}
+    )""")
+        finals.append(
+            f"""SELECT {r} AS round, l AS left_sym, r AS right_sym,
+            l || r AS merged, CAST(n AS BIGINT) AS pair_count,
+            CAST((SELECT n FROM tok{r}) AS BIGINT) AS corpus_tokens
+            FROM top{r}"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(finals)
+    )
+
+
+register(
+    "bpe_train_merges",
+    textops.bpe_train_merges,
+    _bpe_train_oracle(8),
+)
+
 register(
     "top_event_paths",
     events.top_event_paths,

@@ -2673,3 +2673,46 @@ def test_append_ann_state_equals_full_build(spark, tables):
     finally:
         drop("apA")
         drop("apB")
+
+
+def test_bpe_train_merges_semantics(spark):
+    """Merge application must be non-overlapping leftmost-first
+    (classic BPE): 'aaaa' under merge (a,a) becomes [aa, aa], 'aaa'
+    becomes [aa, a]; ties break on (count desc, left asc, right asc);
+    counts are word-frequency weighted; the delimiter char is stripped
+    from the alphabet."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa|a"), (2, "aaaa"), (3, "bc bc")],
+        "doc_id long, text string",
+    )
+    out = textops.bpe_train_merges({"documents": docs}, n_merges=2).collect()
+    r1 = out[0]
+    # pairs round 1: (a,a): 'aaaa' has 3 adjacent (x2 words=6)... plus
+    # 'aaa|a'->'aaaa' another 3 -> freq-weighted: words are types:
+    # 'aaaa' freq 3 (two from doc1+2? 'aaaa' appears in doc1 and doc2,
+    # and 'aaa|a' cleans to 'aaaa') -> freq 3, pairs 3*3=9; (b,c) 2.
+    assert (r1["left_sym"], r1["right_sym"], r1["merged"]) == ("a", "a", "aa")
+    assert r1["pair_count"] == 9
+    # after merge: 'aaaa' -> [aa, aa] (leftmost, non-overlapping)
+    # corpus_tokens = 3 words * 2 syms + 2 words * 2 syms (b,c) = 10
+    assert r1["corpus_tokens"] == 10
+    r2 = out[1]
+    # round 2: (aa,aa) count 3 beats (b,c) count 2
+    assert (r2["left_sym"], r2["right_sym"]) == ("aa", "aa")
+    assert r2["pair_count"] == 3
+    assert r2["corpus_tokens"] == 7  # 3 * [aaaa] + 2 * [b, c]
+
+
+def test_bpe_train_merges_early_stop(spark):
+    """When every word is a single symbol, later rounds emit nothing
+    (the trainer stops instead of emitting NULL merges)."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id long, text string"
+    )
+    out = textops.bpe_train_merges({"documents": docs}, n_merges=5).collect()
+    # round 1 merges (a,b); round 2 merges (c,d); then no pairs remain
+    assert [(r["round"], r["merged"]) for r in out] == [(1, "ab"), (2, "cd")]
