@@ -24,8 +24,9 @@ Scale notes (100 TB):
 - The dedup/impute/map operators are the composable ones from
   ``operators/cleaning.py`` — one shuffle each, AQE handles skew.
 - Validation is count-only (like the reference) plus NOT NULL checks on
-  key columns; both are metadata-cheap aggregates, not full-row
-  comparisons.
+  key columns — both FUSED into one Spark job per layer via the
+  constraint_audit literal-width-union shape (a per-table job each
+  through r10), over column-pruned scans of the written tables.
 """
 
 from __future__ import annotations
@@ -62,6 +63,40 @@ def _write(df: DataFrame, path: str, partition_cols: list[str] | None = None) ->
     w.parquet(path)
 
 
+def fused_table_counts(frames: dict[str, DataFrame]) -> dict[str, int]:
+    """Row counts for a whole layer in ONE Spark ACTION: a literal-
+    width union of per-table count aggregates (the constraint_audit
+    shape, operators/cleaning.py). Through r10 this was one
+    ``.count()`` action per table — one scheduler round trip each, and
+    for derived frames a full lineage recompute; at warehouse scale
+    one fused job suffices (tests/test_pipeline.py asserts the single
+    job)."""
+    from functools import reduce
+
+    parts = [
+        df.agg(F.count("*").alias("n")).select(F.lit(name).alias("t"), "n")
+        for name, df in frames.items()
+    ]
+    return {
+        r["t"]: r["n"] for r in reduce(DataFrame.unionByName, parts).collect()
+    }
+
+
+def _fused_counts(
+    spark: SparkSession, out_dir: str, layer: str, names
+) -> dict[str, int]:
+    """Post-load counts over the tables as WRITTEN (the read-back also
+    validates what actually landed; row-group metadata keeps the scan
+    cheap). Plan building reads parquet footers — the one fused job is
+    the counting action itself."""
+    return fused_table_counts(
+        {
+            name: spark.read.parquet(os.path.join(out_dir, layer, name))
+            for name in names
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # ODS: typed raw load
 # ---------------------------------------------------------------------------
@@ -71,12 +106,10 @@ ODS_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lin
 
 def run_ods(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     """Typed raw tables, truncate-reload (overwrite) idempotent."""
-    counts: dict[str, int] = {}
     for name in ODS_TABLES:
         df = catalog.load_table(spark, sf_dir, name)
         _write(df, os.path.join(out_dir, "ods", name))
-        counts[name] = df.count()
-    return counts
+    return _fused_counts(spark, out_dir, "ods", ODS_TABLES)
 
 
 # ---------------------------------------------------------------------------
@@ -166,11 +199,9 @@ def run_stg(spark: SparkSession, out_dir: str) -> dict[str, int]:
         "nation": t["nation"],
         "region": t["region"],
     }
-    counts: dict[str, int] = {}
     for name, df in stg.items():
         _write(df, os.path.join(out_dir, "stg", name))
-        counts[name] = df.count()
-    return counts
+    return _fused_counts(spark, out_dir, "stg", stg)
 
 
 # ---------------------------------------------------------------------------
@@ -258,26 +289,56 @@ def run_dwh(spark: SparkSession, out_dir: str, snapshot_date: str) -> dict[str, 
         ("dim_supplier", dim_supplier, None),
         ("fact_sales", fact_sales, ["ship_month"]),
     ]
-    counts: dict[str, int] = {}
     for name, df, parts in loads:
         stamped = cleaning.audit_columns(df, snapshot_date)
         _write(stamped, os.path.join(out_dir, "dwh", name), parts)
-        counts[name] = stamped.count()
-    return counts
+    return _fused_counts(spark, out_dir, "dwh", [n for n, _, _ in loads])
 
 
-def validate_dwh(spark: SparkSession, out_dir: str) -> dict[str, int]:
-    """NOT NULL checks on every declared key column (one tiny agg per
-    table — the scan is column-pruned to the key columns only)."""
-    violations: dict[str, int] = {}
-    for table, cols in DWH_NOT_NULL.items():
-        df = spark.read.parquet(os.path.join(out_dir, "dwh", table))
+def fused_not_null_counts(
+    frames: dict[str, DataFrame], cols_of: dict[str, list[str]]
+) -> dict[str, int]:
+    """NOT NULL violation counts for many tables in ONE Spark action
+    (the constraint_audit literal-width-union shape): each table
+    contributes a single conditional-sum aggregate over a scan
+    column-pruned to its key columns — replacing one filter+count job
+    per table."""
+    from functools import reduce
+
+    parts = []
+    for table, cols in cols_of.items():
         null_any = None
         for c in cols:
             cond = F.col(c).isNull()
             null_any = cond if null_any is None else (null_any | cond)
-        violations[table] = df.filter(null_any).count()
-    return violations
+        parts.append(
+            frames[table]
+            .agg(
+                F.sum(F.when(null_any, 1).otherwise(0))
+                .cast("bigint")
+                .alias("viol")
+            )
+            .select(
+                F.lit(table).alias("t"),
+                F.coalesce("viol", F.lit(0)).alias("viol"),
+            )
+        )
+    return {
+        r["t"]: r["viol"]
+        for r in reduce(DataFrame.unionByName, parts).collect()
+    }
+
+
+def validate_dwh(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """NOT NULL checks on every declared key column, fused into one
+    job for the whole layer (see fused_not_null_counts)."""
+    return fused_not_null_counts(
+        {
+            table: spark.read.parquet(os.path.join(out_dir, "dwh", table))
+            for table in DWH_NOT_NULL
+        },
+        DWH_NOT_NULL,
+    )
 
 
 def run_batch_etl(

@@ -393,3 +393,37 @@ def test_zorder_compacts_both_dimensions(spark, tables, tmp_path):
         g = glob[ci][1] - glob[ci][0]
         avg_frac = sum(spans[ci]) / len(spans[ci]) / g
         assert avg_frac <= 0.6, (ci, avg_frac)
+
+
+def test_layer_validation_is_one_job(report, spark):
+    """Row-count validation and the NOT NULL sweep must each run as ONE
+    fused Spark job per layer (the constraint_audit union shape) — not
+    one job per table (5-7 scheduler round trips each through r10).
+    Frames are pre-built so the job group isolates the counting ACTION
+    (plan building reads parquet footers, which fires its own tiny
+    listing jobs on any read path, fused or not)."""
+    import os as _os
+
+    _, out = report
+    frames = {
+        t: spark.read.parquet(_os.path.join(out, "dwh", t))
+        for t in batch.DWH_NOT_NULL
+    }
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # AQE materializes every exchange as its own tiny job, which makes
+    # the job COUNT an AQE artifact rather than a scheduling-cost
+    # signal; pin it off here so "one action == one job" is checkable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("fused_counts", "one job for the whole layer")
+        counts = batch.fused_table_counts(frames)
+        assert len(counts) == len(batch.DWH_NOT_NULL)
+        assert len(list(tracker.getJobIdsForGroup("fused_counts"))) == 1
+        sc.setJobGroup("fused_nn", "one job for the NOT NULL sweep")
+        viol = batch.fused_not_null_counts(frames, batch.DWH_NOT_NULL)
+        assert set(viol) == set(batch.DWH_NOT_NULL)
+        assert all(v == 0 for v in viol.values())
+        assert len(list(tracker.getJobIdsForGroup("fused_nn"))) == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
