@@ -39,6 +39,37 @@ TABLES = (
     "embeddings",
 )
 
+# Key declarations — the single source of truth shared by the
+# constraint-audit expectation suite (operators/cleaning.py +
+# plans/registry.py oracle) and the warehouse DDL generator
+# (sources/ingest.py), so the engines and the DDL can never drift on
+# which keys exist (the reference declares these in its target DDL,
+# local/create_schema_tables.py:1-140 / target_layer.py:36-154).
+PRIMARY_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id"],
+}
+
+# (table, fk_column, parent_table, parent_column) — the star schema's
+# seven FK edges.
+FOREIGN_KEYS: list[tuple[str, str, str, str]] = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
 # Dimension tables small enough to broadcast at any realistic scale
 # (region/nation are bounded by geography; supplier/part grow but stay
 # orders of magnitude below the fact tables).

@@ -275,24 +275,13 @@ def constraint_audit(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
 
+    from ecom_etl_proj_spark.catalog import FOREIGN_KEYS, PRIMARY_KEYS
+
     checks = [
-        pk("region", "r_regionkey"),
-        pk("nation", "n_nationkey"),
-        pk("customer", "c_custkey"),
-        pk("supplier", "s_suppkey"),
-        pk("part", "p_partkey"),
-        pk("orders", "o_orderkey"),
-        pk("lineitem", "l_orderkey", "l_linenumber"),
-        pk("documents", "doc_id"),
-        pk("embeddings", "vec_id"),
-        pk("events", "event_id"),
-        fk("nation", "n_regionkey", "region", "r_regionkey"),
-        fk("customer", "c_nationkey", "nation", "n_nationkey"),
-        fk("supplier", "s_nationkey", "nation", "n_nationkey"),
-        fk("orders", "o_custkey", "customer", "c_custkey"),
-        fk("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        fk("lineitem", "l_partkey", "part", "p_partkey"),
-        fk("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        pk(entity, *cols) for entity, cols in PRIMARY_KEYS.items()
+    ] + [
+        fk(*edge) for edge in FOREIGN_KEYS
+    ] + [
         cond("orders", "not_null:o_orderdate", F.col("o_orderdate").isNotNull()),
         cond("lineitem", "not_null:l_shipdate", F.col("l_shipdate").isNotNull()),
         cond("documents", "not_null:text", F.col("text").isNotNull()),

@@ -3354,27 +3354,14 @@ register(
 # per component, matching Spark's count_distinct(struct(...)); NULL FK
 # = orphan, CASE-ELSE-1 so a NULL range predicate counts as a
 # violation).
-_CA_PK = [
-    ("region", ["r_regionkey"]),
-    ("nation", ["n_nationkey"]),
-    ("customer", ["c_custkey"]),
-    ("supplier", ["s_suppkey"]),
-    ("part", ["p_partkey"]),
-    ("orders", ["o_orderkey"]),
-    ("lineitem", ["l_orderkey", "l_linenumber"]),
-    ("documents", ["doc_id"]),
-    ("embeddings", ["vec_id"]),
-    ("events", ["event_id"]),
-]
-_CA_FK = [
-    ("nation", "n_regionkey", "region", "r_regionkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-]
+# Key declarations imported from the catalog — ONE source of truth for
+# the engine's checks, this oracle, and the warehouse DDL generator.
+from ecom_etl_proj_spark.catalog import (  # noqa: E402
+    FOREIGN_KEYS as _CA_FK,
+    PRIMARY_KEYS as _CA_PK_MAP,
+)
+
+_CA_PK = list(_CA_PK_MAP.items())
 _CA_COND = [
     ("orders", "not_null:o_orderdate", "o_orderdate IS NOT NULL"),
     ("lineitem", "not_null:l_shipdate", "l_shipdate IS NOT NULL"),

@@ -89,6 +89,104 @@ def write_lake(
     )
 
 
+# Spark simpleString type → SQL column type per dialect. VARCHAR is
+# sized generously (Derby requires a length); arrays have no portable
+# SQL analog and travel as JSON text (see jdbc_projection), so their
+# DDL slot is a large character type.
+_SQL_TYPES: dict[str, dict[str, str]] = {
+    "derby": {
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "double": "DOUBLE",
+        "string": "VARCHAR(1024)",
+        "timestamp": "TIMESTAMP",
+        "array<float>": "LONG VARCHAR",
+    },
+    "ansi": {
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "double": "DOUBLE PRECISION",
+        "string": "VARCHAR(1024)",
+        "timestamp": "TIMESTAMP",
+        "array<float>": "CLOB",
+    },
+}
+
+
+def generate_ddl(
+    table: str, dialect: str = "derby", with_fks: bool = True
+) -> str:
+    """CREATE TABLE DDL for one catalog table from its schema contract
+    — the reference's typed warehouse DDL surface
+    (local/create_schema_tables.py:1-140: NOT NULL keys, PRIMARY KEY,
+    FOREIGN KEY edges; ods_layer.py typed CREATEs) generated instead of
+    hand-written, from the SAME key declarations the constraint-audit
+    suite checks (catalog.PRIMARY_KEYS / FOREIGN_KEYS), so the DDL and
+    the expectations can never drift."""
+    from ecom_etl_proj_spark.catalog import (
+        FOREIGN_KEYS,
+        PRIMARY_KEYS,
+        SCHEMAS,
+    )
+
+    types = _SQL_TYPES[dialect]
+    pk = PRIMARY_KEYS.get(table, [])
+    cols = []
+    for f in SCHEMAS[table].fields:
+        sql_t = types[f.dataType.simpleString()]
+        nn = " NOT NULL" if f.name in pk else ""
+        cols.append(f"    {f.name} {sql_t}{nn}")
+    constraints = []
+    if pk:
+        constraints.append(f"    PRIMARY KEY ({', '.join(pk)})")
+    if with_fks:
+        for child, col, parent, pcol in FOREIGN_KEYS:
+            if child == table:
+                constraints.append(
+                    f"    FOREIGN KEY ({col}) REFERENCES {parent} ({pcol})"
+                )
+    body = ",\n".join(cols + constraints)
+    return f"CREATE TABLE {table} (\n{body}\n)"
+
+
+def generate_warehouse_ddl(
+    dialect: str = "derby", with_fks: bool = True
+) -> list[tuple[str, str]]:
+    """DDL for the whole catalog in FK-respecting creation order
+    (parents before children — the reference loads/creates in exactly
+    this dependency order, target_layer.py:36-154)."""
+    from ecom_etl_proj_spark.catalog import FOREIGN_KEYS, TABLES
+
+    parents_of = {}
+    for child, _, parent, _ in FOREIGN_KEYS:
+        parents_of.setdefault(child, set()).add(parent)
+    ordered: list[str] = []
+    remaining = list(TABLES)
+    while remaining:  # Kahn over the 7-edge DAG; bounded
+        for t in remaining:
+            if parents_of.get(t, set()) <= set(ordered):
+                ordered.append(t)
+                remaining.remove(t)
+                break
+        else:  # pragma: no cover - would mean a declared FK cycle
+            raise ValueError(f"FK cycle among {remaining}")
+    return [(t, generate_ddl(t, dialect, with_fks)) for t in ordered]
+
+
+def jdbc_projection(df: DataFrame) -> DataFrame:
+    """Make a DataFrame JDBC-writable: array columns become JSON text
+    (Spark's JDBC writer has no portable array mapping; the DDL slots
+    them as character types). Scalar columns pass through untouched,
+    so the round trip is lossless — read back with ``from_json``."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def write_warehouse(
     df: DataFrame,
     table: str,
