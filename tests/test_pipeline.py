@@ -427,3 +427,81 @@ def test_layer_validation_is_one_job(report, spark):
         assert len(list(tracker.getJobIdsForGroup("fused_nn"))) == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_concurrent_readers_never_see_torn_merge(spark, tmp_path):
+    """The staged-swap MERGE's reader contract (r11: atomic symlink
+    generation swap): readers hammering the dimension path while
+    merges rewrite every row must only ever observe COMPLETE
+    generations — full row count, one uniform version value — never a
+    mix of generations, a partial directory, or a vanished path (after
+    the documented one-time legacy migration)."""
+    import threading
+
+    from pyspark.sql import functions as SF
+
+    from ecom_etl_proj_spark.pipelines import incremental
+
+    n_rows, n_merges = 400, 5
+    dim_path = str(tmp_path / "dim")
+    base = spark.range(n_rows).select(
+        SF.col("id"), SF.lit(0).alias("v")
+    )
+    incremental.scd2_initial  # (module warm import guard)
+    base.select(
+        "id", "v",
+        SF.lit("2026-01-01").cast("date").alias("insertion_date"),
+        SF.lit("2026-01-01").cast("date").alias("modification_date"),
+    ).write.parquet(dim_path)
+
+    def merge_gen(k: int):
+        incoming = spark.range(n_rows).select(SF.col("id"), SF.lit(k).alias("v"))
+        return incremental.apply_incremental(
+            spark, dim_path, incoming, ["id"], ["v"], f"2026-01-{k + 1:02d}"
+        )
+
+    merge_gen(1)  # legacy real-dir migration happens here, pre-readers
+    assert os.path.islink(dim_path)
+
+    stop = threading.Event()
+    seen: set[int] = set()
+    errors: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = (
+                    incremental.read_dimension(spark, dim_path)
+                    .select("id", "v")
+                    .collect()
+                )
+            except Exception as exc:  # any read failure IS a torn view
+                errors.append(f"read failed: {exc}")
+                return
+            vs = {r["v"] for r in rows}
+            if len(rows) != n_rows or len(vs) != 1:
+                errors.append(
+                    f"torn read: {len(rows)} rows, versions {sorted(vs)[:5]}"
+                )
+                return
+            seen.add(vs.pop())
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for th in threads:
+        th.start()
+    try:
+        for k in range(2, 2 + n_merges):
+            counts = merge_gen(k)
+            assert counts.get("update") == n_rows
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(60)
+    assert not errors, errors[:3]
+    assert len(seen) >= 2, f"readers only observed generations {seen}"
+    # old generations retired: at most the current + one grace sibling
+    import re as _re
+
+    gens = [d for d in os.listdir(tmp_path)
+            if _re.fullmatch(r"dim\.__gen_\d+__", d)]
+    assert len(gens) <= 2, gens
