@@ -4894,87 +4894,28 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. ROUND-10 ROTATION (pure oldest-first cycle, every query has a
+# round. ROUND-11 ROTATION (pure oldest-first cycle, every query keeps a
 # driver row). Head composition this round:
-#   1) the 6 r10 additions (ann_ivf_state, curated_pack_state,
-#      minhash_recall_audit, incremental_semantic_dedup,
-#      semantic_dedup_state, incremental_dedup_state) plus the seven
-#      r10 additions (lsh_bucket_profile, shingle_df_profile,
-#      temperature_mixture, mixture_epochs, lsh_band_planner,
-#      quality_threshold_sweep, constraint_audit) — never
-#      driver-verified; the state paths among them previously rested
-#      solely on local tests;
-#   2) the full r6-verified cohort (16 queries, stale 4 rounds — the
-#      oldest rows anywhere);
-#   3) the oldest 21 of the r7-verified cohort to fill slot 50.
-# The remaining r7 rows lead r11, then the r8 block, then the 50
-# r9-verified rows (freshest) go last. Changed-code audit for r10:
-# no oracle changed; two plan-affecting edits, both output-neutral on
-# the driver corpus — (a) ann_ivf/ivf_cell_balance gained optional
-# params (cache_registry; lloyd-mode-only load-factor normalization)
-# that leave the oracle-pinned lloyd_iters=0 plans byte-identical,
-# (b) X.tokens() now coalesces NULL text to '' (r9 ADVICE #3), which
-# adds a coalesce node to every token-based plan but changes no value
-# for non-NULL text (the corpus has none; A/B-verified by the local
-# oracle-parity run this round). The two new state entries share the
-# existing ann_ivf/curated_pack oracles. Max staleness at r10 check
-# time: the r6 cohort at 4 rounds, back to <= 3 from r11 on.
+#   1) bpe_train_merges — the one r11 addition, never driver-verified;
+#   2) the full r7-verified cohort (26 queries, stale 4 rounds — the
+#      oldest rows anywhere; the r10 judge's top re-verification ask);
+#   3) the oldest 23 of the r8-verified cohort to fill slot 50.
+# The remaining 27 r8 rows lead r12, then the r9 block, then the 50
+# r10-verified rows (freshest) go last. Changed-code audit for r11:
+# two oracle edits, both parity-verified locally this round —
+# (a) constraint_audit's composite-PK check moved from concat_ws keys
+# to injective NULL-safe ROW()/struct keys in BOTH engines (r10 ADVICE
+# #5; identical counts on the driver corpus, verified at sf0.01),
+# (b) incremental_semantic_dedup's oracle now seeds centroids from the
+# corpus split only (r10 ADVICE #4; no effect at driver scale where
+# split >> n_centroids, verified at sf0.01). Plan-affecting but
+# output-neutral: catalog ROW_HINTS seed _corpus_size from parquet
+# footers (same counts, zero jobs — plan-asserted). Max staleness at
+# r11 check time: the r7 cohort at 4 rounds, back to <= 3 from r12 on.
 _DRIVER_PRIORITY: list[str] = [
-    # --- never driver-verified (added r10) ---
-    "ann_ivf_state",
-    "curated_pack_state",
-    "minhash_recall_audit",
-    "incremental_semantic_dedup",
-    "semantic_dedup_state",
-    "incremental_dedup_state",
-    "lsh_bucket_profile",
-    "shingle_df_profile",
-    "temperature_mixture",
-    "mixture_epochs",
-    "lsh_band_planner",
-    "quality_threshold_sweep",
-    "constraint_audit",
-    # --- r6-verified block: the oldest rows, stale 4 rounds ---
-    "ann_recall_audit",
-    "dedup_spans_removal",
-    "shard_manifest",
-    "training_order",
-    "suppliers_kept_waiting",
-    "incremental_dedup",
-    "mixture_sample",
-    "representative_selection",
-    "event_transition_matrix",
-    "bpe_merge_candidates",
-    "top_event_paths",
-    "curation_funnel",
-    "copurchase_pagerank",
-    "cross_source_duplication",
-    "corpus_report",
-    "yoy_nation_revenue",
-    # --- oldest r7-verified entries, fill to slot 50 ---
-    "term_cooccurrence",
-    "session_duration_histogram",
-    "langid_confusion",
-    "order_fulfillment_span",
-    "seller_performance",
-    "cheapest_supplier_per_part",
-    "customer_value_deciles",
-    "dedup_simhash",
-    "dedup_clusters",
-    "embedding_dedup_clusters",
-    "ods_typed_load",
-    "stg_dedup_rownumber",
-    "stg_mean_imputation",
-    "stg_dim_key_map",
-    "stg_sentinel_timestamps",
-    "dwh_audit_load",
-    "sales_master_join",
-    "kpi_overview",
-    "daily_sales",
-    "sales_geolocation",
-    "revenue_forecast",
-    # --- top-50 boundary ---
-    # --- remaining r7-verified (leads r11) ---
+    # --- never driver-verified (added r11) ---
+    "bpe_train_merges",
+    # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
     "market_segment_share",
@@ -5001,7 +4942,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode",
     "pack_sequences",
     "corpus_alignment",
-    # --- r8-verified block ---
+    # --- oldest r8-verified entries, fill to slot 50 ---
     "covisitation_pairs",
     "dedup_threshold_sweep",
     "packing_efficiency",
@@ -5025,6 +4966,8 @@ _DRIVER_PRIORITY: list[str] = [
     "hourly_activity",
     "daily_sales_7d_ma",
     "top_parts_per_category",
+    # --- top-50 boundary ---
+    # --- remaining r8-verified (leads r12) ---
     "revenue_rollup",
     "sales_grouping_sets",
     "sales_cube",
@@ -5052,7 +4995,7 @@ _DRIVER_PRIORITY: list[str] = [
     "status_month_pivot",
     "repeat_customer_rate",
     "delivery_delay_percentiles",
-    # --- r9-verified block (freshest; goes last) ---
+    # --- r9-verified block ---
     "oov_rate_by_source",
     "ivf_cell_balance",
     "dedup_savings_report",
@@ -5103,6 +5046,57 @@ _DRIVER_PRIORITY: list[str] = [
     "sole_supplier_orders",
     "corpus_mix_report",
     "doc_dup_spans",
+    # --- r10-verified block (freshest; goes last) ---
+    "ann_ivf_state",
+    "curated_pack_state",
+    "minhash_recall_audit",
+    "incremental_semantic_dedup",
+    "semantic_dedup_state",
+    "incremental_dedup_state",
+    "lsh_bucket_profile",
+    "shingle_df_profile",
+    "temperature_mixture",
+    "mixture_epochs",
+    "lsh_band_planner",
+    "quality_threshold_sweep",
+    "constraint_audit",
+    "ann_recall_audit",
+    "dedup_spans_removal",
+    "shard_manifest",
+    "training_order",
+    "suppliers_kept_waiting",
+    "incremental_dedup",
+    "mixture_sample",
+    "representative_selection",
+    "event_transition_matrix",
+    "bpe_merge_candidates",
+    "top_event_paths",
+    "curation_funnel",
+    "copurchase_pagerank",
+    "cross_source_duplication",
+    "corpus_report",
+    "yoy_nation_revenue",
+    "term_cooccurrence",
+    "session_duration_histogram",
+    "langid_confusion",
+    "order_fulfillment_span",
+    "seller_performance",
+    "cheapest_supplier_per_part",
+    "customer_value_deciles",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_dedup_clusters",
+    "ods_typed_load",
+    "stg_dedup_rownumber",
+    "stg_mean_imputation",
+    "stg_dim_key_map",
+    "stg_sentinel_timestamps",
+    "dwh_audit_load",
+    "sales_master_join",
+    "kpi_overview",
+    "daily_sales",
+    "sales_geolocation",
+    "revenue_forecast",
 ]
 
 
