@@ -123,7 +123,9 @@ def read_dimension(spark: SparkSession, dim_path: str) -> DataFrame:
     paths whose target changes mid-scan — exactly the torn read the
     concurrent-reader test would catch.) The lakehouse analog: Delta/
     Iceberg readers pin a snapshot's file list at query start."""
-    return spark.read.parquet(os.path.realpath(dim_path))
+    from ecom_etl_proj_spark.pipelines.swap import resolve_snapshot
+
+    return spark.read.parquet(resolve_snapshot(dim_path))
 
 
 def apply_incremental(
@@ -139,27 +141,16 @@ def apply_incremental(
     (the reference's post-load validation, now per change kind).
 
     Reader atomicity (r11): each merge writes a NEW GENERATION
-    directory (``<dim>.__gen_<k>__``) and swaps a SYMLINK at
-    ``dim_path`` onto it with ``os.rename`` — atomic on POSIX, so a
-    reader resolving the path sees entirely the old or entirely the
-    new generation, never a half-written directory. The PREVIOUS
-    generation is retained for one merge cycle so readers that listed
-    their files before the swap finish their scan against intact files
-    (older generations and crash-orphaned ones are retired on the next
-    successful swap). tests/test_pipeline.py hammers concurrent
-    readers through repeated merges to prove no torn read ever
-    surfaces. On a real lake this whole dance is one atomic metadata
-    commit (Delta/Iceberg snapshot swap) — this is that commit
-    expressed in the filesystem.
-
-    Migration note: a legacy dimension written as a REAL directory is
-    converted on its first merge (rename dir → generation dir, then
-    link in) — that one-time conversion has the old two-rename window;
-    every merge after it is atomic. Crash recovery: ``dim_path``
-    missing with ``.__gen_*__`` present → re-point the link at the
-    newest complete generation (a ``_SUCCESS``-marked dir) and re-run.
+    directory and atomically re-points the table symlink
+    (``pipelines/swap.generation_swap`` — shared with the compaction
+    and clustering rewrites), so a reader resolving the path sees
+    entirely the old or entirely the new generation, never a
+    half-written directory. tests/test_pipeline.py hammers concurrent
+    readers through repeated merges to prove no torn read surfaces;
+    see swap.py for the grace-period, migration and crash-recovery
+    contract.
     """
-    import re
+    from ecom_etl_proj_spark.pipelines.swap import generation_swap
 
     current = read_dimension(spark, dim_path)
     merged, diff = merge_dimension(
@@ -169,46 +160,10 @@ def apply_incremental(
         r["change_type"]: r["n"]
         for r in diff.groupBy("change_type").agg(F.count("*").alias("n")).collect()
     }
-    base = dim_path.rstrip("/")
-
-    def gen_no(path: str) -> int:
-        m = re.search(r"\.__gen_(\d+)__$", path)
-        return int(m.group(1)) if m else -1
-
-    def list_gens() -> list[str]:
-        parent = os.path.dirname(base) or "."
-        pat = re.escape(os.path.basename(base)) + r"\.__gen_\d+__"
-        return [
-            os.path.join(parent, d)
-            for d in os.listdir(parent)
-            if re.fullmatch(pat, d)
-        ]
-
-    if os.path.exists(base) and not os.path.islink(base):
-        # one-time migration of a legacy real-directory dimension into
-        # the generation scheme (the only merge with a non-atomic
-        # window; every later swap is a pure symlink rename)
-        legacy = f"{base}.__gen_{max((gen_no(p) for p in list_gens()), default=-1) + 1}__"
-        os.rename(base, legacy)
-        os.symlink(legacy, base)
-
-    siblings = list_gens()
-    new_gen = max((gen_no(p) for p in siblings), default=-1) + 1
-    gen_dir = f"{base}.__gen_{new_gen}__"
-    merged.write.mode("overwrite").parquet(gen_dir)
-
-    prev_target = os.path.realpath(base)
-    tmp_link = f"{base}.__lnk_tmp__"
-    if os.path.lexists(tmp_link):
-        os.remove(tmp_link)
-    os.symlink(gen_dir, tmp_link)
-    os.rename(tmp_link, base)  # atomic pointer swap
-    # retire everything except the new and the immediately previous
-    # generation (grace period for in-flight scans; also sweeps
-    # crash-orphaned generations from failed earlier merges)
-    for p in siblings:
-        if os.path.realpath(p) != prev_target:
-            shutil.rmtree(p, ignore_errors=True)
+    generation_swap(
+        dim_path,
+        lambda gen_dir: merged.write.mode("overwrite").parquet(gen_dir),
+    )
     return counts
 
 

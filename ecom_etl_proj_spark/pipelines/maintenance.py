@@ -35,30 +35,27 @@ def compact(
 ) -> tuple[int, int]:
     """Rewrite a parquet directory into ~target-sized files.
 
-    Returns (files_before, files_after). The rewrite stages through a
-    sibling directory then swaps, so a crash mid-compact never leaves
-    the table truncated.
-
-    Crash-recovery note: the swap is two renames (path →
-    .__compact_old__, tmp → path); a crash between them leaves ``path``
-    absent — recovery is renaming ``.__compact_old__`` back (compaction
-    is idempotent and simply re-runs). On Delta/Iceberg this is an
-    atomic snapshot commit; plain parquet directories have no atomic
-    rename, so the recovery contract is documented instead.
+    Returns (files_before, files_after). The rewrite lands as a new
+    table GENERATION and the table pointer swaps atomically
+    (``pipelines/swap.generation_swap``, shared with the CDC MERGE) —
+    a crash mid-compact never leaves the table truncated, and
+    concurrent readers never observe a half-written directory (pin a
+    snapshot with ``swap.resolve_snapshot`` for scan-long
+    consistency). On Delta/Iceberg this is a native OPTIMIZE commit.
     """
-    before, total = dir_stats(path)
-    n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    # swap
-    import shutil
+    from ecom_etl_proj_spark.pipelines.swap import (
+        generation_swap,
+        resolve_snapshot,
+    )
 
-    old = path.rstrip("/") + ".__compact_old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    snap = resolve_snapshot(path)
+    before, total = dir_stats(snap)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(snap)
+    generation_swap(
+        path,
+        lambda gen: df.repartition(n_out).write.mode("overwrite").parquet(gen),
+    )
     after, _ = dir_stats(path)
     return before, after
 
@@ -83,24 +80,24 @@ def cluster_table(
     (the single-key case of Z-ordering; multi-key locality needs a
     space-filling curve, same write pattern).
 
-    Same staged-swap + recovery contract as ``compact``. Returns the
+    Same atomic generation-swap contract as ``compact``. Returns the
     number of data files written.
     """
-    df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__cluster_tmp__"
-    (
-        df.repartitionByRange(n_files, F.col(cluster_col))
-        .sortWithinPartitions(cluster_col)
-        .write.mode("overwrite")
-        .parquet(tmp)
+    from ecom_etl_proj_spark.pipelines.swap import (
+        generation_swap,
+        resolve_snapshot,
     )
-    import shutil
 
-    old = path.rstrip("/") + ".__cluster_old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(resolve_snapshot(path))
+    generation_swap(
+        path,
+        lambda gen: (
+            df.repartitionByRange(n_files, F.col(cluster_col))
+            .sortWithinPartitions(cluster_col)
+            .write.mode("overwrite")
+            .parquet(gen)
+        ),
+    )
     n, _ = dir_stats(path)
     return n
 
@@ -127,13 +124,16 @@ def cluster_table_zorder(
     window (an ntile/percent_rank formulation would serialize the whole
     table through one task).
 
-    Same staged-swap contract as ``compact``. Returns files written.
+    Same atomic generation-swap contract as ``compact``. Returns files
+    written.
     """
     from pyspark.sql import DataFrame
 
     if len(cols) != 2:
         raise ValueError("z-order here interleaves exactly two keys")
-    df = spark.read.parquet(path)
+    from ecom_etl_proj_spark.pipelines.swap import resolve_snapshot
+
+    df = spark.read.parquet(resolve_snapshot(path))
     n_buckets = 1 << bits_per_dim
     qs = [i / n_buckets for i in range(1, n_buckets)]
     qarr = ", ".join(str(q) for q in qs)
@@ -166,14 +166,10 @@ def cluster_table_zorder(
         .sortWithinPartitions("__z")
         .drop("__z", *[f"__k_{c}" for c in cols], *[f"__b_{c}" for c in cols])
     )
-    tmp = path.rstrip("/") + ".__zorder_tmp__"
-    clustered.write.mode("overwrite").parquet(tmp)
-    import shutil
+    from ecom_etl_proj_spark.pipelines.swap import generation_swap
 
-    old = path.rstrip("/") + ".__zorder_old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    generation_swap(
+        path, lambda gen: clustered.write.mode("overwrite").parquet(gen)
+    )
     n, _ = dir_stats(path)
     return n

@@ -1,0 +1,94 @@
+"""Atomic table-generation swap for plain-parquet maintenance.
+
+Plain parquet directories have no atomic replace: the naive
+write-to-tmp + two-renames swap leaves a window where the table path is
+absent, and deleting the old directory breaks readers mid-scan. This
+module is the shared fix (used by the CDC MERGE in ``incremental.py``
+and the compaction/clustering rewrites in ``maintenance.py``):
+
+- every rewrite lands in an immutable GENERATION directory
+  (``<table>.__gen_<k>__``);
+- the table path is a SYMLINK swapped onto the new generation with one
+  ``os.rename`` — atomic on POSIX, so a reader resolving the path sees
+  entirely the old or entirely the new generation;
+- the immediately previous generation survives one swap cycle so
+  readers that resolved before the swap finish their scan against
+  intact files; older and crash-orphaned generations are swept on the
+  next successful swap.
+
+Readers pin a snapshot by resolving the pointer first
+(``resolve_snapshot``) — one syscall, after which their file list is
+immutable. This is the filesystem expression of a lakehouse metadata
+commit (Delta/Iceberg snapshot swap); on a format with native commits
+the whole module disappears.
+
+Crash recovery: a crash after the generation write but before the
+pointer swap leaves an orphan generation and an untouched pointer —
+the operation simply re-runs. A legacy table that still IS a real
+directory is migrated on its first swap (rename dir → generation dir,
+then link in); that one-time conversion has a brief non-atomic window,
+every swap after it is atomic.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+
+def resolve_snapshot(path: str) -> str:
+    """Pin the current generation: resolve the pointer to the immutable
+    generation directory (a no-op for legacy real-directory tables)."""
+    return os.path.realpath(path)
+
+
+def _gen_no(path: str) -> int:
+    m = re.search(r"\.__gen_(\d+)__$", path)
+    return int(m.group(1)) if m else -1
+
+
+def _list_generations(base: str) -> list[str]:
+    parent = os.path.dirname(base) or "."
+    pat = re.escape(os.path.basename(base)) + r"\.__gen_\d+__"
+    return [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if re.fullmatch(pat, d)
+    ]
+
+
+def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
+    """Write the table's next generation via ``write_fn(gen_dir)`` and
+    atomically re-point ``path`` at it. Returns the new generation
+    directory. See module docstring for the reader/crash contract."""
+    base = path.rstrip("/")
+
+    if os.path.exists(base) and not os.path.islink(base):
+        # one-time migration of a legacy real-directory table
+        legacy = (
+            f"{base}.__gen_"
+            f"{max((_gen_no(p) for p in _list_generations(base)), default=-1) + 1}__"
+        )
+        os.rename(base, legacy)
+        os.symlink(legacy, base)
+
+    siblings = _list_generations(base)
+    new_gen = max((_gen_no(p) for p in siblings), default=-1) + 1
+    gen_dir = f"{base}.__gen_{new_gen}__"
+    write_fn(gen_dir)
+
+    prev_target = os.path.realpath(base)
+    tmp_link = f"{base}.__lnk_tmp__"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(gen_dir, tmp_link)
+    os.rename(tmp_link, base)  # atomic pointer swap
+    # retire everything except the new and the immediately previous
+    # generation (grace period for in-flight scans; also sweeps
+    # crash-orphaned generations from failed earlier rewrites)
+    for p in siblings:
+        if os.path.realpath(p) != prev_target:
+            shutil.rmtree(p, ignore_errors=True)
+    return gen_dir
