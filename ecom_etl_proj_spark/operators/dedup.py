@@ -162,6 +162,77 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_containment(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = NGRAM_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT
+    ``|A∩B| / |A|`` — the fraction of the contained document's
+    shingles that also appear in the container.
+
+    Jaccard misses subset duplication by construction: a paragraph
+    quoted inside a 100x longer article has jaccard ≈ 1%, containment
+    ≈ 100%. Training-data curation needs exactly this detector —
+    syndicated excerpts, quoted boilerplate, and doc-in-doc mirrors
+    are containment-shaped, not symmetric near-dups (the same reason
+    substring dedup exists alongside MinHash; ``doc_dup_spans`` finds
+    the spans, this ranks the document pairs).
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` — one df-capped
+    inverted-index self-join (cap² worst case per shingle) + one
+    bounded pair aggregation; the undirected shared counts are
+    computed once and BOTH directions are derived row-locally, so the
+    asymmetry costs zero extra shuffles. The df cap is part of the
+    semantics (sizes count kept shingles), mirrored in the oracle.
+
+    Output: (contained_doc, container_doc, containment, jaccard) —
+    one row per DIRECTED pair with containment >= threshold; the
+    jaccard column shows how invisible the pair is to the symmetric
+    detector.
+    """
+    sh = _doc_shingles(t, n, max_shingle_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+    )
+    both = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+    )
+    # derive the two directions row-locally from the undirected counts
+    fwd = both.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.round(F.col("shared") / F.col("n_a"), 4).alias("containment"),
+        "jaccard",
+    )
+    rev = both.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.round(F.col("shared") / F.col("n_b"), 4).alias("containment"),
+        "jaccard",
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def shingle_sets(t: dict[str, DataFrame], n: int = 3) -> DataFrame:
     """(doc_id, sh array<string>): each doc's distinct shingle set —
     ROW-LOCAL, zero shuffle.

@@ -169,6 +169,76 @@ def _embedding_knn_arrow(
     )
 
 
+def embedding_knn_classify(
+    t: dict[str, DataFrame], n_queries: int = 50, k: int = 5
+) -> DataFrame:
+    """kNN majority-vote classification over the embedding space: the
+    first ``n_queries`` vectors are the held-out queries, everything
+    above the split is the labeled corpus, and each query takes the
+    majority label of its ``k`` nearest corpus neighbors by cosine —
+    the standard embedding-quality probe a training pipeline runs after
+    (re)training an encoder (label agreement of neighbors IS the
+    clustering-quality metric), and the label-propagation primitive for
+    weakly-labeling new data from a labeled seed set.
+
+    Scale shape: identical to ``embedding_knn`` — the bounded query
+    block broadcasts onto one corpus scan, the per-query top-k is a
+    window over (queries x corpus) rows, and the vote is a bounded
+    (query, label) aggregation resolved by ONE struct-max (no second
+    window). Ties break (votes desc, label asc), deterministic in both
+    engines. The corpus-scale serving path swaps the brute-force
+    neighbor stage for ``probe_ann_state`` — the vote stage is
+    unchanged.
+
+    Output: (query_id, predicted_label, votes, true_label, correct).
+    """
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm("embedding").alias("q_norm"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding", "label", V.norm("embedding").alias("c_norm")
+    )
+    sim = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("n_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            V.dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    topk = sim.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").alias("n")
+    )
+    # winner via one struct-max: (votes, -label) so ties pick the
+    # smaller label deterministically
+    best = votes.groupBy("query_id", "true_label").agg(
+        F.max(F.struct(F.col("n"), (-F.col("n_label")).alias("neg"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "query_id",
+        (-F.col("b.neg")).cast("int").alias("predicted_label"),
+        F.col("b.n").cast("bigint").alias("votes"),
+        "true_label",
+        F.when(-F.col("b.neg") == F.col("true_label"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+
+
 def embedding_near_dup_exact(
     t: dict[str, DataFrame], threshold: float = 0.95
 ) -> DataFrame:

@@ -793,6 +793,52 @@ register(
     _NGRAM_JACCARD_ORACLE,
 )
 
+# Asymmetric containment |A∩B|/|A| over the same df-capped shingle
+# space: undirected shared counts once, both directions derived
+# row-locally, threshold on the directed ratio. Threshold 0.5 on the
+# driver corpus (documents are similar-length, so full 0.8 containment
+# pairs are rare there; the operator default stays 0.8 and the subset
+# regime is pytest-covered on planted doc-in-doc data).
+register(
+    "dedup_containment",
+    lambda t: dedup.dedup_containment(t, n=3, threshold=0.5),
+    _SHINGLE_SQL
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+        SELECT doc_id, shingle FROM ex
+        WHERE shingle IN (SELECT shingle FROM ex GROUP BY shingle
+                          HAVING count(*) <= {dedup.NGRAM_MAX_SHINGLE_FREQ})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairstats AS (
+        SELECT doc_a, doc_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               round(CAST(shared AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    directed AS (
+        SELECT doc_a AS contained_doc, doc_b AS container_doc,
+               round(CAST(shared AS DOUBLE) / n_a, 4) AS containment,
+               jaccard
+        FROM pairstats
+        UNION ALL
+        SELECT doc_b, doc_a, round(CAST(shared AS DOUBLE) / n_b, 4),
+               jaccard
+        FROM pairstats
+    )
+    SELECT * FROM directed WHERE containment >= 0.5
+    """,
+)
+
 # --- MinHash-LSH oracle -------------------------------------------------
 # Every hash in the Spark pipeline is md5-derived (dedup.md5_60 for
 # shingle hashes, md5 of the band string for bucket keys), so DuckDB
@@ -1345,6 +1391,50 @@ register(
         FROM sims
     )
     SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+# kNN majority-vote classification: same broadcast-bounded neighbor
+# stage as embedding_knn, split at 50 (queries below, labeled corpus
+# above), vote resolved by (votes desc, label asc) — the struct-max /
+# row_number tie rules coincide, so outputs are engine-identical.
+register(
+    "embedding_knn_classify",
+    lambda t: similarity.embedding_knn_classify(t, n_queries=50, k=5),
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 50),
+    sims AS (
+        SELECT q.query_id, q.true_label, e.label AS n_label,
+               e.vec_id AS neighbor_id,
+               round({_COSINE_SQL.format(a='q.q_emb', b='e.embedding')}, 6)
+                   AS cosine_sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id >= 50
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM sims)
+        WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, true_label, n_label, count(*) AS n
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id,
+           CAST(n_label AS INT) AS predicted_label,
+           CAST(n AS BIGINT) AS votes,
+           true_label,
+           CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS correct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY n DESC, n_label ASC) AS rn
+        FROM votes)
+    WHERE rn = 1
     """,
 )
 
@@ -4915,6 +5005,8 @@ register(
 _DRIVER_PRIORITY: list[str] = [
     # --- never driver-verified (added r11) ---
     "bpe_train_merges",
+    "dedup_containment",
+    "embedding_knn_classify",
     # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
@@ -4964,9 +5056,9 @@ _DRIVER_PRIORITY: list[str] = [
     "events_minutely",
     "user_activity",
     "hourly_activity",
+    # --- top-50 boundary ---
     "daily_sales_7d_ma",
     "top_parts_per_category",
-    # --- top-50 boundary ---
     # --- remaining r8-verified (leads r12) ---
     "revenue_rollup",
     "sales_grouping_sets",

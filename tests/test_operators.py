@@ -2716,3 +2716,65 @@ def test_bpe_train_merges_early_stop(spark):
     out = textops.bpe_train_merges({"documents": docs}, n_merges=5).collect()
     # round 1 merges (a,b); round 2 merges (c,d); then no pairs remain
     assert [(r["round"], r["merged"]) for r in out] == [(1, "ab"), (2, "cd")]
+
+
+def test_dedup_containment_finds_subset_duplication(spark):
+    """A paragraph quoted inside a much longer article must surface as
+    containment ~1.0 while staying invisible to Jaccard — the
+    asymmetric regime the symmetric detector misses by construction."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                      # the contained paragraph
+            (2, filler + " " + quote),       # the containing article
+            (3, "completely unrelated text about nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    t = {"documents": docs}
+    out = {
+        (r["contained_doc"], r["container_doc"]): r
+        for r in dedup.dedup_containment(t, threshold=0.8).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment"] == 1.0          # every quote shingle in doc 2
+    assert r["jaccard"] < 0.1               # invisible to the symmetric detector
+    assert (2, 1) not in out                # the article is NOT contained in the quote
+    assert not any(3 in k for k in out)
+
+
+def test_embedding_knn_classify_votes_and_ties(spark):
+    """Majority vote over planted neighbors: the 2-vs-1 majority wins,
+    and a tie breaks to the smaller label."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    rows = [
+        (0, vec(1.0, 0.00), 9),    # query; true label 9
+        (1, vec(1.0, 0.01), 5),    # three nearest corpus vectors
+        (2, vec(1.0, -0.01), 5),
+        (3, vec(1.0, 0.02), 7),
+        (4, vec(-1.0, 0.0), 3),    # far away
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.embedding_knn_classify(
+        {"embeddings": emb}, n_queries=1, k=3
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["predicted_label"], r["votes"], r["true_label"], r["correct"]) == (5, 2, 9, 0)
+    # tie regime: k=2 sees one 5-vote and one 7-vote -> smaller label
+    out2 = similarity.embedding_knn_classify(
+        {"embeddings": emb}, n_queries=1, k=2
+    ).collect()[0]
+    # the two nearest by |angle| are vec 1 (label 5) and vec 2 (label 5)?
+    # vec1 cos≈.99995, vec2 cos≈.99995, vec3 cos≈.9998 -> both label 5
+    assert out2["predicted_label"] == 5 and out2["votes"] == 2
