@@ -354,6 +354,28 @@ def consumer_metric_ops(batch_df: DataFrame, recent_n: int = 100) -> list[Op]:
     return ops
 
 
+def timeseries(store: KVStore, key: str) -> list[tuple[str, float]]:
+    """Minutely hash → chronologically sorted (minute, value) series —
+    the dashboard's ``create_timeseries_df`` (streamlit/utils.py:
+    131-141) without the pandas dependency. The fixed
+    ``%Y-%m-%d-%H-%M`` field format sorts lexicographically ==
+    chronologically, exactly why the reference chose it."""
+    return [
+        (minute, float(v)) for minute, v in sorted(store.hgetall(key).items())
+    ]
+
+
+def leaderboard(
+    store: KVStore, key: str, n: int = 10
+) -> list[tuple[str, float]]:
+    """Counter hash → top-n (entity, value) rows, value-descending with
+    a deterministic entity tie-break — the dashboard's
+    ``create_leaderboard_df`` (streamlit/utils.py:143-150)."""
+    items = [(k, float(v)) for k, v in store.hgetall(key).items()]
+    items.sort(key=lambda kv: (-kv[1], kv[0]))
+    return items[:n]
+
+
 def serve_consumer_metrics(
     events: DataFrame,
     store: KVStore,

@@ -1581,3 +1581,18 @@ def test_serving_sink_crash_replay_exactly_once(spark, tables):
     assert float(
         round(totals["total_revenue"], 2)
     ) == batch["orders"]["total_value"]
+
+
+def test_serving_read_helpers():
+    """timeseries sorts minutes chronologically; leaderboard sorts by
+    value desc with deterministic entity tie-break — the dashboard's
+    read shapes, no Spark involved."""
+    store = serving.EmbeddedKVStore()
+    store.apply_batch("h", 0, [
+        ("hincr", "m", {"2026-01-02-00-05": 3, "2026-01-01-23-59": 7}),
+        ("hincr", "lb", {"b": 5, "a": 5, "c": 9}),
+    ])
+    assert serving.timeseries(store, "m") == [
+        ("2026-01-01-23-59", 7.0), ("2026-01-02-00-05", 3.0)]
+    assert serving.leaderboard(store, "lb", 2) == [("c", 9.0), ("a", 5.0)]
+    assert serving.leaderboard(store, "missing") == []
