@@ -186,6 +186,134 @@ def token_count_bpe(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def hybrid_search(
+    t: dict[str, DataFrame],
+    query_terms: tuple[str, ...] = ("spark", "join", "stream"),
+    query_vec_id: int = 0,
+    top: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion:
+    BM25 ranks (``bm25_search``) fused with embedding-cosine ranks
+    against a query vector, score = Σ 1/(rrf_k + rank) over the lists
+    a doc appears in — the industry-standard fusion (RRF) that needs
+    no score calibration between the two systems. The retrieval shape
+    every RAG/eval-mining pipeline runs: lexical recall catches exact
+    terms, the embedding catches paraphrases, RRF merges without
+    tuning. Query vector = the embedding of ``query_vec_id`` (the
+    query-by-document form); doc/embedding alignment doc_id == vec_id
+    is the corpus contract ``corpus_alignment`` audits.
+
+    Scale shape: both rankers are already bounded (BM25 touches only
+    query-term postings; the single query vector broadcasts onto one
+    corpus scan); fusion is a full-outer join of two top-N lists —
+    2N rows — and a final window over them. Ranks are exact ints and
+    the RRF sum is two identically-computed doubles, so the fusion is
+    engine-deterministic (ties break on doc_id).
+
+    Output: (doc_id, lex_rank, sem_rank, rrf_score, rank).
+    """
+    from ecom_etl_proj_spark.functions import vectors as V
+
+    lex = bm25_search(t, query_terms=query_terms, top=top).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), V.norm("embedding").alias("q_norm")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                V.dot("q_emb", "embedding")
+                / (F.col("q_norm") * V.norm("embedding")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    sem = (
+        sem_scored.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(top)
+        .withColumn("sem_rank", F.row_number().over(w_sem))
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            9,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def tokenizer_fertility(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-language tokenizer-fertility report: BPE tokens per word and
+    characters per BPE token — the standard cross-language tokenizer
+    cost metric (a tokenizer trained on English typically costs 2-4x
+    more tokens per word on unseen scripts; fertility is how that gets
+    measured and how per-language training budgets get set). Completes
+    the tokenizer-cost story next to ``token_count_bpe`` (per-doc
+    counts), ``oov_rate_by_source`` (vocab coverage) and
+    ``bpe_train_merges`` (training itself).
+
+    One scan: row-local regexp/char counts roll up into a bounded
+    per-language aggregate (|langs| rows) with map-side partials —
+    nothing about this changes at 100 TB.
+
+    Output: (lang, n_docs, words, bpe_tokens, chars, fertility,
+    chars_per_token).
+    """
+    d = t["documents"]
+    low = F.lower("text")
+    per_doc = d.select(
+        "lang",
+        X.token_count().alias("words"),
+        F.regexp_count(low, F.lit(BPE_PATTERN)).alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("words"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("chars").cast("bigint").alias("chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "words",
+            "bpe_tokens",
+            "chars",
+            F.round(
+                F.col("bpe_tokens")
+                / F.greatest(F.col("words"), F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("chars")
+                / F.greatest(F.col("bpe_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 def doc_winnowing(t: dict[str, DataFrame], k: int = 3, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (rolling k-gram hash + window min).
 

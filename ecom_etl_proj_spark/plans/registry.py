@@ -2562,6 +2562,33 @@ register(
 )
 
 register(
+    "tokenizer_fertility",
+    textops.tokenizer_fertility,
+    r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split(lower(trim(text)), ' ')) AS words,
+               len(regexp_extract_all(lower(text),
+                   $$'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9'\s]+$$))
+                   AS bpe,
+               length(text) AS chars
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS words,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(chars) AS BIGINT) AS chars,
+           round(CAST(sum(bpe) AS DOUBLE)
+                 / greatest(CAST(sum(words) AS DOUBLE), 1), 6) AS fertility,
+           round(CAST(sum(chars) AS DOUBLE)
+                 / greatest(CAST(sum(bpe) AS DOUBLE), 1), 6)
+               AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+
+register(
     "doc_winnowing",
     textops.doc_winnowing,
     """
@@ -4109,6 +4136,71 @@ register(
     """,
 )
 
+# RRF fusion of the bm25_search lexical ranks with embedding-cosine
+# ranks against the vec_id-0 query vector (doc_id == vec_id alignment,
+# audited by corpus_alignment). Ranks are ints; the fused score is two
+# identically-computed doubles — engine-deterministic with doc_id ties.
+register(
+    "hybrid_search",
+    lambda t: textops.hybrid_search(t),
+    f"""
+    WITH toks AS (
+        SELECT doc_id, u.tok AS term FROM (
+            SELECT doc_id, string_split(lower(trim(text)), ' ') AS l
+            FROM documents
+        ), unnest(l) AS u(tok)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    qt AS (SELECT * FROM toks WHERE term IN ('spark', 'join', 'stream')),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               ), 6) AS bm25
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY 1
+    ),
+    lex AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS lex_rank
+        FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 20)
+    ),
+    qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    semsc AS (
+        SELECT e.vec_id AS doc_id,
+               round({_COSINE_SQL.format(a='qv.q_emb', b='e.embedding')}, 6)
+                   AS cosine
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS sem_rank
+        FROM (SELECT * FROM semsc ORDER BY cosine DESC, doc_id ASC LIMIT 20)
+    ),
+    fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rank, sem.sem_rank,
+               round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+                     + coalesce(1.0 / (60 + sem.sem_rank), 0.0), 9)
+                   AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20)
+    """,
+)
+
 register(
     "sales_cube",
     analytics.sales_cube,
@@ -5007,6 +5099,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bpe_train_merges",
     "dedup_containment",
     "embedding_knn_classify",
+    "tokenizer_fertility",
+    "hybrid_search",
     # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
@@ -5054,9 +5148,9 @@ _DRIVER_PRIORITY: list[str] = [
     "category_avg_discount",
     "satisfaction_by_delivery",
     "events_minutely",
+    # --- top-50 boundary ---
     "user_activity",
     "hourly_activity",
-    # --- top-50 boundary ---
     "daily_sales_7d_ma",
     "top_parts_per_category",
     # --- remaining r8-verified (leads r12) ---

@@ -2778,3 +2778,50 @@ def test_embedding_knn_classify_votes_and_ties(spark):
     # the two nearest by |angle| are vec 1 (label 5) and vec 2 (label 5)?
     # vec1 cos≈.99995, vec2 cos≈.99995, vec3 cos≈.9998 -> both label 5
     assert out2["predicted_label"] == 5 and out2["votes"] == 2
+
+
+def test_hybrid_search_rrf_semantics(spark):
+    """RRF fusion: a doc ranked in BOTH lists must outrank docs of
+    similar single-list rank; scores follow 1/(60+r) exactly; docs
+    absent from one list only collect the other term."""
+    from ecom_etl_proj_spark.operators import textops
+
+    # doc 1 matches the term AND is the semantic neighbor of the query
+    docs = spark.createDataFrame(
+        [
+            (0, "the query document about spark"),
+            (1, "spark spark spark strongest lexical and semantic"),
+            (2, "spark mentioned once here"),
+            (3, "nothing relevant lexically"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.14]),   # closest to the query vector
+            (2, [0.0, 1.0]),     # orthogonal
+            (3, [0.9, 0.43]),    # second closest
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.hybrid_search(
+            {"documents": docs, "embeddings": emb},
+            query_terms=("spark",),
+        ).collect()
+    }
+    # doc 1: lexical rank 1 (tf=3) + semantic rank 1 -> top fused
+    assert out[1]["rank"] == 1
+    assert out[1]["lex_rank"] == 1 and out[1]["sem_rank"] == 1
+    assert abs(out[1]["rrf_score"] - round(1 / 61 + 1 / 61, 9)) < 1e-12
+    # doc 3: no lexical hit -> only the semantic term contributes
+    assert out[3]["lex_rank"] is None
+    assert abs(
+        out[3]["rrf_score"] - round(1 / (60 + out[3]["sem_rank"]), 9)
+    ) < 1e-12
+    # both-list doc 2 (weak in each) still beats single-list doc 3?
+    # doc 2: lex rank 3 (doc 0 ranks 2), sem rank 3 -> 1/63+1/63 ≈ .0317
+    # doc 3: sem rank 2 only -> 1/62 ≈ .0161 — fusion rewards presence
+    assert out[2]["rrf_score"] > out[3]["rrf_score"]

@@ -405,6 +405,8 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
                                 bucket count, not the data)
     - quality_threshold_sweep   cumulative sum over <= 20 quality
                                 histogram buckets (same shape)
+    - hybrid_search             ranks over .limit(top) rows of each
+                                ranker and over the <= 2*top fused list
     """
     import re
 
@@ -420,6 +422,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
         "bm25_search",
         "dedup_threshold_sweep",
         "quality_threshold_sweep",
+        "hybrid_search",
     }
     offenders = set()
     for name, fn in registry.queries().items():
