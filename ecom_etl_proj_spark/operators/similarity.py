@@ -239,6 +239,223 @@ def embedding_knn_classify(
     )
 
 
+def _pq_codebook(emb: DataFrame, m: int, k: int, d_sub: int) -> DataFrame:
+    """(sub, code, cvec): per-subspace codebook seeded from the first
+    ``k`` vectors' subvectors (the deterministic lloyd_iters=0 seeding
+    contract every oracle-pinned ANN path here uses; production
+    retrains with sampled k-means — bounded, offline). m*k rows."""
+    return (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "embedding",
+        )
+        .select(
+            "sub",
+            "code",
+            F.expr(f"slice(embedding, sub * {d_sub} + 1, {d_sub})").alias(
+                "cvec"
+            ),
+        )
+    )
+
+
+_SQ_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+    "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _pq_codes(emb: DataFrame, m: int, k: int, d_sub: int) -> DataFrame:
+    """(vec_id, sub, code, d): per-subspace nearest-codebook
+    assignment. One broadcast join (m*k codebook rows) onto the m-way
+    row-local subvector explode + one struct-min groupBy — the single
+    shuffle PQ encoding costs at any scale."""
+    cb = _pq_codebook(emb, m, k, d_sub)
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(f"slice(embedding, sub * {d_sub} + 1, {d_sub})").alias(
+            "subvec"
+        ),
+    )
+    dist = F.expr(_SQ_L2.format(a="subvec", b="cvec"))
+    return (
+        subs.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", "code", dist.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("b"))
+        .select(
+            "vec_id",
+            "sub",
+            F.col("b.code").alias("code"),
+            F.col("b.d").alias("d"),
+        )
+    )
+
+
+def pq_quantize(
+    t: dict[str, DataFrame], m: int = 8, n_codes: int = 16
+) -> DataFrame:
+    """Product quantization: each vector compressed to ``m`` one-byte
+    codes — split the embedding into ``m`` subvectors, assign each to
+    its nearest per-subspace codebook entry. The compression that makes
+    billion-scale ANN serve from RAM (64 float32s → 8 codes here =
+    32x), and the missing piece between ``quantize_embeddings``
+    (scalar int8) and ``ann_ivf`` (IVF-PQ is exactly the two
+    composed). Codebooks are seeded deterministically (first
+    ``n_codes`` vectors), mirroring the lloyd_iters=0 oracle contract.
+
+    Scale shape: one row-local m-way subvector explode, one broadcast
+    join against the m*n_codes codebook, one struct-min aggregation —
+    encoding is a single shuffle keyed by (vec_id, sub). Per-subspace
+    reconstruction errors round to 6 decimals and accumulate in
+    DECIMAL, so the total is bit-exact across engines.
+
+    Output: (vec_id, codes 'c0-c1-...-c7', sq_error).
+    """
+    emb = t["embeddings"]
+    # subvector width from the catalog's declared dim (64)
+    d_sub = 64 // m
+    codes = _pq_codes(emb, m, n_codes, d_sub)
+    return (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code", "d"))
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.array_join(
+                F.expr("transform(s, x -> CAST(x.code AS STRING))"), "-"
+            ).alias("codes"),
+            F.round(
+                F.aggregate(
+                    F.expr(
+                        "transform(s, x -> CAST(round(x.d, 6) AS DECIMAL(18,6)))"
+                    ),
+                    F.lit(0).cast("decimal(18,6)"),
+                    # decimal + widens to (19,6); the fold's merge must
+                    # return the zero's type, so narrow back (exact:
+                    # 8 six-decimal terms stay far inside 18 digits)
+                    lambda acc, v: (acc + v).cast("decimal(18,6)"),
+                ).cast("double"),
+                6,
+            ).alias("sq_error"),
+        )
+    )
+
+
+def pq_search(
+    t: dict[str, DataFrame],
+    query_vec_id: int = 0,
+    m: int = 8,
+    n_codes: int = 16,
+    top: int = 20,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes: the query
+    computes one m x n_codes distance table against the codebook, and
+    every vector's approximate distance is the sum of ``m`` table
+    lookups over its codes — the scan never touches raw vectors. This
+    is the serving arithmetic of every PQ-based ANN system; compose
+    with the IVF cell pruning of ``ann_ivf_state`` for IVF-PQ.
+
+    Per-subspace table entries round to 6 decimals and sum in DECIMAL
+    (m exact terms), so rankings are engine-deterministic (ties break
+    on vec_id).
+
+    Output: (vec_id, adc_dist, rank) — top ``top`` ascending.
+    """
+    emb = t["embeddings"]
+    d_sub = 64 // m
+    cb = _pq_codebook(emb, m, n_codes, d_sub)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "embedding",
+    ).select(
+        "sub",
+        F.expr(f"slice(embedding, sub * {d_sub} + 1, {d_sub})").alias(
+            "qsub"
+        ),
+    )
+    dt = q.join(F.broadcast(cb), "sub").select(
+        "sub",
+        "code",
+        F.round(F.expr(_SQ_L2.format(a="qsub", b="cvec")), 6)
+        .cast("decimal(18,6)")
+        .alias("dq"),
+    )
+    codes = _pq_codes(emb, m, n_codes, d_sub).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("dq").cast("double").alias("adc_dist"))
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def pq_recall_audit(
+    t: dict[str, DataFrame],
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Recall@k of the ADC ranking against the exact squared-L2 top-k
+    — the quality gauge that decides whether a PQ configuration (m,
+    n_codes) is servable, next to ``ann_recall_audit`` (IVF recall)
+    and ``ivf_cell_balance`` (latency skew). Both rankings are
+    engine-deterministic, so recall is an exact value under full
+    oracle — no tolerance bound needed.
+
+    Output: one row (k, n_overlap, recall).
+    """
+    emb = t["embeddings"]
+    exact = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") == query_vec_id).select(
+                    F.col("embedding").alias("q_emb")
+                )
+            )
+        )
+        .select(
+            "vec_id", F.expr(_SQ_L2.format(a="embedding", b="q_emb")).alias("d")
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+    )
+    approx = pq_search(
+        t, query_vec_id=query_vec_id, m=m, n_codes=n_codes, top=k
+    ).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count("*").cast("int").alias("n_overlap"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(k), 6).alias("recall"),
+        )
+    )
+
+
 def embedding_near_dup_exact(
     t: dict[str, DataFrame], threshold: float = 0.95
 ) -> DataFrame:

@@ -4136,6 +4136,126 @@ register(
     """,
 )
 
+# --- Product quantization (PQ) family --------------------------------
+# Codebooks seeded from the first n_codes vectors' subvectors (the
+# lloyd_iters=0 determinism contract), squared-L2 as the same ordered
+# fold both engines run, per-subspace distances rounded to 6 and summed
+# in DECIMAL so totals/rankings are bit-exact. Shared CTE block.
+_PQ_CTES = """
+    subs AS (
+        SELECT e.vec_id, s.sub,
+               e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+        FROM embeddings e, range(0, 8) s(sub)
+    ),
+    cb AS (
+        SELECT CAST(vec_id AS INT) AS code, sub, subvec AS cvec
+        FROM subs WHERE vec_id < 16
+    ),
+    dists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> (CAST(v.subvec[i] AS DOUBLE)
+                         - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(v.subvec[i] AS DOUBLE)
+                           - CAST(c.cvec[i] AS DOUBLE)))) AS d
+        FROM subs v JOIN cb c USING (sub)
+    ),
+    best AS (
+        SELECT vec_id, sub, code, d FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+            FROM dists)
+        WHERE rn = 1
+    )"""
+
+register(
+    "pq_quantize",
+    lambda t: similarity.pq_quantize(t),
+    "WITH "
+    + _PQ_CTES
+    + """
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY sub), '-')
+               AS codes,
+           CAST(round(sum(CAST(round(d, 6) AS DECIMAL(18,6))), 6)
+                AS DOUBLE) AS sq_error
+    FROM best GROUP BY vec_id
+    """,
+)
+
+register(
+    "pq_search",
+    lambda t: similarity.pq_search(t),
+    "WITH "
+    + _PQ_CTES
+    + """,
+    dt AS (
+        SELECT c.sub, c.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(q.subvec[i] AS DOUBLE)
+                         - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(q.subvec[i] AS DOUBLE)
+                           - CAST(c.cvec[i] AS DOUBLE)))), 6)
+                    AS DECIMAL(18,6)) AS dq
+        FROM cb c JOIN (SELECT sub, subvec FROM subs WHERE vec_id = 0) q
+          USING (sub)
+    ),
+    adc AS (
+        SELECT b.vec_id, CAST(sum(dt.dq) AS DOUBLE) AS adc_dist
+        FROM best b JOIN dt ON dt.sub = b.sub AND dt.code = b.code
+        WHERE b.vec_id <> 0
+        GROUP BY 1
+    )
+    SELECT vec_id, adc_dist, CAST(ROW_NUMBER() OVER (
+        ORDER BY adc_dist ASC, vec_id ASC) AS INTEGER) AS rank
+    FROM (SELECT * FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 20)
+    """,
+)
+
+register(
+    "pq_recall_audit",
+    lambda t: similarity.pq_recall_audit(t),
+    "WITH "
+    + _PQ_CTES
+    + """,
+    dt AS (
+        SELECT c.sub, c.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(q.subvec[i] AS DOUBLE)
+                         - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(q.subvec[i] AS DOUBLE)
+                           - CAST(c.cvec[i] AS DOUBLE)))), 6)
+                    AS DECIMAL(18,6)) AS dq
+        FROM cb c JOIN (SELECT sub, subvec FROM subs WHERE vec_id = 0) q
+          USING (sub)
+    ),
+    adc AS (
+        SELECT b.vec_id, CAST(sum(dt.dq) AS DOUBLE) AS adc_dist
+        FROM best b JOIN dt ON dt.sub = b.sub AND dt.code = b.code
+        WHERE b.vec_id <> 0
+        GROUP BY 1
+    ),
+    approx AS (SELECT vec_id FROM adc
+               ORDER BY adc_dist ASC, vec_id ASC LIMIT 10),
+    exact AS (
+        SELECT e.vec_id FROM embeddings e
+        CROSS JOIN (SELECT embedding AS q_emb FROM embeddings
+                    WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE)
+                  - CAST(q.q_emb[i] AS DOUBLE))
+                 * (CAST(e.embedding[i] AS DOUBLE)
+                    - CAST(q.q_emb[i] AS DOUBLE)))) ASC, e.vec_id ASC
+        LIMIT 10
+    )
+    SELECT 10 AS k,
+           CAST(count(*) AS INTEGER) AS n_overlap,
+           round(count(*) / 10.0, 6) AS recall
+    FROM exact JOIN approx USING (vec_id)
+    """,
+)
+
 # RRF fusion of the bm25_search lexical ranks with embedding-cosine
 # ranks against the vec_id-0 query vector (doc_id == vec_id alignment,
 # audited by corpus_alignment). Ranks are ints; the fused score is two
@@ -5101,6 +5221,9 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_knn_classify",
     "tokenizer_fertility",
     "hybrid_search",
+    "pq_quantize",
+    "pq_search",
+    "pq_recall_audit",
     # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
@@ -5145,10 +5268,10 @@ _DRIVER_PRIORITY: list[str] = [
     "quantity_distribution",
     "weekly_sales_pattern",
     "delivery_performance",
+    # --- top-50 boundary ---
     "category_avg_discount",
     "satisfaction_by_delivery",
     "events_minutely",
-    # --- top-50 boundary ---
     "user_activity",
     "hourly_activity",
     "daily_sales_7d_ma",

@@ -2825,3 +2825,31 @@ def test_hybrid_search_rrf_semantics(spark):
     # doc 2: lex rank 3 (doc 0 ranks 2), sem rank 3 -> 1/63+1/63 ≈ .0317
     # doc 3: sem rank 2 only -> 1/62 ≈ .0161 — fusion rewards presence
     assert out[2]["rrf_score"] > out[3]["rrf_score"]
+
+
+def test_pq_quantize_and_adc_semantics(spark):
+    """PQ encoding on planted vectors: a vector equal to a codebook
+    seed encodes to that seed's code with zero reconstruction error;
+    a mixed vector picks the nearest seed PER SUBSPACE; ADC ranks a
+    codebook-exact duplicate of the query at distance 0."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    def seedvec(a, b):
+        # 64-dim: first 32 dims = a, last 32 = b (8 subspaces of 8)
+        return [float(a)] * 32 + [float(b)] * 32
+
+    rows = [(i, seedvec(i, i), 0) for i in range(16)]       # the seeds
+    rows.append((100, seedvec(3, 7), 0))   # subspaces split 3/3/3/3/7/7/7/7
+    rows.append((101, seedvec(0, 0), 0))   # exact duplicate of seed 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    t = {"embeddings": emb}
+    q = {r["vec_id"]: r for r in similarity.pq_quantize(t).collect()}
+    assert q[5]["codes"] == "5-5-5-5-5-5-5-5" and q[5]["sq_error"] == 0.0
+    assert q[100]["codes"] == "3-3-3-3-7-7-7-7" and q[100]["sq_error"] == 0.0
+    assert q[101]["codes"] == "0-0-0-0-0-0-0-0"
+    # ADC from query vec 0: its exact duplicate (101) is at distance 0
+    s = similarity.pq_search(t, query_vec_id=0, top=5).collect()
+    assert s[0]["vec_id"] == 101 and s[0]["adc_dist"] == 0.0
+    assert s[0]["rank"] == 1
