@@ -2447,6 +2447,104 @@ _ANN_IVF_ORACLE = f"""
 register("ann_ivf", lambda t: similarity.ann_ivf(t, lloyd_iters=0),
          _ANN_IVF_ORACLE)
 
+# IVF-PQ: the ann_ivf cell-pruning CTEs composed with the PQ
+# codebook/codes/ADC CTEs — candidates from probed cells, ranked by
+# DECIMAL-exact table-lookup distances (engine-deterministic).
+register(
+    "ann_ivfpq",
+    lambda t: similarity.ann_ivfpq(t),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    adists AS (
+        SELECT e.vec_id, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+            FROM adists)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_CELL_DIST_SQL.format(a='q.embedding', b='c.c_emb')} ASC,
+                                c.cell ASC) AS rnk
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id < 10)
+        WHERE rnk <= 2
+    ),
+    subs AS (
+        SELECT e.vec_id, s.sub,
+               e.embedding[s.sub * 8 + 1 : s.sub * 8 + 8] AS subvec
+        FROM embeddings e, range(0, 8) s(sub)
+    ),
+    cb AS (
+        SELECT CAST(vec_id AS INT) AS code, sub, subvec AS cvec
+        FROM subs WHERE vec_id < 16
+    ),
+    cdists AS (
+        SELECT v.vec_id, v.sub, c.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> (CAST(v.subvec[i] AS DOUBLE)
+                         - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(v.subvec[i] AS DOUBLE)
+                           - CAST(c.cvec[i] AS DOUBLE)))) AS d
+        FROM subs v JOIN cb c USING (sub)
+    ),
+    codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+            FROM cdists)
+        WHERE rn = 1
+    ),
+    dt AS (
+        SELECT q.vec_id AS query_id, c.sub, c.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                   i -> (CAST(q.subvec[i] AS DOUBLE)
+                         - CAST(c.cvec[i] AS DOUBLE))
+                        * (CAST(q.subvec[i] AS DOUBLE)
+                           - CAST(c.cvec[i] AS DOUBLE)))), 6)
+                    AS DECIMAL(18,6)) AS dq
+        FROM subs q JOIN cb c USING (sub)
+        WHERE q.vec_id < 10
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.query_id <> a.vec_id
+    ),
+    adc AS (
+        SELECT cand.query_id, cand.vec_id AS neighbor_id,
+               CAST(sum(dt.dq) AS DOUBLE) AS adc_dist
+        FROM cand
+        JOIN codes ON codes.vec_id = cand.vec_id
+        JOIN dt ON dt.query_id = cand.query_id
+              AND dt.sub = codes.sub AND dt.code = codes.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+        FROM adc)
+    WHERE rank <= 5
+    """,
+)
+
 
 # Build-once bookkeeping for registered state-path queries: keyed by
 # the TABLE HANDLE id (tables_for caches one handle per
@@ -5224,6 +5322,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_quantize",
     "pq_search",
     "pq_recall_audit",
+    "ann_ivfpq",
     # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
@@ -5267,8 +5366,9 @@ _DRIVER_PRIORITY: list[str] = [
     "top_revenue_orders",
     "quantity_distribution",
     "weekly_sales_pattern",
-    "delivery_performance",
     # --- top-50 boundary ---
+    "delivery_performance",
+
     "category_avg_discount",
     "satisfaction_by_delivery",
     "events_minutely",
