@@ -407,6 +407,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
                                 histogram buckets (same shape)
     - hybrid_search             ranks over .limit(top) rows of each
                                 ranker and over the <= 2*top fused list
+    - pq_search                 rank over .limit(top) ADC rows
     """
     import re
 
@@ -423,6 +424,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
         "dedup_threshold_sweep",
         "quality_threshold_sweep",
         "hybrid_search",
+        "pq_search",
     }
     offenders = set()
     for name, fn in registry.queries().items():
