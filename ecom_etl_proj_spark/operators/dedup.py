@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecom_etl_proj_spark.functions import text as X
@@ -231,6 +231,60 @@ def dedup_containment(
         "jaccard",
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def contrastive_pairs(
+    t: dict[str, DataFrame],
+    n: int = 3,
+    threshold: float = 0.3,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive
+    embedding training: positives are verified near-dup pairs
+    (``dedup_ngram_jaccard`` above ``threshold``), negatives are
+    IN-BATCH — each triplet's negative is the next positive pair's
+    member within its shard (wrapping), exactly the in-batch-negatives
+    scheme contrastive losses train with, made deterministic: shard =
+    first md5 byte of the anchor (the train_val_split hashing
+    discipline), order = (anchor, positive) within the shard.
+
+    Scale shape: the pair pipeline's cost is dedup_ngram_jaccard's
+    (df-capped inverted index); the negative assignment is one
+    lead/first window PARTITIONED BY SHARD — per-shard row counts are
+    |positives| / n_shards, and n_shards scales with the corpus, so no
+    global single-task window exists. Degenerate triplets (a one-pair
+    shard wrapping onto itself, or the negative colliding with either
+    member) are dropped — the same filter an in-batch loss applies to
+    collisions.
+
+    Output: (anchor, positive, negative, pos_jaccard, shard).
+    """
+    pos = dedup_ngram_jaccard(t, n=n, threshold=threshold).select(
+        F.col("doc_a").alias("anchor"),
+        F.col("doc_b").alias("positive"),
+        F.col("jaccard").alias("pos_jaccard"),
+    )
+    shard = F.conv(
+        F.substring(F.md5(F.col("anchor").cast("string")), 1, 2), 16, 10
+    ).cast("int") % n_shards
+    w = Window.partitionBy("shard").orderBy("anchor", "positive")
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        pos.withColumn("shard", shard)
+        .withColumn(
+            "negative",
+            F.coalesce(
+                F.lead("positive").over(w),
+                F.first("positive").over(w_all),
+            ),
+        )
+    )
+    return out.filter(
+        (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive"))
+    ).select("anchor", "positive", "negative", "pos_jaccard", "shard")
 
 
 def shingle_sets(t: dict[str, DataFrame], n: int = 3) -> DataFrame:

@@ -793,6 +793,59 @@ register(
     _NGRAM_JACCARD_ORACLE,
 )
 
+# Contrastive triplet mining: near-dup positives (threshold 0.3) +
+# deterministic in-batch negatives via a per-shard lead/first wrap
+# (shard = first md5 byte of the anchor, the train_val_split hashing
+# discipline). Degenerate wraps/collisions dropped on both sides.
+register(
+    "contrastive_pairs",
+    lambda t: dedup.contrastive_pairs(t),
+    _SHINGLE_SQL
+    + f""",
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+        SELECT doc_id, shingle FROM ex
+        WHERE shingle IN (SELECT shingle FROM ex GROUP BY shingle
+                          HAVING count(*) <= {dedup.NGRAM_MAX_SHINGLE_FREQ})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pos AS (
+        SELECT doc_a AS anchor, doc_b AS positive,
+               round(CAST(shared AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - shared), 4) AS pos_jaccard,
+               CAST(CAST(concat('0x',
+                   substring(md5(CAST(doc_a AS VARCHAR)), 1, 2)) AS INT) % 8
+                   AS INT) AS shard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(shared AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
+    ),
+    trip AS (
+        SELECT anchor, positive,
+               coalesce(
+                   LEAD(positive) OVER (
+                       PARTITION BY shard ORDER BY anchor, positive),
+                   FIRST_VALUE(positive) OVER (
+                       PARTITION BY shard ORDER BY anchor, positive
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)) AS negative,
+               pos_jaccard, shard
+        FROM pos
+    )
+    SELECT anchor, positive, negative, pos_jaccard, shard
+    FROM trip
+    WHERE negative <> anchor AND negative <> positive
+    """,
+)
+
 # Asymmetric containment |A∩B|/|A| over the same df-capped shingle
 # space: undirected shared counts once, both directions derived
 # row-locally, threshold on the directed ratio. Threshold 0.5 on the
@@ -5323,6 +5376,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_search",
     "pq_recall_audit",
     "ann_ivfpq",
+    "contrastive_pairs",
     # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
@@ -5365,8 +5419,9 @@ _DRIVER_PRIORITY: list[str] = [
     "top_seller_nations",
     "top_revenue_orders",
     "quantity_distribution",
-    "weekly_sales_pattern",
     # --- top-50 boundary ---
+    "weekly_sales_pattern",
+
     "delivery_performance",
 
     "category_avg_discount",

@@ -2853,3 +2853,43 @@ def test_pq_quantize_and_adc_semantics(spark):
     s = similarity.pq_search(t, query_vec_id=0, top=5).collect()
     assert s[0]["vec_id"] == 101 and s[0]["adc_dist"] == 0.0
     assert s[0]["rank"] == 1
+
+
+def test_contrastive_pairs_in_batch_negatives(spark):
+    """Triplets: positives are near-dup pairs; each negative is the
+    next positive's member within the shard (wrapping), never equal to
+    the anchor or the positive; single-pair shards that wrap onto
+    themselves are dropped."""
+    from pyspark.sql import functions as SF
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base), (2, base + " extra"),          # near-dup pair A
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "one two three four five six seven eight nine eleven"),
+            (5, "totally different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.contrastive_pairs(
+        {"documents": docs}, threshold=0.3, n_shards=1
+    ).collect()
+    # both positive pairs in one shard -> each takes the other as negative
+    got = {(r["anchor"], r["positive"]): r["negative"] for r in out}
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)] == 4   # lead -> next pair's positive
+    assert got[(3, 4)] == 2   # wrap -> first pair's positive
+    for r in out:
+        assert r["negative"] not in (r["anchor"], r["positive"])
+        assert r["pos_jaccard"] >= 0.3
+    # a single positive pair alone in its shard wraps onto itself -> dropped
+    solo = dedup.contrastive_pairs(
+        {"documents": spark.createDataFrame(
+            [(1, base), (2, base + " extra")], "doc_id long, text string"
+        )},
+        threshold=0.3, n_shards=1,
+    ).collect()
+    assert solo == []
