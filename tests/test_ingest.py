@@ -422,3 +422,52 @@ def test_jdbc_projection_array_roundtrip(spark, tables, workdir):
         for r in emb.collect()
     )
     assert got == want and len(got) == 50
+
+
+def test_copy_into_idempotent_file_loads(spark, tables, workdir):
+    """COPY INTO semantics (reference ods_layer.py): first run loads
+    all staged files, a re-run loads nothing, a newly arrived file
+    loads alone, and the history ledger records per-file row counts."""
+    import shutil as _shutil
+
+    stage = os.path.join(workdir, "stage")
+    os.makedirs(stage, exist_ok=True)
+    tbl = os.path.join(workdir, "ods_nation")
+    nation = tables["nation"]
+    # stage two csv files
+    for i, frac in enumerate((nation.filter(F.col("n_nationkey") < 10),
+                              nation.filter(F.col("n_nationkey") >= 10))):
+        tmp = os.path.join(workdir, f"csv_tmp{i}")
+        frac.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+        _shutil.copy(os.path.join(tmp, part), os.path.join(stage, f"nation_{i}.csv"))
+
+    rep1 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep1 == {"files_loaded": 2, "rows_loaded": 25, "files_skipped": 0}
+    assert spark.read.parquet(tbl).count() == 25
+
+    # idempotent re-run: nothing loads, nothing duplicates
+    rep2 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep2 == {"files_loaded": 0, "rows_loaded": 0, "files_skipped": 2}
+    assert spark.read.parquet(tbl).count() == 25
+
+    # a new file arrives: only it loads
+    extra = nation.filter(F.col("n_nationkey") < 3)
+    tmp = os.path.join(workdir, "csv_tmp_x")
+    extra.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+    _shutil.copy(os.path.join(tmp, part), os.path.join(stage, "nation_late.csv"))
+    rep3 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep3 == {"files_loaded": 1, "rows_loaded": 3, "files_skipped": 2}
+    assert spark.read.parquet(tbl).count() == 28
+
+    # ledger: one row per file with its row count
+    hist = {
+        r["file_name"]: r["n_rows"]
+        for r in spark.read.parquet(tbl + "__load_history").collect()
+    }
+    assert hist == {"nation_0.csv": 10, "nation_1.csv": 15,
+                    "nation_late.csv": 3}
