@@ -122,6 +122,19 @@ INGEST_HEADLINE = [
     "training_order",
 ]
 
+# Fourth stable-keyed ring (round 11): the retrieval/serving family —
+# hybrid lexical+semantic fusion, PQ asymmetric-distance search, the
+# IVF-PQ composition, and kNN label voting. Distinct "retrieval_*"
+# keys; first series this round, earlier totals unaffected. Registry
+# callables (oracle-pinned seeded codebooks/centroids), semi-warm like
+# the llm/ingest rings.
+RETRIEVAL_HEADLINE = [
+    "hybrid_search",
+    "pq_search",
+    "ann_ivfpq",
+    "embedding_knn_classify",
+]
+
 
 def _llm_prod_queries():
     """PRODUCTION-mode callables for the llm ring: the registry pins
@@ -396,6 +409,9 @@ def main() -> None:
     g0, g0_total = one_pass("ingest", INGEST_HEADLINE)
     g1, _ = one_pass("ingest-warm1", INGEST_HEADLINE)
     g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)
+    r0, r0_total = one_pass("retrieval", RETRIEVAL_HEADLINE)
+    r1, _ = one_pass("retrieval-warm1", RETRIEVAL_HEADLINE)
+    r2, _ = one_pass("retrieval-warm2", RETRIEVAL_HEADLINE)
     calibration = calibrate()
 
     # Scaling-curve probe (r8): synthesize a factor-x dataset into a
@@ -460,6 +476,9 @@ def main() -> None:
     llm_warm_total = round(sum(llm_warm.values()), 3)
     llm_prod_warm = {name: min(p1[name], p2[name]) for name in prod_names}
     ingest_warm = {name: min(g1[name], g2[name]) for name in INGEST_HEADLINE}
+    retrieval_warm = {
+        name: min(r1[name], r2[name]) for name in RETRIEVAL_HEADLINE
+    }
     compile_overhead = {
         name: round(max(0.0, cold_times[name] - warm[name]), 3)
         for name in HEADLINE
@@ -498,6 +517,14 @@ def main() -> None:
                 "ingest_value_semantics": "semi-warm-first-run",
                 "ingest_warm_queries": ingest_warm,
                 "ingest_warm_value": round(sum(ingest_warm.values()), 3),
+                # retrieval/serving ring (first series in r11)
+                "retrieval_queries": r0,
+                "retrieval_value": r0_total,
+                "retrieval_value_semantics": "semi-warm-first-run",
+                "retrieval_warm_queries": retrieval_warm,
+                "retrieval_warm_value": round(
+                    sum(retrieval_warm.values()), 3
+                ),
                 "loadavg": [round(x, 2) for x in loadavg],
                 # one-time per-process JIT priming paid at session
                 # creation, before any timed pass (r10 series break —
@@ -525,6 +552,10 @@ def main() -> None:
                 "normalized_ingest_value": norm(g0_total),
                 "normalized_ingest_warm_queries": {
                     n: norm(v) for n, v in ingest_warm.items()
+                },
+                "normalized_retrieval_value": norm(r0_total),
+                "normalized_retrieval_warm_queries": {
+                    n: norm(v) for n, v in retrieval_warm.items()
                 },
                 # scaling-curve evidence (see tools/scale_probe.py):
                 # linearity = t_scaled / (t_base * factor)
