@@ -217,20 +217,35 @@ def dedup_containment(
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
     )
-    # derive the two directions row-locally from the undirected counts
-    fwd = both.select(
-        F.col("doc_a").alias("contained_doc"),
-        F.col("doc_b").alias("container_doc"),
-        F.round(F.col("shared") / F.col("n_a"), 4).alias("containment"),
-        "jaccard",
-    )
-    rev = both.select(
-        F.col("doc_b").alias("contained_doc"),
-        F.col("doc_a").alias("container_doc"),
-        F.round(F.col("shared") / F.col("n_b"), 4).alias("containment"),
-        "jaccard",
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    # Derive the two directions ROW-LOCALLY via a 2-element explode —
+    # a unionByName of two selects would plan the whole inverted-index
+    # pipeline twice (Catalyst does not merge union branches; the
+    # formatted plan showed every join and exchange duplicated), while
+    # the explode keeps one pipeline and fans each undirected row into
+    # its two directed rows for free.
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained_doc"),
+                    F.col("doc_b").alias("container_doc"),
+                    F.round(F.col("shared") / F.col("n_a"), 4).alias(
+                        "containment"
+                    ),
+                    F.col("jaccard"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained_doc"),
+                    F.col("doc_a").alias("container_doc"),
+                    F.round(F.col("shared") / F.col("n_b"), 4).alias(
+                        "containment"
+                    ),
+                    F.col("jaccard"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return directed.filter(F.col("containment") >= threshold)
 
 
 def contrastive_pairs(

@@ -696,3 +696,32 @@ def test_ann_state_probe_exchange_free_and_scan_free(spark, tables):
         assert df.count() == 50
     finally:
         drop()
+
+
+def test_new_retrieval_family_plan_contracts(tables):
+    """r11 family: PQ/classify/fusion plans must broadcast their
+    bounded sides and never fall back to cartesian or Python UDFs;
+    dedup_containment must plan its two directions from ONE pair
+    pipeline (explode fan-out), not a union that re-plans the
+    inverted-index join twice."""
+    from ecom_etl_proj_spark.operators import dedup as dd
+    from ecom_etl_proj_spark.operators import similarity as sim
+    from ecom_etl_proj_spark.operators import textops as tx
+
+    for fn in (
+        sim.pq_quantize,
+        sim.pq_search,
+        sim.ann_ivfpq,
+        sim.embedding_knn_classify,
+        tx.hybrid_search,
+        dd.dedup_containment,
+        dd.contrastive_pairs,
+    ):
+        plan = plan_of(fn(tables))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+    # codebook/distance-table sides broadcast
+    assert "BroadcastHashJoin" in plan_of(sim.pq_search(tables))
+    assert "BroadcastHashJoin" in plan_of(sim.ann_ivfpq(tables))
+    # one pipeline for both containment directions
+    assert "Union" not in plan_of(dd.dedup_containment(tables))
