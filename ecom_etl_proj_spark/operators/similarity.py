@@ -1166,6 +1166,81 @@ def ann_ivfpq(
     )
 
 
+def embedding_outliers(
+    t: dict[str, DataFrame],
+    n_centroids: int | None = None,
+    z_threshold: float = 3.0,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Embedding-space outlier detection: vectors whose distance to
+    their assigned centroid is a z-score outlier within the cell — the
+    data-quality gate that catches corrupted embeddings (zeroed rows,
+    wrong-model vectors, encoding glitches) before they enter dedup /
+    ANN indexes, where one bad vector silently poisons its whole cell.
+    Complements ``ivf_cell_balance`` (cell skew) and
+    ``corpus_alignment`` (referential integrity).
+
+    Scale shape: centroid assignment is the row-local broadcast-argmin
+    fold (one corpus scan, zero shuffle); per-cell moments are ONE
+    bounded groupBy(cell) whose sums accumulate round-6 DECIMAL terms
+    — exact under any partitioning, so mean/std and every z-score are
+    bit-identical across engines; the verdict join broadcasts the
+    |cells| moment rows back onto the assignment. Population std over
+    exact moments: sqrt(E[d²] − E[d]²).
+
+    Output: (vec_id, cell, dist, cell_mean, cell_std, z_score) for
+    flagged outliers, z rounded to 4.
+    """
+    import math
+
+    emb = t["embeddings"]
+    if n_centroids is None:
+        n_centroids = max(16, int(math.sqrt(_corpus_size(emb, corpus_size))))
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = _assign_cells(emb, cent).select("vec_id", "embedding", "cell")
+    cent_b = cent.withColumnRenamed("c_emb", "c_vec")
+    with_d = assigned.join(F.broadcast(cent_b), "cell").select(
+        "vec_id",
+        "cell",
+        F.round(F.expr(_SQ_L2.format(a="embedding", b="c_vec")), 6)
+        .cast("decimal(18,6)")
+        .alias("dist"),
+    )
+    moments = with_d.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.sum("dist").alias("s1"),
+        F.sum(
+            (F.col("dist") * F.col("dist")).cast("decimal(28,12)")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = moments.select(
+        "cell",
+        F.round(mean, 6).alias("cell_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("cell_std"),
+    )
+    z = (F.col("dist").cast("double") - F.col("cell_mean")) / F.col(
+        "cell_std"
+    )
+    return (
+        with_d.join(F.broadcast(stats), "cell")
+        .filter(F.col("cell_std") > 0)
+        .withColumn("z_score", F.round(z, 4))
+        .filter(F.abs(F.col("z_score")) >= z_threshold)
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dist").cast("double").alias("dist"),
+            "cell_mean",
+            "cell_std",
+            "z_score",
+        )
+    )
+
+
 def ivf_cell_balance(
     t: dict[str, DataFrame],
     n_centroids: int | None = None,

@@ -2500,6 +2500,67 @@ _ANN_IVF_ORACLE = f"""
 register("ann_ivf", lambda t: similarity.ann_ivf(t, lloyd_iters=0),
          _ANN_IVF_ORACLE)
 
+# Outlier gate: same seeded-centroid assignment as the IVF family
+# (-dot/||c|| argmin), then per-cell moments over round-6 DECIMAL
+# squared-L2 distances — exact sums make mean/std/z bit-identical.
+register(
+    "embedding_outliers",
+    lambda t: similarity.embedding_outliers(t),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    adists AS (
+        SELECT e.vec_id, e.embedding, c.cell, c.c_emb,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS adist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell, c_emb FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY adist ASC, cell ASC) AS rn
+            FROM adists)
+        WHERE rn = 1
+    ),
+    with_d AS (
+        SELECT vec_id, cell,
+               CAST(round(list_sum(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> (CAST(embedding[i] AS DOUBLE)
+                         - CAST(c_emb[i] AS DOUBLE))
+                        * (CAST(embedding[i] AS DOUBLE)
+                           - CAST(c_emb[i] AS DOUBLE)))), 6)
+                    AS DECIMAL(18,6)) AS dist
+        FROM assigned
+    ),
+    stats AS (
+        SELECT cell,
+               round(CAST(sum(dist) AS DOUBLE) / count(*), 6) AS cell_mean,
+               round(sqrt(greatest(
+                   CAST(sum(CAST(dist * dist AS DECIMAL(28,12))) AS DOUBLE)
+                       / count(*)
+                   - (CAST(sum(dist) AS DOUBLE) / count(*))
+                     * (CAST(sum(dist) AS DOUBLE) / count(*)), 0.0)), 6)
+                   AS cell_std
+        FROM with_d GROUP BY cell
+    )
+    SELECT w.vec_id, w.cell, CAST(w.dist AS DOUBLE) AS dist,
+           s.cell_mean, s.cell_std,
+           round((CAST(w.dist AS DOUBLE) - s.cell_mean) / s.cell_std, 4)
+               AS z_score
+    FROM with_d w JOIN stats s USING (cell)
+    WHERE s.cell_std > 0
+      AND abs(round((CAST(w.dist AS DOUBLE) - s.cell_mean) / s.cell_std, 4))
+          >= 3.0
+    """,
+)
+
 # IVF-PQ: the ann_ivf cell-pruning CTEs composed with the PQ
 # codebook/codes/ADC CTEs — candidates from probed cells, ranked by
 # DECIMAL-exact table-lookup distances (engine-deterministic).
@@ -5377,6 +5438,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pq_recall_audit",
     "ann_ivfpq",
     "contrastive_pairs",
+    "embedding_outliers",
     # --- r7-verified block: the oldest rows, stale 4 rounds ---
     "order_priority_counts",
     "monthly_sales",
@@ -5418,8 +5480,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sales_by_geography",
     "top_seller_nations",
     "top_revenue_orders",
-    "quantity_distribution",
     # --- top-50 boundary ---
+    "quantity_distribution",
+
     "weekly_sales_pattern",
 
     "delivery_performance",

@@ -2893,3 +2893,37 @@ def test_contrastive_pairs_in_batch_negatives(spark):
         threshold=0.3, n_shards=1,
     ).collect()
     assert solo == []
+
+
+def test_embedding_outliers_flags_planted_corruption(spark):
+    """A corrupted (far-from-everything) vector inside a tight cluster
+    must be flagged with a large positive z-score; the tight members
+    must not be flagged."""
+    import random
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = []
+    # 16 seed vectors (centroids): spread unit-ish directions
+    for i in range(16):
+        base = [0.0] * 64
+        base[i % 64] = 1.0
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base], 0))
+    # a tight cluster around seed 0's direction
+    for j in range(17, 60):
+        base = [0.0] * 64
+        base[0] = 1.0
+        rows.append((j, [v + rng.uniform(-0.02, 0.02) for v in base], 0))
+    # the corrupted vector: same nearest centroid, wildly far
+    corrupt = [5.0] * 64
+    corrupt[0] = 50.0
+    rows.append((99, corrupt, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in similarity.embedding_outliers(
+        {"embeddings": emb}, n_centroids=16, corpus_size=len(rows)
+    ).collect()}
+    assert 99 in out and out[99]["z_score"] > 3
+    assert all(v == 99 for v in out), out  # tight members unflagged
