@@ -5410,10 +5410,16 @@ register(
 # The driver's correctness harness checks the FIRST 50 registry entries per
 # round. ROUND-11 ROTATION (pure oldest-first cycle, every query keeps a
 # driver row). Head composition this round:
-#   1) bpe_train_merges — the one r11 addition, never driver-verified;
+#   1) the ELEVEN r11 additions, never driver-verified
+#      (bpe_train_merges, dedup_containment, embedding_knn_classify,
+#      tokenizer_fertility, hybrid_search, pq_quantize, pq_search,
+#      pq_recall_audit, ann_ivfpq, contrastive_pairs,
+#      embedding_outliers);
 #   2) the full r7-verified cohort (26 queries, stale 4 rounds — the
 #      oldest rows anywhere; the r10 judge's top re-verification ask);
-#   3) the oldest 23 of the r8-verified cohort to fill slot 50.
+#   3) the oldest 13 of the r8-verified cohort to fill slot 50.
+# The whole head-50 was locally oracle-verified at sf0.01 (50/50)
+# before close.
 # The remaining 27 r8 rows lead r12, then the r9 block, then the 50
 # r10-verified rows (freshest) go last. Changed-code audit for r11:
 # two oracle edits, both parity-verified locally this round —
