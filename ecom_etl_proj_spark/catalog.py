@@ -210,28 +210,64 @@ ROW_HINTS: "weakref.WeakKeyDictionary[DataFrame, int]" = (
 )
 
 
+def _tree_mtime(path: str) -> float:
+    """Newest mtime across the path and (for a directory) its entries —
+    the cache key component that invalidates footer memos after an
+    append/copy_into/compaction touches the table (r11 ADVICE #2: a
+    bare path-keyed lru_cache served stale counts after appends)."""
+    try:
+        st = os.stat(path)
+        if os.path.isfile(path):
+            return st.st_mtime
+        newest = st.st_mtime
+        for root, _dirs, files in os.walk(path):
+            newest = max(newest, os.stat(root).st_mtime)
+            for f in files:
+                try:
+                    newest = max(
+                        newest, os.stat(os.path.join(root, f)).st_mtime
+                    )
+                except OSError:
+                    pass
+        return newest
+    except OSError:
+        return -1.0
+
+
 @lru_cache(maxsize=256)
-def _footer_rows(path: str) -> int | None:
-    """Total row count from parquet footer metadata (file or dir)."""
+def _footer_rows_at(path: str, mtime: float) -> int | None:
+    del mtime  # cache-key component only
     try:
         import pyarrow.parquet as pq
 
         if os.path.isfile(path):
             return pq.ParquetFile(path).metadata.num_rows
         total = 0
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-        return total
+        seen = False
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    seen = True
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        # No parquet anywhere under the dir: unknown, NOT zero — a 0
+        # hint would make auto-scaled params (n_centroids etc.) diverge
+        # from the oracle's live count(*).
+        return total if seen else None
     except Exception:  # pragma: no cover - remote/odd layouts
         return None
 
 
+def _footer_rows(path: str) -> int | None:
+    """Total row count from parquet footer metadata (file or dir;
+    recursive, mtime-keyed so appends invalidate the memo)."""
+    return _footer_rows_at(path, _tree_mtime(path))
+
+
 @lru_cache(maxsize=256)
-def _few_splits(path: str) -> bool:
-    """True if the parquet path can't parallelize a scan (fewer than 8
-    row groups / files). Checked from file metadata (milliseconds,
-    cached) — never by resolving the Spark plan."""
+def _few_splits_at(path: str, mtime: float) -> bool:
+    del mtime  # cache-key component only
     try:
         import pyarrow.parquet as pq
 
@@ -241,6 +277,13 @@ def _few_splits(path: str) -> bool:
         return len(files) < 8
     except Exception:  # pragma: no cover - remote/odd layouts: assume fine
         return False
+
+
+def _few_splits(path: str) -> bool:
+    """True if the parquet path can't parallelize a scan (fewer than 8
+    row groups / files). Checked from file metadata (milliseconds,
+    mtime-keyed cache) — never by resolving the Spark plan."""
+    return _few_splits_at(path, _tree_mtime(path))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -72,7 +72,11 @@ def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
             f"{max((_gen_no(p) for p in _list_generations(base)), default=-1) + 1}__"
         )
         os.rename(base, legacy)
-        os.symlink(legacy, base)
+        # Sibling-basename target: a symlink resolves relative to its
+        # OWN directory, so an absolute/parented target string would
+        # break for any relative table path with a directory component
+        # (e.g. 'data/dim' → 'data/data/dim.__gen_0__', r11 ADVICE #1).
+        os.symlink(os.path.basename(legacy), base)
 
     siblings = _list_generations(base)
     new_gen = max((_gen_no(p) for p in siblings), default=-1) + 1
@@ -83,7 +87,7 @@ def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
     tmp_link = f"{base}.__lnk_tmp__"
     if os.path.lexists(tmp_link):
         os.remove(tmp_link)
-    os.symlink(gen_dir, tmp_link)
+    os.symlink(os.path.basename(gen_dir), tmp_link)  # sibling-relative
     os.rename(tmp_link, base)  # atomic pointer swap
     # retire everything except the new and the immediately previous
     # generation (grace period for in-flight scans; also sweeps

@@ -505,3 +505,37 @@ def test_concurrent_readers_never_see_torn_merge(spark, tmp_path):
     gens = [d for d in os.listdir(tmp_path)
             if _re.fullmatch(r"dim\.__gen_\d+__", d)]
     assert len(gens) <= 2, gens
+
+
+def test_generation_swap_relative_path_with_dirs(spark, tmp_path, monkeypatch):
+    """r11 ADVICE #1: symlink targets must be sibling basenames. A
+    RELATIVE table path with a directory component ('data/dim') used to
+    produce a pointer that resolved to 'data/data/dim.__gen_N__' and
+    dangled after the first swap; with basename targets the table stays
+    readable across a legacy migration and repeated swaps."""
+    from ecom_etl_proj_spark.pipelines.swap import generation_swap
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("data", exist_ok=True)
+    rel = "data/dim"
+    # legacy real-directory table first (exercises the migration branch).
+    # Spark resolves relative paths against the JVM's cwd (not Python's
+    # monkeypatched one), so all Spark I/O here goes through abspath;
+    # generation_swap itself gets the RELATIVE path under test.
+    spark.range(10).write.parquet(os.path.abspath(rel))
+
+    def writer(val):
+        def write_fn(gen_dir):
+            spark.range(10).selectExpr("id", f"{val} AS v").write.parquet(
+                os.path.abspath(gen_dir)
+            )
+        return write_fn
+
+    for k in (1, 2, 3):
+        generation_swap(rel, writer(k))
+        assert os.path.islink(rel)
+        # the link target must be a sibling basename, never a parented path
+        assert os.sep not in os.readlink(rel)
+        got = spark.read.parquet(os.path.abspath(rel))
+        assert got.count() == 10
+        assert got.select("v").distinct().collect()[0][0] == k
