@@ -184,6 +184,16 @@ def _llm_prod_queries():
         # r9 finding that ann_ivf_prod re-ran index construction per
         # invocation.
         "ann_ivf_state": _ann_ivf_state_fn(),
+        # Additive r12 key: the steady-state IVF-PQ ADC serving path.
+        # First call per bench process builds the persisted index in
+        # FULL production mode — Lloyd-refined centroids plus trained
+        # m=16 x 256-code per-subspace codebooks (the pq_recall_floor
+        # configuration) — landing in the p0 first-run number; warm
+        # passes measure ADC serving: broadcast distance tables, a
+        # row-local m-lookup fold over the bucketed code arrays, zero
+        # corpus scans, zero raw-vector reads, zero training
+        # (A/B-identical to ann_ivfpq per mode, tests/test_operators).
+        "ann_ivfpq_state": _ann_ivfpq_state_fn(),
         # Additive r10 key: steady-state semantic incremental dedup —
         # an arriving batch screened against the persisted production
         # (Lloyd-refined) IVF index of the existing corpus. Build is
@@ -221,6 +231,33 @@ def _ann_ivf_state_fn(prefix: str = "benchann"):
             F.col("embedding").alias("q_emb"),
         )
         return similarity.probe_ann_state(spark, prefix, queries)
+
+    return run
+
+
+def _ann_ivfpq_state_fn(prefix: str = "benchpq"):
+    built: set[str] = set()
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from ecom_etl_proj_spark.operators import similarity
+        from ecom_etl_proj_spark.plans.registry import tables_for
+
+        t = tables_for(spark, sf_dir)
+        if sf_dir not in built:
+            # full production build: Lloyd centroids + trained
+            # m=16 x 256 codebooks (the pq_recall_floor config)
+            similarity.build_ann_state(
+                spark, t, prefix, lloyd_iters=2,
+                pq_m=16, pq_n_codes=256, pq_iters=2,
+            )
+            built.add(sf_dir)
+        queries = t["embeddings"].filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        return similarity.probe_ann_pq_state(spark, prefix, queries)
 
     return run
 
@@ -440,6 +477,7 @@ def main() -> None:
             prod = _llm_prod_queries()
             state_ring = {
                 "ann_ivf_state": _ann_ivf_state_fn(prefix="spann"),
+                "ann_ivfpq_state": _ann_ivfpq_state_fn(prefix="sppq"),
                 "curated_pack_state": _curated_pack_state_fn(prefix="spcps"),
                 "semantic_dedup_state": _semantic_dedup_state_fn(
                     prefix="spsem"

@@ -2406,6 +2406,71 @@ def test_ann_state_build_probe_matches_in_plan(spark, tables):
             drop(prefix)
 
 
+def test_ann_pq_state_build_probe_matches_in_plan(spark, tables):
+    """Persisted IVF-PQ index (build_ann_state(pq_m=...)) probed via
+    probe_ann_pq_state yields EXACTLY the in-plan ann_ivfpq result in
+    both modes: fully seeded (the oracle-pinned registry mode) and
+    trained (Lloyd centroids + per-subspace-trained codebooks) — the
+    parquet round-trip and the row-local map-lookup ADC fold change
+    nothing (decimal addition is exact and order-independent)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop(prefix):
+        for suffix in ("centroids", "cells", "codebook", "pqcodes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                )
+
+    queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cases = [
+        # (lloyd_iters, pq_m, pq_n_codes, pq_iters, prefix)
+        (0, 8, 16, 0, "pqst_t0"),
+        (2, 16, 64, 1, "pqst_t1"),
+    ]
+    for li, m, nc, pi, prefix in cases:
+        drop(prefix)
+        try:
+            similarity.build_ann_state(
+                spark, tables, prefix, lloyd_iters=li, n_buckets=4,
+                pq_m=m, pq_n_codes=nc, pq_iters=pi,
+            )
+            got = sorted(
+                map(
+                    tuple,
+                    similarity.probe_ann_pq_state(
+                        spark, prefix, queries
+                    ).collect(),
+                )
+            )
+            want = sorted(
+                map(
+                    tuple,
+                    similarity.ann_ivfpq(
+                        tables, m=m, n_codes=nc,
+                        lloyd_iters=li, pq_iters=pi,
+                    ).collect(),
+                )
+            )
+            similarity.release_lloyd_caches()
+            assert got == want, f"case {(li, m, nc, pi)}"
+            assert len(got) == 50
+        finally:
+            drop(prefix)
+
+
 def test_oov_rate_vocab_mode_join_matches_array(spark, tables):
     """oov_rate_by_source's broadcast-hash-join probe (the production
     shape for tokenizer-sized vocabularies) is output-identical to the
@@ -2853,6 +2918,78 @@ def test_pq_quantize_and_adc_semantics(spark):
     s = similarity.pq_search(t, query_vec_id=0, top=5).collect()
     assert s[0]["vec_id"] == 101 and s[0]["adc_dist"] == 0.0
     assert s[0]["rank"] == 1
+
+
+def test_pq_train_codebook_reduces_error(spark, tables):
+    """Lloyd-trained codebooks must not lose to the seeded ones on
+    total reconstruction error (k-means monotonically decreases the
+    within-cluster SSE it optimizes), and training must be
+    deterministic — two runs produce identical codebooks."""
+    from pyspark.sql import functions as SF
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    def total_err(iters):
+        out = similarity.pq_quantize(tables, lloyd_iters=iters).agg(
+            SF.sum("sq_error").alias("e")
+        ).collect()[0]["e"]
+        similarity.release_lloyd_caches()
+        return out
+
+    seeded, trained = total_err(0), total_err(2)
+    assert trained <= seeded
+    # determinism: decimal-exact means -> identical codebook both runs
+    emb = tables["embeddings"]
+    runs = []
+    for _ in range(2):
+        cb = similarity.pq_train_codebook(emb, 8, 16, 8, iters=2)
+        runs.append(sorted(
+            (r["sub"], r["code"], tuple(r["cvec"])) for r in cb.collect()
+        ))
+        similarity.release_lloyd_caches()
+    assert runs[0] == runs[1]
+
+
+def test_pq_refine_reranks_shortlist_exactly(spark):
+    """The refine stage fetches raw vectors for shortlist members only
+    and re-ranks by exact L2: an exact duplicate of the query must come
+    back rank 1 with d=0 even if ADC mis-ranked it."""
+    from pyspark.sql import functions as SF
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    def seedvec(a, b):
+        return [float(a)] * 32 + [float(b)] * 32
+
+    rows = [(i, seedvec(i, i), 0) for i in range(16)]
+    rows.append((101, seedvec(0, 0), 0))  # exact duplicate of query 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(SF.col("vec_id") == 0).select(
+        SF.col("vec_id").alias("query_id"),
+        SF.col("embedding").alias("q_emb"),
+    )
+    cb = similarity._pq_codebook(emb, 8, 16, 8)
+    short = similarity._pq_adc_shortlist(emb, queries, cb, 8, 16, 8, 5)
+    got = similarity.pq_refine(emb, queries, short, k=3).collect()
+    assert got[0]["vec_id"] == 101
+    assert got[0]["d"] == 0.0 and got[0]["rank"] == 1
+
+
+def test_pq_recall_floor_production_gate(spark, tables):
+    """The registered production PQ gate holds on the real corpus:
+    trained m=16x256 codebooks + ADC shortlist + exact refine reach
+    recall@10 >= 0.8 (within_bound TRUE), and the row counts every
+    exact pair."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    row = similarity.pq_recall_floor(tables).collect()[0]
+    similarity.release_lloyd_caches()
+    n = tables["embeddings"].count()
+    assert row["metric"] == "pq_recall_at_k"
+    assert row["n_exact_pairs"] == 10 * min(10, n - 1)
+    assert row["within_bound"] is True
 
 
 def test_contrastive_pairs_in_batch_negatives(spark):

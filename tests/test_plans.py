@@ -725,3 +725,73 @@ def test_new_retrieval_family_plan_contracts(tables):
     assert "BroadcastHashJoin" in plan_of(sim.ann_ivfpq(tables))
     # one pipeline for both containment directions
     assert "Union" not in plan_of(dd.dedup_containment(tables))
+
+
+def test_ann_pq_state_probe_exchange_free_and_scan_free(spark, tables):
+    """probe_ann_pq_state's docstring claims the bucketed codes table
+    is never shuffled and the probe touches no embeddings-corpus scan
+    (only the bounded query block) and ZERO raw-vector reads — ADC is
+    a row-local fold over broadcast distance tables. Assert all of it
+    on the physical plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for suffix in ("centroids", "cells", "codebook", "pqcodes"):
+            spark.sql(f"DROP TABLE IF EXISTS pqplan_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/pqplan_{suffix}", ignore_errors=True
+                )
+
+    drop()
+    try:
+        similarity.build_ann_state(
+            spark, tables, "pqplan", lloyd_iters=0, n_buckets=4,
+            pq_m=8, pq_n_codes=16, pq_iters=0,
+        )
+        queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        df = similarity.probe_ann_pq_state(spark, "pqplan", queries)
+        plan = plan_of(df)
+        lines = plan.splitlines()
+        # the codes scan is the STREAMED side of BroadcastHashJoins:
+        # no Exchange between it and the join above it.
+        assert "BroadcastHashJoin" in plan, plan
+        scan_idx = next(
+            i for i, ln in enumerate(lines) if "pqplan_pqcodes" in ln
+        )
+        join_idx = max(
+            i for i, ln in enumerate(lines)
+            if "BroadcastHashJoin" in ln and i < scan_idx
+        )
+        scan_indent = len(lines[scan_idx]) - len(lines[scan_idx].lstrip(" :+-"))
+        for ln in lines[join_idx + 1 : scan_idx]:
+            indent = len(ln) - len(ln.lstrip(" :+-"))
+            if indent < scan_indent and "Exchange" in ln:
+                raise AssertionError(plan)
+        # zero raw-vector reads in serving: the inverted file
+        # ({prefix}_cells, which holds embeddings) is absent from the
+        # probe plan entirely — ADC runs on codes alone.
+        assert "pqplan_cells" not in plan, plan
+        # no corpus scan: the only embeddings reads are the bounded
+        # query block, used twice (cell ranking + distance tables),
+        # each with vec_id < 10 pushed to the scan
+        n_emb = sum("embeddings.parquet" in ln for ln in lines)
+        n_bounded = sum(
+            "PushedFilters" in ln and "LessThan(vec_id,10)" in ln
+            for ln in lines
+        )
+        assert n_emb >= 1 and n_emb == n_bounded, plan
+        assert df.count() == 50
+    finally:
+        drop()
