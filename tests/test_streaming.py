@@ -1386,6 +1386,170 @@ def test_serving_epoch_replay_is_noop(spark, tables):
     )
 
 
+@pytest.fixture(scope="module")
+def executor_served_store(spark, tables):
+    """The served_store fixture driven through the EXECUTOR-PUSH sink
+    mode: same three time-ordered micro-batches, but counters and
+    recent lists are applied from foreachPartition workers against a
+    KVServer-shared store (the no-Redis production seam). Yields the
+    server's embedded store for direct reads."""
+    e = tables["events"]
+    lo, hi = e.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    slices = [
+        e.filter(F.unix_timestamp("ts") < c1),
+        e.filter(
+            (F.unix_timestamp("ts") >= c1) & (F.unix_timestamp("ts") < c2)
+        ),
+        e.filter(F.unix_timestamp("ts") >= c2),
+    ]
+    server = serving.KVServer().start()
+    src = tempfile.mkdtemp(prefix="serving_exec_src_")
+    ckpt = tempfile.mkdtemp(prefix="serving_exec_ckpt_")
+    try:
+        for part in slices:
+            part.repartition(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(e.schema).parquet(src)
+            q = serving.serve_consumer_metrics(
+                stream, None, ckpt, mode="executor", store_url=server.url
+            )
+            q.awaitTermination(120)
+        yield server.store
+    finally:
+        server.stop()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_executor_push_parity_with_driver_path(
+    spark, tables, served_store, executor_served_store
+):
+    """The partition-parallel sink must land the EXACT key surface of
+    the driver path: every hash (totals, minutely families, revenue,
+    cart value, per-product, per-user), every recent list (content and
+    order), and the scalar last-activity values."""
+    drv, exc = served_store, executor_served_store
+    hash_keys = [
+        "metrics:totals", "revenue:minutely", "cart:value:minutely",
+        "user:views",
+    ]
+    hash_keys += list(serving.MINUTELY_KEY.values())
+    hash_keys += [f"product:{f}" for f in serving.FAMILY.values()]
+    for key in hash_keys:
+        assert exc.hgetall(key) == drv.hgetall(key), key
+    for fam in serving.FAMILY.values():
+        assert exc.lrange(f"recent:{fam}", 100) == drv.lrange(
+            f"recent:{fam}", 100
+        ), fam
+    assert exc.get("metrics:last_activity") == drv.get(
+        "metrics:last_activity"
+    )
+
+
+def test_executor_push_replay_and_partial_crash_idempotent(spark, tables):
+    """The per-(epoch, partition) marker contract: re-pushing a whole
+    epoch is a no-op, and a crash that applied the counter partitions
+    but not the recent lists retries cleanly — counters don't double,
+    the lists land."""
+    server = serving.KVServer().start()
+    try:
+        e = serving._prepared(tables["events"].limit(500))
+        counters = serving.consumer_counter_rows(e).repartition(
+            8, "key", "field"
+        )
+        recent = serving.consumer_recent_rows(e, 100).repartition(4, "fam")
+        url, ns = server.url, "crashtest"
+        # "crash": epoch 0 applied counters only
+        counters.foreachPartition(serving._make_counter_push(url, ns, 0))
+        snap_tot = server.store.hgetall("user:views")
+        assert snap_tot
+        assert server.store.lrange("recent:views") == []
+        # retry replays the WHOLE epoch: counters skip, recent applies
+        counters.foreachPartition(serving._make_counter_push(url, ns, 0))
+        recent.foreachPartition(
+            serving._make_recent_push(url, ns, 0, 100)
+        )
+        assert server.store.hgetall("user:views") == snap_tot
+        assert server.store.lrange("recent:views") != []
+        snap_rec = server.store.lrange("recent:views")
+        # a second full replay of epoch 0 is a complete no-op
+        counters.foreachPartition(serving._make_counter_push(url, ns, 0))
+        recent.foreachPartition(
+            serving._make_recent_push(url, ns, 0, 100)
+        )
+        assert server.store.hgetall("user:views") == snap_tot
+        assert server.store.lrange("recent:views") == snap_rec
+        # a NEW epoch still applies
+        counters.foreachPartition(serving._make_counter_push(url, ns, 1))
+        assert {
+            k: 2 * v for k, v in snap_tot.items()
+        } == server.store.hgetall("user:views")
+    finally:
+        server.stop()
+
+
+def test_marker_namespace_survives_checkpoint_reset(spark, tables):
+    """r11 ADVICE #4: epoch markers are scoped to the checkpoint's
+    query id, so wiping the checkpoint (which renumbers epochs from 0)
+    against a store that kept old markers must NOT drop the new run's
+    batches — the same data served twice doubles the totals instead of
+    silently vanishing."""
+    e = tables["events"].limit(2000)
+    store = serving.EmbeddedKVStore()
+    src = tempfile.mkdtemp(prefix="nsreset_src_")
+    ckpt = tempfile.mkdtemp(prefix="nsreset_ckpt_")
+    try:
+        e.repartition(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        q = serving.serve_consumer_metrics(stream, store, ckpt)
+        q.awaitTermination(120)
+        first = store.hgetall("metrics:totals")["total_views"]
+        # wipe the checkpoint: the restarted query renumbers from 0
+        shutil.rmtree(ckpt)
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        q = serving.serve_consumer_metrics(stream, store, ckpt)
+        q.awaitTermination(120)
+        assert store.hgetall("metrics:totals")["total_views"] == 2 * first
+        # same checkpoint, same namespace: a THIRD run with no new data
+        # applies nothing
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        q = serving.serve_consumer_metrics(stream, store, ckpt)
+        q.awaitTermination(120)
+        assert store.hgetall("metrics:totals")["total_views"] == 2 * first
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_socket_kv_store_matches_embedded():
+    """SocketKVStore against KVServer honors the exact op contract of
+    the embedded reference implementation — including Decimal
+    exactness across the wire and the epoch-marker no-op."""
+    server = serving.KVServer().start()
+    try:
+        cli = serving.connect_store(server.url)
+        ops = [
+            ("hincr", "h", {"a": 1, "b": Decimal("2.5")}),
+            ("hincr", "h", {"a": 3}),
+            ("hset", "h", {"c": "x"}),
+            ("lpush_trim", "l", ["1", "2", "3"], 2),
+            ("lpush_trim", "l", ["4"], 2),
+            ("set", "k", "v"),
+        ]
+        ref = serving.EmbeddedKVStore()
+        ref.apply_batch("s", 0, ops)
+        assert cli.apply_batch("s", 0, ops) is True
+        assert cli.apply_batch("s", 0, ops) is False  # replay no-op
+        assert cli.hgetall("h") == ref.hgetall("h")
+        assert cli.hgetall("h")["b"] == Decimal("2.5")
+        assert cli.lrange("l") == ref.lrange("l") == ["4", "3"]
+        assert cli.get("k") == "v"
+    finally:
+        server.stop()
+
+
 def test_kv_store_op_semantics():
     """The op contract every implementation must honor (the embedded
     store is the reference implementation; the env-gated Redis test
