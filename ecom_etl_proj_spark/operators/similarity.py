@@ -1458,6 +1458,64 @@ def ann_ivfpq(
     )
 
 
+def ann_ivfpq_refined(
+    t: dict[str, DataFrame],
+    n_centroids: int | None = None,
+    n_probe: int = 2,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    refine_factor: int = 4,
+    corpus_size: int | None = None,
+    lloyd_iters: int = 0,
+    pq_iters: int = 0,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The COMPLETE production ANN serving pipeline in one registered
+    plan: IVF cell pruning -> PQ asymmetric-distance shortlist
+    (``refine_factor * k`` candidates) -> EXACT squared-L2 re-rank of
+    the shortlist (``pq_refine``, FAISS IndexRefineFlat) -> top-k.
+    This is the stage order every billion-scale deployment runs: the
+    scan touches codes (m bytes/vector), and raw vectors are read for
+    exactly queries x shortlist rows — bounded regardless of corpus
+    size, which is what lets the raw vectors live on cold storage.
+
+    Seeded defaults keep the full DuckDB oracle (the registry pins
+    them); production callers pass lloyd_iters/pq_iters and the
+    trained m=16 x 256 config, whose end recall the hash-verified
+    ``pq_recall_floor`` row gates at 0.8.
+
+    Output: (query_id, neighbor_id, sq_dist, rank) — sq_dist the
+    exact distance rounded to 6, ranking on the unrounded value with
+    neighbor_id tie-break (both engines rank before rounding).
+    """
+    emb = t["embeddings"]
+    short = ann_ivfpq(
+        t,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        n_queries=n_queries,
+        k=refine_factor * k,
+        m=m,
+        n_codes=n_codes,
+        corpus_size=corpus_size,
+        lloyd_iters=lloyd_iters,
+        pq_iters=pq_iters,
+        cache_registry=cache_registry,
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return pq_refine(emb, queries, short, k).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("d"), 6).alias("sq_dist"),
+        "rank",
+    )
+
+
 def embedding_outliers(
     t: dict[str, DataFrame],
     n_centroids: int | None = None,
