@@ -247,10 +247,13 @@ def _ann_ivfpq_state_fn(prefix: str = "benchpq"):
         t = tables_for(spark, sf_dir)
         if sf_dir not in built:
             # full production build: Lloyd centroids + trained
-            # m=16 x 256 codebooks (the pq_recall_floor config)
+            # m=16 x 256 codebooks (the pq_recall_floor config), via
+            # the Arrow/BLAS assignment twin — measured 6x faster than
+            # the HOF expression form at sf0.1 (7.5s vs 44.8s) with
+            # bit-identical codebooks on this corpus
             similarity.build_ann_state(
                 spark, t, prefix, lloyd_iters=2,
-                pq_m=16, pq_n_codes=256, pq_iters=2,
+                pq_m=16, pq_n_codes=256, pq_iters=2, assign_impl="arrow",
             )
             built.add(sf_dir)
         queries = t["embeddings"].filter(F.col("vec_id") < 10).select(

@@ -285,6 +285,79 @@ def _pq_subvectors(emb: DataFrame, m: int, d_sub: int) -> DataFrame:
     )
 
 
+def _pq_assign_arrow(
+    emb: DataFrame, cb_rows: list, m: int, d_sub: int
+) -> DataFrame:
+    """Vectorized per-subspace nearest-code assignment: one
+    (batch x d_sub) @ (d_sub x k) BLAS matmul PER SUBSPACE per Arrow
+    batch instead of per-(row, sub, code) interpreted HOF folds — the
+    PQ twin of ``_assign_cells_arrow``, and the same trade: ~100x
+    cheaper FLOPs, opt-in for the recall-bound production path only
+    (last-ulp divergence between BLAS and sequential summation can
+    flip a near-equidistant code; the hash-verified oracle entries
+    keep the expression form). ``cb_rows`` is the collected codebook
+    [(sub, code, cvec), ...] — m*k rows, KBs. Ties resolve to the
+    lowest code (rows sorted by code, argmin returns the first
+    minimum), matching the expression form's (d, code) struct-min.
+
+    Output: (vec_id, sub, code, subvec) — subvec carried so Lloyd's
+    decimal-exact groupBy(sub, code) means run unchanged.
+    """
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cvec"]])
+        )
+    cb_ser = {
+        s: sorted(entries) for s, entries in by_sub.items()
+    }
+    m_, d_ = m, d_sub
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        mats = {
+            s: (
+                np.asarray([c for c, _ in entries], dtype=np.int64),
+                np.asarray([v for _, v in entries], dtype=np.float64),
+            )
+            for s, entries in cb_ser.items()
+        }
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            frames = []
+            for s in range(m_):
+                codes_s, c = mats[s]
+                vs = v[:, s * d_ : (s + 1) * d_]
+                # squared L2 via the expansion; argmin is first-min
+                d2 = (
+                    (vs * vs).sum(axis=1)[:, None]
+                    - 2.0 * (vs @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "sub": s,
+                            "code": codes_s[d2.argmin(axis=1)],
+                            "subvec": [list(map(float, row)) for row in vs],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches,
+        schema="vec_id long, sub int, code int, subvec array<float>",
+    )
+
+
 def pq_train_codebook(
     emb: DataFrame,
     m: int,
@@ -292,6 +365,7 @@ def pq_train_codebook(
     d_sub: int,
     iters: int,
     cache_registry: list[DataFrame] | None = None,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """Deterministic per-subspace Lloyd (k-means) refinement of the
     seeded PQ codebooks — the PRODUCTION training mode the r11 judge
@@ -319,36 +393,43 @@ def pq_train_codebook(
     cb = _pq_codebook(emb, m, k, d_sub)
     subs = _pq_subvectors(emb, m, d_sub)
     for _ in range(iters):
-        cb_arr = cb.groupBy("sub").agg(
-            F.collect_list(F.struct(F.col("code"), F.col("cvec"))).alias(
-                "cbs"
+        if assign_impl == "arrow":
+            # eager (per-iteration codebook collect, m*k rows) like the
+            # IVF arrow twin — production builds only
+            assigned = _pq_assign_arrow(
+                emb, cb.collect(), m, d_sub
+            ).select("sub", "code", "subvec")
+        else:
+            cb_arr = cb.groupBy("sub").agg(
+                F.collect_list(
+                    F.struct(F.col("code"), F.col("cvec"))
+                ).alias("cbs")
             )
-        )
-        nearest = F.array_min(
-            F.transform(
-                F.col("cbs"),
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("subvec"),
-                            c["cvec"],
-                            lambda x, y: (
-                                x.cast("double") - y.cast("double")
-                            )
-                            * (x.cast("double") - y.cast("double")),
-                        ),
-                        F.lit(0.0).cast("double"),
-                        lambda acc, v: acc + v,
-                    ).alias("dist"),
-                    c["code"].alias("code"),
-                ),
+            nearest = F.array_min(
+                F.transform(
+                    F.col("cbs"),
+                    lambda c: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("subvec"),
+                                c["cvec"],
+                                lambda x, y: (
+                                    x.cast("double") - y.cast("double")
+                                )
+                                * (x.cast("double") - y.cast("double")),
+                            ),
+                            F.lit(0.0).cast("double"),
+                            lambda acc, v: acc + v,
+                        ).alias("dist"),
+                        c["code"].alias("code"),
+                    ),
+                )
+            )["code"]
+            assigned = (
+                subs.join(F.broadcast(cb_arr), "sub")
+                .withColumn("code", nearest)
+                .select("sub", "code", "subvec")
             )
-        )["code"]
-        assigned = (
-            subs.join(F.broadcast(cb_arr), "sub")
-            .withColumn("code", nearest)
-            .select("sub", "code", "subvec")
-        )
         means = assigned.groupBy("sub", "code").agg(
             *[
                 F.avg(
@@ -1775,7 +1856,10 @@ def build_ann_state(
     if pq_m is not None:
         d_sub = DIM // pq_m
         cb = (
-            pq_train_codebook(emb, pq_m, pq_n_codes, d_sub, pq_iters, caches)
+            pq_train_codebook(
+                emb, pq_m, pq_n_codes, d_sub, pq_iters, caches,
+                assign_impl=assign_impl,
+            )
             if pq_iters
             else _pq_codebook(emb, pq_m, pq_n_codes, d_sub)
         )
@@ -1790,11 +1874,16 @@ def build_ann_state(
         cb_writer.saveAsTable(f"{prefix}_codebook")
         # encode against the just-written codebook (byte-consistent with
         # the persisted table, same discipline as the centroid/cell pair)
+        persisted_cb = spark.table(f"{prefix}_codebook")
+        raw_codes = (
+            _pq_assign_arrow(
+                emb, persisted_cb.collect(), pq_m, d_sub
+            ).select("vec_id", "sub", "code")
+            if assign_impl == "arrow"
+            else _pq_codes(emb, pq_m, pq_n_codes, d_sub, cb=persisted_cb)
+        )
         codes = (
-            _pq_codes(
-                emb, pq_m, pq_n_codes, d_sub,
-                cb=spark.table(f"{prefix}_codebook"),
-            )
+            raw_codes
             .groupBy("vec_id")
             .agg(
                 F.array_sort(
@@ -2210,6 +2299,155 @@ def ann_recall_audit(
             / F.count("*").cast("double")
             >= F.lit(min_recall)
         ).alias("within_bound"),
+    )
+
+
+def _rp_sign_matrix(spark, d_in: int, d_out: int) -> DataFrame:
+    """ONE-row (mat) frame: array<array<double>> of deterministic ±1
+    signs, mat[j][i] derived from md5('rp:j:i') parity — the seeded
+    Rademacher matrix both engines rebuild bit-identically (the
+    hash64/md5 discipline of the dedup family). d_out x d_in doubles —
+    KBs, broadcast."""
+    cells = spark.range(d_out).select(
+        F.col("id").cast("int").alias("j"),
+        F.explode(F.sequence(F.lit(0), F.lit(d_in - 1))).alias("i"),
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("rp"), F.col("j"), F.col("i"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    signs = cells.select(
+        "j",
+        "i",
+        F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+    )
+    rows = (
+        signs.groupBy("j")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("r"))
+        .select("j", F.expr("transform(r, x -> x.s)").alias("row"))
+    )
+    return (
+        rows.agg(F.array_sort(F.collect_list(F.struct("j", "row"))).alias("m"))
+        .select(F.expr("transform(m, x -> x.row)").alias("mat"))
+    )
+
+
+def _rp_project(emb: DataFrame, mat: DataFrame, d_out: int) -> DataFrame:
+    """(vec_id, embedding, y): each vector's ``d_out``-dim projection
+    y_j = (1/sqrt(d_out)) * sum_i sign_ji * x_i — a row-local ordered
+    fold per output dim over the broadcast sign matrix; one corpus
+    scan, zero shuffle."""
+    import math
+
+    inv = 1.0 / math.sqrt(d_out)
+    y = F.transform(
+        F.sequence(F.lit(0), F.lit(d_out - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(F.col("mat"), j + 1),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(inv),
+    )
+    return emb.crossJoin(F.broadcast(mat)).select(
+        "vec_id", "embedding", y.alias("y")
+    )
+
+
+_SQ_NORM = (
+    "aggregate(transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def embedding_rp(
+    t: dict[str, DataFrame], d_out: int = 16
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Rademacher/Achlioptas
+    signs): 64-dim embeddings down to ``d_out`` dims with norms
+    preserved in expectation — the cheap dimensionality-reduction
+    pre-filter a 100 TB embedding pipeline runs before clustering or
+    coarse dedup (4x fewer bytes per vector at d_out=16; distances
+    distort by ~1/sqrt(d_out), gauged exactly by
+    ``rp_distortion_audit``). The sign matrix is hash-seeded
+    (md5 parity), so both engines rebuild it bit-identically — no RNG,
+    no stored artifact.
+
+    Cost: one row-local corpus scan (ordered folds over the broadcast
+    sign matrix), no shuffle, no UDF. Output per vector: input/output
+    squared norms (round-6) and their ratio — the per-vector JL
+    preservation check.
+    """
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    mat = _rp_sign_matrix(spark, DIM, d_out)
+    proj = _rp_project(emb, mat, d_out)
+    n_in = F.expr(_SQ_NORM.format(a="embedding"))
+    n_out = F.expr(_SQ_NORM.format(a="y"))
+    return proj.select(
+        "vec_id",
+        F.lit(d_out).alias("dim_out"),
+        F.round(n_in, 6).alias("norm_sq_in"),
+        F.round(n_out, 6).alias("norm_sq_out"),
+        F.when(n_in > 0, F.round(n_out / n_in, 6)).alias("norm_ratio"),
+    ).orderBy("vec_id")
+
+
+def rp_distortion_audit(
+    t: dict[str, DataFrame], d_out: int = 16, n_vectors: int = 20
+) -> DataFrame:
+    """Exact pairwise JL distortion over a bounded sample: for every
+    pair among the first ``n_vectors`` vectors, the ratio of projected
+    to original squared distance — the lemma's guarantee made
+    measurable (for d_out=16 expect ratios concentrated around 1 with
+    ~1/sqrt(d_out) spread). One hash-verified row: pair count +
+    avg/min/max ratio; per-pair ratios round to 6 then accumulate in
+    DECIMAL, so the stats are bit-exact across engines.
+
+    Audit-scale by construction (n_vectors^2/2 pairs, row-local
+    folds); the corpus-wide statement follows from the lemma, not from
+    scanning the corpus.
+    """
+    emb = t["embeddings"].filter(F.col("vec_id") < n_vectors)
+    spark = emb.sparkSession
+    mat = _rp_sign_matrix(spark, DIM, d_out)
+    proj = _rp_project(emb, mat, d_out)
+    a = proj.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    dx = F.expr(_SQ_L2.format(a="xa", b="xb"))
+    dy = F.expr(_SQ_L2.format(a="ya", b="yb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .filter(dx > 0)  # identical-vector pairs have no defined ratio
+        .select(F.round(dy / dx, 6).alias("ratio"))
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.avg(F.col("ratio").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
     )
 
 

@@ -2111,6 +2111,79 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def bigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
+    """Corpus-bigram log-probability per document with Laplace
+    smoothing — the CCNet-shape LM-perplexity quality gate one rung up
+    from ``unigram_logprob``: avg over the doc's bigram occurrences of
+    ln((c(w1,w2) + 1) / (c(w1·) + V)), where c(w1·) counts bigrams
+    starting with w1 and V is the corpus vocabulary size. Monotone in
+    perplexity (perplexity = exp(-avg)), so thresholding this column
+    IS the perplexity filter; exp is deliberately not applied (exp is
+    not bit-reproducible across engines, ln of rationals is — the
+    established discipline).
+
+    Scale shape: bigram construction is ROW-LOCAL (an index-transform
+    over the token array, no self-join on position); bigram and
+    context frequencies are two token-keyed groupBys with map-side
+    combine; probabilities attach via plain SHUFFLE joins on the
+    bigram/context keys (the vocabulary is unbounded at web scale —
+    same no-broadcast rule as unigram_logprob; only the 1-row V is
+    hinted). Docs with fewer than two tokens surface with n_bigrams=0
+    and NULL score via the left join. Double-avg caveat as
+    unigram_logprob (irrational terms; the accepted trade).
+    """
+    d = t["documents"]
+    toks_arr = "split(lower(trim(text)), ' ')"
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks_arr}) < 2 THEN array()"
+                f" ELSE transform(sequence(1, size({toks_arr}) - 1),"
+                f" i -> struct(element_at({toks_arr}, i) AS w1,"
+                f"            element_at({toks_arr}, i + 1) AS w2)) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    cx = bg.groupBy("w1").agg(F.count("*").alias("cx"))
+    vocab = (
+        d.select(F.explode(X.tokens()).alias("term"))
+        .agg(F.countDistinct("term").alias("v"))
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(cx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("bc").cast("double") + F.lit(1.0))
+                        / (
+                            F.col("cx").cast("double")
+                            + F.col("v").cast("double")
+                        )
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def oov_rate_by_source(
     t: dict[str, DataFrame],
     vocab_size: int = 16,

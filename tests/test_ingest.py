@@ -598,6 +598,37 @@ def test_copy_into_ledger_decodes_uri_names(spark, tables, workdir):
     assert rep2 == {"files_loaded": 0, "rows_loaded": 0, "files_skipped": 1}
 
 
+def test_copy_into_pattern_filters_stage(spark, tables, workdir):
+    """Snowflake's PATTERN option: only file NAMES fully matching the
+    regex load; the rest are invisible (not even counted as skipped),
+    and a later widened pattern picks them up incrementally."""
+    import shutil as _shutil
+
+    stage = os.path.join(workdir, "stage_pattern")
+    os.makedirs(stage, exist_ok=True)
+    tbl = os.path.join(workdir, "ods_nation_pat")
+    nation = tables["nation"]
+    tmp = os.path.join(workdir, "csv_pat_tmp")
+    nation.coalesce(1).write.mode("overwrite").option(
+        "header", "true").csv(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+    for name in ("nation_2024.csv", "nation_2025.csv", "other.csv"):
+        _shutil.copy(os.path.join(tmp, part), os.path.join(stage, name))
+
+    n = nation.count()
+    rep = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                           glob="*.csv", pattern=r"nation_2024\.csv")
+    assert rep == {"files_loaded": 1, "rows_loaded": n, "files_skipped": 0}
+    rep2 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv", pattern=r"nation_\d+\.csv")
+    assert rep2 == {"files_loaded": 1, "rows_loaded": n,
+                    "files_skipped": 1}
+    assert sorted(
+        r["file_name"] for r in ingest.load_history(spark, tbl).collect()
+    ) == ["nation_2024.csv", "nation_2025.csv"]
+    assert spark.read.parquet(tbl).count() == 2 * n
+
+
 def test_copy_into_many_file_stage(spark, tables, workdir):
     """Many-file stage (r11 judge #4 'done' bar): 24 staged shards load
     in one batch through the engine-side listing + anti-join, and the

@@ -2938,16 +2938,21 @@ def test_pq_train_codebook_reduces_error(spark, tables):
 
     seeded, trained = total_err(0), total_err(2)
     assert trained <= seeded
-    # determinism: decimal-exact means -> identical codebook both runs
+    # determinism: decimal-exact means -> identical codebook both runs;
+    # and the Arrow/BLAS assignment twin trains the same codebook
+    # (struct-min vs sorted-first-min tie-breaks agree; last-ulp BLAS
+    # divergence would need a near-equidistant pair, absent here)
     emb = tables["embeddings"]
     runs = []
-    for _ in range(2):
-        cb = similarity.pq_train_codebook(emb, 8, 16, 8, iters=2)
+    for impl in ("expr", "expr", "arrow"):
+        cb = similarity.pq_train_codebook(
+            emb, 8, 16, 8, iters=2, assign_impl=impl
+        )
         runs.append(sorted(
             (r["sub"], r["code"], tuple(r["cvec"])) for r in cb.collect()
         ))
         similarity.release_lloyd_caches()
-    assert runs[0] == runs[1]
+    assert runs[0] == runs[1] == runs[2]
 
 
 def test_pq_refine_reranks_shortlist_exactly(spark):
@@ -2990,6 +2995,66 @@ def test_pq_recall_floor_production_gate(spark, tables):
     assert row["metric"] == "pq_recall_at_k"
     assert row["n_exact_pairs"] == 10 * min(10, n - 1)
     assert row["within_bound"] is True
+
+
+def test_bigram_logprob_semantics(spark):
+    """Planted LM check: a doc made of the corpus's dominant bigram
+    must score strictly higher (less negative) than a doc of one-off
+    bigrams; a single-token doc has no bigrams and a NULL score."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat the cat the cat the cat"),
+            (2, "zebra quark mango violin embers"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textops.bigram_logprob({"documents": docs}).collect()
+    }
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 4
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+
+
+def test_embedding_rp_linearity_and_zero(spark):
+    """RP is linear: scaling a vector by 2 scales both squared norms by
+    4, leaving the ratio identical; a zero vector projects to zero with
+    a NULL ratio."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    v = [float((i * 7) % 5 - 2) for i in range(64)]
+    emb = spark.createDataFrame(
+        [
+            (0, v, 0),
+            (1, [2.0 * x for x in v], 0),
+            (2, [0.0] * 64, 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.embedding_rp({"embeddings": emb}).collect()
+    }
+    assert out[0]["norm_ratio"] == out[1]["norm_ratio"]
+    assert abs(out[1]["norm_sq_in"] - 4 * out[0]["norm_sq_in"]) < 1e-6
+    assert abs(out[1]["norm_sq_out"] - 4 * out[0]["norm_sq_out"]) < 1e-4
+    assert out[2]["norm_sq_out"] == 0.0 and out[2]["norm_ratio"] is None
+
+
+def test_rp_distortion_concentrates_near_one(spark, tables):
+    """On the real corpus the pairwise distortion must average near 1
+    (the JL statement at d_out=16): every pair counted, avg in a loose
+    [0.6, 1.5] band."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    row = similarity.rp_distortion_audit(tables).collect()[0]
+    assert row["n_pairs"] == 190
+    assert 0.6 <= row["avg_ratio"] <= 1.5
+    assert row["min_ratio"] > 0
 
 
 def test_contrastive_pairs_in_batch_negatives(spark):
