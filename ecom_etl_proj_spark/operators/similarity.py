@@ -2451,6 +2451,70 @@ def rp_distortion_audit(
     )
 
 
+def rp_knn_recall(
+    t: dict[str, DataFrame],
+    d_out: int = 16,
+    n_queries: int = 10,
+    k: int = 10,
+    shortlist_factor: int = 4,
+) -> DataFrame:
+    """Recall@k of PROJECTED-space nearest neighbors against the exact
+    original-space top-k — the number that decides whether the JL
+    projection can serve as a coarse-search prefilter (scan the 16-dim
+    vectors, shortlist ``shortlist_factor * k``, fetch full vectors for
+    the shortlist only — the same refine economics as PQ, via dense
+    small vectors instead of codes). Both sides are deterministic
+    ordered folds, so the one (k, n_exact_pairs, n_overlap, recall)
+    row is bit-exact under full oracle.
+
+    Cost: two bounded exact kNNs (queries broadcast onto one corpus
+    scan each — one over 64-dim inputs, one over the 16-dim
+    projections) — audit-scale.
+    """
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    mat = _rp_sign_matrix(spark, DIM, d_out)
+    proj = _rp_project(emb, mat, d_out)
+
+    def topn(frame, vec_col, n):
+        q = frame.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("vec_id").asc()
+        )
+        return (
+            frame.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.expr(_SQ_L2.format(a=vec_col, b="qv")).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topn(emb, "embedding", k)
+    approx = topn(proj, "y", shortlist_factor * k).withColumn(
+        "hit0", F.lit(True)
+    )
+    return exact.join(approx, ["query_id", "vec_id"], "left").agg(
+        F.lit(k).alias("k"),
+        F.count("*").alias("n_exact_pairs"),
+        F.sum(F.when(F.col("hit0"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_overlap"),
+        F.round(
+            F.sum(F.when(F.col("hit0"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 def quantize_embeddings(t: dict[str, DataFrame]) -> DataFrame:
     """Symmetric int8 quantization of the embedding column.
 

@@ -5492,6 +5492,60 @@ register(
     """,
 )
 
+# Projected-space kNN recall (r12): is the 16-dim JL space good enough
+# as a coarse-search prefilter? Exact top-10 in original space vs the
+# projected-space shortlist (4x10) — one bit-exact audit row.
+register(
+    "rp_knn_recall",
+    lambda t: similarity.rp_knn_recall(t),
+    "WITH "
+    + _RP_MAT_SQL
+    + f""",
+    yv AS ({_RP_Y_SQL}),
+    ys AS (
+        SELECT vec_id, list(yj ORDER BY j) AS y FROM yv GROUP BY vec_id
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE)
+                                 - CAST(q.embedding[i] AS DOUBLE))
+                                * (CAST(e.embedding[i] AS DOUBLE)
+                                   - CAST(q.embedding[i] AS DOUBLE)))) ASC,
+                                e.vec_id ASC) AS rn
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id < 10) q
+            WHERE e.vec_id <> q.vec_id)
+        WHERE rn <= 10
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 17),
+                           i -> (e.y[i] - q.y[i]) * (e.y[i] - q.y[i]))) ASC,
+                                e.vec_id ASC) AS rn
+            FROM ys e
+            CROSS JOIN (SELECT vec_id, y FROM ys WHERE vec_id < 10) q
+            WHERE e.vec_id <> q.vec_id)
+        WHERE rn <= 40
+    )
+    SELECT 10 AS k,
+           count(*) AS n_exact_pairs,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_overlap,
+           round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact x
+    LEFT JOIN approx a USING (query_id, vec_id)
+    """,
+)
+
 # Bigram-LM quality gate (r12): Laplace-smoothed ln P(w2|w1) averaged
 # per doc — the CCNet perplexity-filter shape; ln kept, exp skipped
 # (monotone, and ln is the cross-engine-reproducible one).
@@ -5630,13 +5684,13 @@ register(
 # The driver's correctness harness checks the FIRST 50 registry entries per
 # round. ROUND-12 ROTATION (pure oldest-first cycle, every query keeps a
 # driver row). Head composition this round:
-#   1) the SIX r12 additions, never driver-verified (pq_recall_floor,
+#   1) the SEVEN r12 additions, never driver-verified (pq_recall_floor,
 #      ann_ivfpq_state, ann_ivfpq_refined, bigram_logprob, embedding_rp,
-#      rp_distortion_audit);
+#      rp_distortion_audit, rp_knn_recall);
 #   2) the full r8-verified cohort (37 queries, stale 4 rounds — the
 #      oldest rows anywhere; the r11 judge's explicit rotation ask, and
 #      independently re-verified by that judge's own audit at sf0.01);
-#   3) the oldest 7 of the r9-verified cohort to fill slot 50.
+#   3) the oldest 6 of the r9-verified cohort to fill slot 50.
 # The whole head-50 was locally oracle-verified at sf0.01 (50/50)
 # before close.
 # The remaining 36 r9 rows lead r13, then the r10 block, then the 50
@@ -5654,6 +5708,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bigram_logprob",
     "embedding_rp",
     "rp_distortion_audit",
+    "rp_knn_recall",
     # --- r8-verified block: the oldest rows, stale 4 rounds ---
     "quantity_distribution",
     "weekly_sales_pattern",
@@ -5699,8 +5754,8 @@ _DRIVER_PRIORITY: list[str] = [
     "inactive_customers",
     "customer_snapshot_diff",
     "nation_trade_volume",
-    "ship_priority_buckets",
     # --- top-50 boundary; remaining r9-verified (leads r13) ---
+    "ship_priority_buckets",
     "customer_order_distribution",
     "large_volume_customers",
     "brand_supplier_counts",
