@@ -220,7 +220,8 @@ def _tree_mtime(path: str) -> float:
         if os.path.isfile(path):
             return st.st_mtime
         newest = st.st_mtime
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             newest = max(newest, os.stat(root).st_mtime)
             for f in files:
                 try:
@@ -244,9 +245,14 @@ def _footer_rows_at(path: str, mtime: float) -> int | None:
             return pq.ParquetFile(path).metadata.num_rows
         total = 0
         seen = False
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # match Spark's InMemoryFileIndex visibility rules: '_'/'.'
+            # prefixed paths (e.g. the copy_into _load_history ledger
+            # inside a table generation) are NOT data and must not
+            # inflate the hint above the live count(*)
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
-                if f.endswith(".parquet"):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
                     seen = True
                     total += pq.ParquetFile(
                         os.path.join(root, f)
@@ -311,10 +317,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 c = c.cast("timestamp")
         cols.append(c.alias(f.name))
     out = df.select(*cols)
+    # one stat-walk serves both memo keys (the walk IS the key
+    # computation, so each helper would otherwise repeat it)
+    mt = _tree_mtime(path)
     key = SPLIT_KEYS.get(name)
-    if key is not None and _few_splits(path):
+    if key is not None and _few_splits_at(path, mt):
         out = out.repartition(spark.sparkContext.defaultParallelism, key)
-    n = _footer_rows(path)
+    n = _footer_rows_at(path, mt)
     if n is not None:
         try:
             ROW_HINTS[out] = n

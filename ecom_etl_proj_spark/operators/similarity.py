@@ -366,6 +366,7 @@ def pq_train_codebook(
     iters: int,
     cache_registry: list[DataFrame] | None = None,
     assign_impl: str = "expr",
+    cache: bool = True,
 ) -> DataFrame:
     """Deterministic per-subspace Lloyd (k-means) refinement of the
     seeded PQ codebooks — the PRODUCTION training mode the r11 judge
@@ -444,10 +445,18 @@ def pq_train_codebook(
             F.array(
                 *[F.col(f"d{i}").cast("double") for i in range(d_sub)]
             ).alias("cvec"),
-        ).persist()
-        (_lloyd_caches if cache_registry is None else cache_registry).append(
-            cb
         )
+        # cache=False: no persist, no registry entry — the REGISTERED
+        # pq_recall_floor path, where nothing downstream can release
+        # the caches and a leaked persist would both grow session
+        # storage and serve later identical plans stale-warm (the r8
+        # cache-leak class). Cost: each consumer of the returned cb
+        # re-derives the iteration chain — fine at audit iters=2.
+        if cache:
+            cb = cb.persist()
+            (
+                _lloyd_caches if cache_registry is None else cache_registry
+            ).append(cb)
     return cb
 
 
@@ -796,9 +805,11 @@ def pq_recall_floor(
         .select("query_id", "vec_id")
     )
     # production serving path: trained codebooks -> exhaustive ADC
-    # shortlist -> exact refine to top-k. Caches registered globally
-    # (single-consumer contract documented on release_lloyd_caches).
-    cb = pq_train_codebook(emb, m, n_codes, d_sub, lloyd_iters)
+    # shortlist -> exact refine to top-k. cache=False: this is a
+    # registered entry — the driver collects it once and nothing can
+    # release a persist afterwards, so training runs uncached (each
+    # consumer re-derives the 2-iteration chain; audit-scale cost)
+    cb = pq_train_codebook(emb, m, n_codes, d_sub, lloyd_iters, cache=False)
     short = _pq_adc_shortlist(
         emb, queries, cb, m, n_codes, d_sub, refine_factor * k
     )

@@ -215,14 +215,16 @@ def write_warehouse(
 _HISTORY_DIR = "_load_history"
 
 
-def _decoded_basename(col):
-    """Engine-side percent-decode of a URI path's basename with
-    ``urllib.parse.unquote`` semantics: protect literal '+' first
-    (``url_decode`` would turn it into a space), then decode. Matches
-    the driver-side ``unquote(basename(...))`` used for the ledger, so
-    anti-join keys agree across runs (r11 ADVICE #3)."""
-    base = F.element_at(F.split(col, "/"), -1)
-    return F.url_decode(F.regexp_replace(base, r"\+", "%2B"))
+def _raw_basename(col):
+    """Basename of the ``binaryFile`` source's ``path`` column, which
+    is the RAW filesystem name (empirically: binaryFile does NOT
+    percent-encode, unlike ``input_file_name()``), so no decoding
+    belongs here — url_decode on a raw name containing a bare '%'
+    throws CANNOT_DECODE_URL and over-decodes legal names like
+    'p%20q.csv'. The driver-side ledger names come from
+    ``unquote(basename(input_file_name()))`` (r11 ADVICE #3), which
+    yields the same raw name — the two sides agree by construction."""
+    return F.element_at(F.split(col, "/"), -1)
 
 
 def load_history(spark: SparkSession, table_path: str) -> DataFrame:
@@ -292,21 +294,39 @@ def copy_into(
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(src_dir)
-        .select(_decoded_basename(F.col("path")).alias("file_name"),
+        .select(_raw_basename(F.col("path")).alias("file_name"),
                 F.col("path"))
     )
     if pattern is not None:
         stage = stage.filter(F.col("file_name").rlike(f"^(?:{pattern})$"))
     n_stage = stage.count()
 
-    # 2) anti-join against the committed ledger (skipped under FORCE)
+    # 2) anti-join against the committed ledger (skipped under FORCE).
+    # A pre-r12 table keeps its ledger OUTSIDE the table at
+    # <table>__load_history; honor it so an upgraded table doesn't
+    # silently reload its whole history, and fold it into the new
+    # in-generation ledger at this load's commit (migration below).
+    legacy_hist = base + "__load_history"
+    legacy_df = None
+    if os.path.isdir(legacy_hist):
+        try:
+            legacy_df = spark.read.parquet(legacy_hist)
+        except Exception:
+            legacy_df = None
     new_df = stage
     if not force:
+        ledgers = []
         try:
-            loaded = load_history(spark, base).select("file_name")
-            new_df = stage.join(loaded, "file_name", "left_anti")
-        except Exception:  # no ledger yet: everything is new
+            ledgers.append(load_history(spark, base).select("file_name"))
+        except Exception:  # no in-generation ledger yet
             pass
+        if legacy_df is not None:
+            ledgers.append(legacy_df.select("file_name"))
+        if ledgers:
+            loaded = ledgers[0]
+            for extra in ledgers[1:]:
+                loaded = loaded.unionByName(extra)
+            new_df = stage.join(loaded, "file_name", "left_anti")
     new_rows = new_df.select("file_name", "path").collect()
     if not new_rows:
         return {
@@ -325,14 +345,22 @@ def copy_into(
     else:
         df = reader.parquet(*paths)
     df = lowercase_columns(df)
+    # one batch-sized cache: the slice is read twice (per-file counts,
+    # then write_fn's data write) — without it the stage files would be
+    # parsed twice AND a file mutated between the two jobs could make
+    # the committed data disagree with the just-recorded ledger counts.
+    # input_file_name() is captured as a real column FIRST: file-source
+    # metadata does not survive the InMemory cache (it would read back
+    # empty), and the column is dropped before the data write.
+    df = df.withColumn("_src_file", F.input_file_name()).persist()
 
     # per-file row counts for the ledger (the reference's COPY report):
     # one aggregate over the just-read slice, URL-decoded on the driver
     # so names with spaces/percent-escapes match the listing names
     per_file = {
         unquote(os.path.basename(r["f"])): r["n"]
-        for r in df.select(F.input_file_name().alias("f"))
-        .groupBy("f").agg(F.count("*").alias("n")).collect()
+        for r in df.groupBy(F.col("_src_file").alias("f"))
+        .agg(F.count("*").alias("n")).collect()
     }
     names = [r["file_name"] for r in new_rows]
     n_rows = sum(per_file.get(nm, 0) for nm in names)
@@ -358,7 +386,7 @@ def copy_into(
         hist_dir = os.path.join(gen_dir, _HISTORY_DIR)
         stage_data = os.path.join(gen_dir, "_stage_data")
         stage_hist = os.path.join(gen_dir, "_stage_hist")
-        df.write.parquet(stage_data)
+        df.drop("_src_file").write.parquet(stage_data)
         hist_df.coalesce(1).write.parquet(stage_hist)
         os.makedirs(hist_dir, exist_ok=True)
         prev = os.path.realpath(base) if os.path.islink(base) else None
@@ -372,6 +400,14 @@ def copy_into(
                     if f.endswith(".parquet"):
                         _link(os.path.join(prev_hist, f),
                               os.path.join(hist_dir, f))
+        # pre-r12 ledger migration: fold <table>__load_history into the
+        # in-generation ledger (generation-unique prefix avoids name
+        # collisions with carried-forward shards)
+        if legacy_df is not None and os.path.isdir(legacy_hist):
+            for f in os.listdir(legacy_hist):
+                if f.endswith(".parquet"):
+                    _link(os.path.join(legacy_hist, f),
+                          os.path.join(hist_dir, f"{tag}-legacy-{f}"))
         # adopt the staged writes under generation-unique names (the
         # tag prefix guarantees no collision with linked prior files)
         for src_dir_, dst_dir in ((stage_data, gen_dir),
@@ -383,6 +419,13 @@ def copy_into(
             _sh.rmtree(src_dir_, ignore_errors=True)
 
     generation_swap(base, write_fn)
+    df.unpersist()
+    if legacy_df is not None:
+        # migrated into the committed generation above; retire the old
+        # location so future loads read one ledger
+        import shutil as _sh
+
+        _sh.rmtree(legacy_hist, ignore_errors=True)
     return {
         "files_loaded": len(names),
         "rows_loaded": n_rows,

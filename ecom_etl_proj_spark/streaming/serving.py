@@ -673,18 +673,31 @@ def _make_counter_push(url: str, sink_ns: str, epoch: int):
 
             cli = _redis.Redis.from_url(url, decode_responses=True)
             marker = f"_applied:{sink}"
-            if cli.sismember(marker, epoch):
-                return
-            pipe = cli.pipeline(transaction=True)
-            for _, key, fields in ops:
-                for field, amt in fields.items():
-                    if isinstance(amt, _D):
-                        pipe.hincrbyfloat(key, field, float(amt))
-                    else:
-                        pipe.hincrby(key, field, amt)
-            pipe.sadd(marker, epoch)
-            pipe.execute()
-            return
+            # WATCH-guarded optimistic apply: unlike the driver sink
+            # (single writer per sink), foreachPartition can run the
+            # SAME partition twice concurrently (speculation, zombie
+            # retries) — a bare sismember-then-MULTI would double-apply
+            with cli.pipeline(transaction=True) as pipe:
+                while True:
+                    try:
+                        pipe.watch(marker)
+                        if pipe.sismember(marker, epoch):
+                            pipe.unwatch()
+                            return
+                        pipe.multi()
+                        for _, key, fields in ops:
+                            for field, amt in fields.items():
+                                if isinstance(amt, _D):
+                                    pipe.hincrbyfloat(
+                                        key, field, float(amt)
+                                    )
+                                else:
+                                    pipe.hincrby(key, field, amt)
+                        pipe.sadd(marker, epoch)
+                        pipe.execute()
+                        return
+                    except _redis.WatchError:
+                        continue  # racer touched the marker; re-check
         req = {"cmd": "apply_batch", "sink": sink, "epoch": epoch,
                "ops": ops}
 
@@ -752,16 +765,25 @@ def _make_recent_push(url: str, sink_ns: str, epoch: int, recent_n: int):
 
             cli = _redis.Redis.from_url(url, decode_responses=True)
             marker = f"_applied:{sink}"
-            if cli.sismember(marker, epoch):
-                return
-            pipe = cli.pipeline(transaction=True)
-            for _, key, items, maxlen in ops:
-                if items:
-                    pipe.lpush(key, *items)
-                pipe.ltrim(key, 0, maxlen - 1)
-            pipe.sadd(marker, epoch)
-            pipe.execute()
-            return
+            # WATCH-guarded (see counter push: concurrent duplicate
+            # tasks must not double-apply)
+            with cli.pipeline(transaction=True) as pipe:
+                while True:
+                    try:
+                        pipe.watch(marker)
+                        if pipe.sismember(marker, epoch):
+                            pipe.unwatch()
+                            return
+                        pipe.multi()
+                        for _, key, items, maxlen in ops:
+                            if items:
+                                pipe.lpush(key, *items)
+                            pipe.ltrim(key, 0, maxlen - 1)
+                        pipe.sadd(marker, epoch)
+                        pipe.execute()
+                        return
+                    except _redis.WatchError:
+                        continue  # racer touched the marker; re-check
         req = {"cmd": "apply_batch", "sink": sink, "epoch": epoch,
                "ops": ops}
         with _socket.create_connection(host_port, timeout=30) as s:

@@ -629,6 +629,90 @@ def test_copy_into_pattern_filters_stage(spark, tables, workdir):
     assert spark.read.parquet(tbl).count() == 2 * n
 
 
+def test_copy_into_percent_names_and_no_overdecode(spark, tables, workdir):
+    """Names with a bare '%' (url-decode would throw) and names that
+    LOOK percent-encoded ('p%20q.csv') must load once each, keep their
+    literal names in the ledger, and be skipped by name on re-run —
+    the binaryFile path is raw, so no decoding may be applied to it."""
+    import shutil as _shutil
+
+    stage = os.path.join(workdir, "stage_pct")
+    os.makedirs(stage, exist_ok=True)
+    tbl = os.path.join(workdir, "ods_region_pct")
+    region = tables["region"]
+    tmp = os.path.join(workdir, "csv_pct_tmp")
+    region.coalesce(1).write.mode("overwrite").option(
+        "header", "true").csv(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+    names = ["100%.csv", "p%20q.csv"]
+    for nm in names:
+        _shutil.copy(os.path.join(tmp, part), os.path.join(stage, nm))
+
+    n = region.count()
+    rep = ingest.copy_into(spark, tbl, stage, region.schema, fmt="csv",
+                           glob="*.csv")
+    assert rep == {"files_loaded": 2, "rows_loaded": 2 * n,
+                   "files_skipped": 0}
+    hist = {r["file_name"]: r["n_rows"]
+            for r in ingest.load_history(spark, tbl).collect()}
+    assert hist == {nm: n for nm in names}
+    rep2 = ingest.copy_into(spark, tbl, stage, region.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep2 == {"files_loaded": 0, "rows_loaded": 0,
+                    "files_skipped": 2}
+
+
+def test_copy_into_migrates_pre_r12_ledger(spark, tables, workdir):
+    """A table whose ledger lives at the old <table>__load_history
+    location must NOT reload its history: the legacy ledger gates the
+    anti-join, is folded into the in-generation ledger at the next
+    commit, and the old location is retired."""
+    import shutil as _shutil
+
+    stage = os.path.join(workdir, "stage_legacy")
+    os.makedirs(stage, exist_ok=True)
+    tbl = os.path.join(workdir, "ods_nation_legacy")
+    nation = tables["nation"]
+    tmp = os.path.join(workdir, "csv_legacy_tmp")
+    nation.coalesce(1).write.mode("overwrite").option(
+        "header", "true").csv(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+    _shutil.copy(os.path.join(tmp, part), os.path.join(stage, "old.csv"))
+
+    # simulate the pre-r12 layout: data appended flat + external ledger
+    n = nation.count()
+    nation.write.parquet(tbl)
+    spark.createDataFrame(
+        [("old.csv", n)], "file_name string, n_rows long"
+    ).withColumn("loaded_at", F.current_timestamp()).write.parquet(
+        tbl + "__load_history"
+    )
+
+    # re-run over the same stage: old.csv must be SKIPPED
+    rep = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                           glob="*.csv")
+    assert rep == {"files_loaded": 0, "rows_loaded": 0,
+                   "files_skipped": 1}
+    assert spark.read.parquet(tbl).count() == n
+
+    # a new arrival loads alone; the commit migrates + retires the
+    # legacy ledger location
+    _shutil.copy(os.path.join(tmp, part), os.path.join(stage, "new.csv"))
+    rep2 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep2["files_loaded"] == 1 and rep2["files_skipped"] == 1
+    assert spark.read.parquet(tbl).count() == 2 * n
+    assert not os.path.exists(tbl + "__load_history")
+    hist = {r["file_name"]: r["n_rows"]
+            for r in ingest.load_history(spark, tbl).collect()}
+    assert hist == {"old.csv": n, "new.csv": n}
+    # third run: both gated by the migrated in-generation ledger
+    rep3 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep3 == {"files_loaded": 0, "rows_loaded": 0,
+                    "files_skipped": 2}
+
+
 def test_copy_into_many_file_stage(spark, tables, workdir):
     """Many-file stage (r11 judge #4 'done' bar): 24 staged shards load
     in one batch through the engine-side listing + anti-join, and the
