@@ -475,12 +475,37 @@ def _pq_codes(
     if cb is None:
         cb = _pq_codebook(emb, m, k, d_sub)
     subs = _pq_subvectors(emb, m, d_sub)
-    dist = F.expr(_SQ_L2.format(a="subvec", b="cvec"))
+    # Each subspace's codebook folds into ONE array-of-structs row,
+    # broadcast; the per-subvector argmin is a row-local transform +
+    # array_min fold — no k-way row expansion, no aggregation shuffle
+    # (the pre-r12 join + struct-min groupBy shuffled corpus x m x k
+    # rows). Identical arithmetic (the same zip_with L2 fold) and the
+    # same lexicographic (d asc, code asc) tie-break, so codes and
+    # distances are bit-identical to the join form.
+    cb_arr = cb.groupBy("sub").agg(
+        F.collect_list(F.struct(F.col("code"), F.col("cvec"))).alias("cbs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("subvec"),
+                        c["cvec"],
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
     return (
-        subs.join(F.broadcast(cb), "sub")
-        .select("vec_id", "sub", "code", dist.alias("d"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("b"))
+        subs.join(F.broadcast(cb_arr), "sub")
+        .withColumn("b", best)
         .select(
             "vec_id",
             "sub",
