@@ -2487,6 +2487,68 @@ def rp_distortion_audit(
     )
 
 
+def knn_graph(
+    t: dict[str, DataFrame],
+    k: int = 3,
+    n_centroids: int | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Corpus-wide k-NN GRAPH via cell-local search: every vector gets
+    its top-``k`` most-cosine-similar neighbors from its own IVF cell —
+    the building block for graph-based semantic clustering (SemDeDup-
+    style), label propagation, and connectivity audits over an
+    embedding corpus. Where ``ann_ivf`` answers a bounded query batch,
+    this materializes neighbors for ALL n vectors.
+
+    Scale shape — the standard cell-restricted construction: row-local
+    broadcast-argmin assignment (one corpus scan, zero shuffle), then a
+    SELF-JOIN ON THE CELL KEY — work is sum over cells of |cell|^2
+    (~n^1.5 with balanced sqrt(n) cells, the knob ``ivf_cell_balance``
+    audits), never the n^2 all-pairs; the shuffle key is the cell id,
+    and the per-vector ranking window sees at most |cell| candidates.
+    Recall is cell-local by construction (edges crossing a cell
+    boundary are missed — the multi-probe extension trades more
+    |cell|^2 work for them, same knob as ``n_probe``).
+
+    Deterministic: seeded centroids (the lloyd_iters=0 oracle
+    contract), rounded cosines, (cosine desc, neighbor asc) ties.
+    Vectors alone in their cell have no edges and are absent.
+
+    Output: (vec_id, neighbor_id, cosine_sim, rank) — n x k rows.
+    """
+    import math
+
+    emb = t["embeddings"]
+    if n_centroids is None:
+        n_centroids = max(16, int(math.sqrt(_corpus_size(emb, corpus_size))))
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assigned = _assign_cells(emb, cent)
+    a = assigned.select("vec_id", "embedding", "cell")
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "cell",
+    )
+    pairs = a.join(b, "cell").filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    sim = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        F.round(V.cosine("embedding", "n_emb"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def rp_knn_recall(
     t: dict[str, DataFrame],
     d_out: int = 16,

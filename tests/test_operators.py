@@ -2997,6 +2997,41 @@ def test_pq_recall_floor_production_gate(spark, tables):
     assert row["within_bound"] is True
 
 
+def test_knn_graph_planted_clusters(spark):
+    """Planted geometry: two tight clusters whose members co-locate in
+    one IVF cell must pick each other as nearest neighbors; every
+    vector gets at most k edges and never itself."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    def vec(base, jitter):
+        v = [0.0] * 64
+        v[base] = 10.0
+        v[(base + 1) % 64] = jitter
+        return v
+
+    # 16 seed vectors (become the centroids) in distinct directions
+    rows = [(i, vec(i, 0.0), 0) for i in range(16)]
+    # a tight cluster near seed 3 and one near seed 7
+    rows += [(100 + j, vec(3, 0.1 * (j + 1)), 0) for j in range(3)]
+    rows += [(200 + j, vec(7, 0.1 * (j + 1)), 0) for j in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_graph(
+        {"embeddings": emb}, k=2, n_centroids=16, corpus_size=len(rows)
+    ).collect()
+    edges = {}
+    for r in out:
+        assert r["vec_id"] != r["neighbor_id"]
+        edges.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    for v, ns in edges.items():
+        assert len(ns) <= 2
+    # cluster members' neighbors stay within their own cluster+seed
+    for j in range(3):
+        assert set(edges[100 + j]) <= {3, 100, 101, 102} - {100 + j}
+        assert set(edges[200 + j]) <= {7, 200, 201, 202} - {200 + j}
+
+
 def test_bigram_logprob_semantics(spark):
     """Planted LM check: a doc made of the corpus's dominant bigram
     must score strictly higher (less negative) than a doc of one-off
