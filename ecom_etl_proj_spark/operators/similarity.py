@@ -2549,6 +2549,54 @@ def knn_graph(
     )
 
 
+def mutual_knn_clusters(
+    t: dict[str, DataFrame],
+    k: int = 3,
+    min_cosine: float = 0.0,
+    n_centroids: int | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic clusters from the MUTUAL k-NN graph:
+    an edge survives only if a lists b AND b lists a in their top-k
+    (and the rounded cosine clears ``min_cosine``), then connected
+    components label the clusters with a keep-representative flag.
+    Mutual-ness is the classic symmetrization that kills hub vectors
+    (a near-centroid point that everyone lists but that lists almost
+    nobody back) — the failure mode threshold-only clustering
+    (``embedding_dedup_clusters``) is prone to on dense corpora.
+
+    Scale shape: ``knn_graph`` (cell-keyed, never all-pairs) + ONE
+    self-join of the n x k edge list on the reversed pair + the
+    bounded min-label propagation of ``connected_components``
+    (localCheckpointed loop, iterations ~ graph diameter). Nodes with
+    no mutual edge are absent (singletons need no dedup decision).
+
+    Output: (vec_id, component_id, is_representative).
+    """
+    from ecom_etl_proj_spark.operators.dedup import connected_components
+
+    g = knn_graph(
+        t, k=k, n_centroids=n_centroids, corpus_size=corpus_size
+    ).filter(F.col("cosine_sim") >= min_cosine)
+    fwd = g.select(
+        F.col("vec_id").alias("doc_a"),
+        F.col("neighbor_id").alias("doc_b"),
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    rev = g.select(
+        F.col("neighbor_id").alias("doc_a"),
+        F.col("vec_id").alias("doc_b"),
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    mutual = fwd.intersect(rev)
+    comp = connected_components(mutual)
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias(
+            "is_representative"
+        ),
+    )
+
+
 def rp_knn_recall(
     t: dict[str, DataFrame],
     d_out: int = 16,

@@ -3032,6 +3032,45 @@ def test_knn_graph_planted_clusters(spark):
         assert set(edges[200 + j]) <= {7, 200, 201, 202} - {200 + j}
 
 
+def test_mutual_knn_clusters_kills_hub(spark):
+    """Mutual-ness: two tight pairs cluster together; a hub vector
+    that each pair member lists (but that lists only its own nearest
+    two back) joins exactly the cluster it reciprocates with, and a
+    one-sided edge never creates one."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    def vec(base, jitter=0.0):
+        v = [0.0] * 64
+        v[base] = 10.0
+        v[(base + 1) % 64] = jitter
+        return v
+
+    rows = [(i, vec(i), 0) for i in range(16)]      # seeds = centroids
+    # tight pair in cell 5 and tight pair in cell 9
+    rows += [(100, vec(5, 0.1), 0), (101, vec(5, 0.2), 0)]
+    rows += [(200, vec(9, 0.1), 0), (201, vec(9, 0.2), 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.mutual_knn_clusters(
+            {"embeddings": emb}, k=2, n_centroids=16,
+            corpus_size=len(rows),
+        ).collect()
+    }
+    # each pair clusters with its own seed (k=2 top lists reciprocate
+    # within the cell); the two cells never merge
+    assert out[100]["component_id"] == out[101]["component_id"]
+    assert out[200]["component_id"] == out[201]["component_id"]
+    assert out[100]["component_id"] != out[200]["component_id"]
+    reps = [r for r in out.values() if r["is_representative"]]
+    assert all(
+        out[r["component_id"]]["is_representative"] for r in out.values()
+    )
+    assert len(reps) == len({r["component_id"] for r in out.values()})
+
+
 def test_bigram_logprob_semantics(spark):
     """Planted LM check: a doc made of the corpus's dominant bigram
     must score strictly higher (less negative) than a doc of one-off
