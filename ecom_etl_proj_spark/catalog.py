@@ -211,23 +211,25 @@ ROW_HINTS: "weakref.WeakKeyDictionary[DataFrame, int]" = (
 
 
 def _tree_mtime(path: str) -> float:
-    """Newest mtime across the path and (for a directory) its entries —
-    the cache key component that invalidates footer memos after an
-    append/copy_into/compaction touches the table (r11 ADVICE #2: a
-    bare path-keyed lru_cache served stale counts after appends)."""
+    """Newest mtime across the path, its symlink (a generation swap
+    renames a fresh link into place), and every non-system DIRECTORY
+    under it — the cache key component that invalidates footer memos
+    after an append/copy_into/compaction touches the table (r11
+    ADVICE #2: a bare path-keyed lru_cache served stale counts after
+    appends). Directory mtimes suffice: every writer here CREATES,
+    renames, or deletes files — which bumps the containing dir's
+    mtime — or swaps the generation pointer; nothing rewrites a data
+    file in place (immutable-generation discipline). Statting dirs
+    only keeps a repeat load_table at O(dirs) driver work instead of
+    the r12 per-file walk's O(files) (r12 ADVICE #5)."""
     try:
-        st = os.stat(path)
-        if os.path.isfile(path):
-            return st.st_mtime
-        newest = st.st_mtime
-        for root, dirs, files in os.walk(path):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            newest = max(newest, os.stat(root).st_mtime)
-            for f in files:
+        newest = os.lstat(path).st_mtime
+        newest = max(newest, os.stat(path).st_mtime)
+        if os.path.isdir(path):
+            for root, dirs, _files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 try:
-                    newest = max(
-                        newest, os.stat(os.path.join(root, f)).st_mtime
-                    )
+                    newest = max(newest, os.stat(root).st_mtime)
                 except OSError:
                     pass
         return newest

@@ -296,3 +296,106 @@ def constraint_audit(t: dict[str, DataFrame]) -> DataFrame:
     return reduce(DataFrame.unionByName, checks).orderBy(
         "entity", "check_name"
     )
+
+
+def _is_missing(c: str) -> F.Column:
+    """The reference's missing-value definition: pandas' na_values
+    ('', 'null', 'NULL' — ingestion_script.py:248-252) plus
+    whitespace-only, applied to raw all-string CSV columns."""
+    col = F.col(c)
+    t = F.trim(col)
+    return col.isNull() | (t == "") | (F.lower(t) == "null")
+
+
+def validation_errors(
+    df: DataFrame,
+    required: list[str],
+    typed: dict[str, str] | None = None,
+    key: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Row-level ingest validation: the reference's vectorized
+    pandas checks (ingestion_script.py:230-340 process_csv_file) as
+    ONE engine pass over a raw all-string frame. Appends ``_error``:
+    NULL for loadable rows, else the FIRST failing rule in
+    declaration order (the reference's error_series.fillna keeps the
+    first error written) —
+
+    1. required fields, in order: NULL/blank/'null' →
+       'Missing required field: X';
+    2. typed fields, in order: present but not castable to the
+       declared type (``try_cast``, the engine twin of pd.to_numeric/
+       to_datetime errors='coerce') → 'Field X should be <type>';
+    3. duplicates among VALID rows on ``key`` (keep-first like
+       pandas .duplicated(keep='first'), made deterministic by
+       ``order_by`` instead of file order) → 'Duplicate record'.
+
+    Scale shape: rules 1-2 are a row-local CASE chain (whole-stage
+    codegen, zero shuffle). Rule 3 is one window on the key — the
+    single shuffle this costs; invalid rows sort AFTER all valid rows
+    in the window, so a valid row's row_number counts only the valid
+    rows ahead of it and no separate valid-subset pass is needed.
+    """
+    typed = dict(typed or {})
+    conds: list[tuple[F.Column, str]] = []
+    for c in required:
+        conds.append((_is_missing(c), f"Missing required field: {c}"))
+    for c, typ in typed.items():
+        conds.append(
+            (
+                ~_is_missing(c)
+                & F.expr(f"try_cast({c} AS {typ})").isNull(),
+                f"Field {c} should be {typ}",
+            )
+        )
+    chain = F.lit(None).cast("string")
+    for cond, msg in reversed(conds):
+        chain = F.when(cond, F.lit(msg)).otherwise(chain)
+    out = df.withColumn("_error", chain)
+    if key:
+        order_cols = [
+            F.col(c)
+            for c in (
+                order_by
+                or [c for c in df.columns if c not in set(key)]
+            )
+        ]
+        w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(
+            F.col("_error").isNotNull().cast("int").asc(), *order_cols
+        )
+        out = out.withColumn(
+            "_error",
+            F.coalesce(
+                F.col("_error"),
+                F.when(
+                    F.row_number().over(w) > 1, F.lit("Duplicate record")
+                ),
+            ),
+        )
+    return out
+
+
+def quarantine_report(
+    df: DataFrame,
+    required: list[str],
+    typed: dict[str, str] | None = None,
+    key: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """(status, reason, n_rows): the load/quarantine split a
+    validate-and-route ingest (``sources.ingest.ingest_validated``)
+    would commit, as a report — counts by rejection reason, 'loaded'/
+    'valid' for the clean rows. One scan + the key window + a tiny
+    groupBy."""
+    marked = validation_errors(df, required, typed, key, order_by)
+    return (
+        marked.select(
+            F.when(F.col("_error").isNull(), F.lit("loaded"))
+            .otherwise(F.lit("quarantined"))
+            .alias("status"),
+            F.coalesce(F.col("_error"), F.lit("valid")).alias("reason"),
+        )
+        .groupBy("status", "reason")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("status", "reason")
+    )

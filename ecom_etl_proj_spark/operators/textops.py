@@ -1395,6 +1395,9 @@ def curated_pack(
     ctx_len: int = 512,
     n_shards: int = 32,
     hash_mode: str = "xxhash64",
+    semantic: bool = False,
+    knn_k: int = 3,
+    min_cosine: float = 0.0,
 ) -> DataFrame:
     """END-TO-END corpus curation: quality gate → exact-dup drop →
     near-dup cluster representative selection → sequence packing, in
@@ -1464,7 +1467,33 @@ def curated_pack(
     # runs actions during construction (its label state is
     # localCheckpoint-severed, so releasing survivors cannot force a
     # recompute), and the checkpoint adds no new eagerness.
-    final_counts = keep.join(losers, "doc_id", "left_anti").localCheckpoint()
+    final_counts = keep.join(losers, "doc_id", "left_anti")
+    if semantic:
+        # SemDeDup composition (r13): ALSO drop each mutual-kNN
+        # semantic cluster's non-representatives (embedding space,
+        # doc_id == vec_id alignment audited by corpus_alignment) —
+        # the lexical LSH stage cannot see paraphrases that share few
+        # shingles, the semantic stage cannot see short exact-ish
+        # templates below the cosine floor; production curation runs
+        # both. The graph is cell-keyed (never all-pairs) and the
+        # component loop localCheckpoints its label state, same scale
+        # story as the lexical stage. min_cosine is the SemDeDup dial
+        # (0.9+ on real embeddings; the registered row pins 0.3 —
+        # the synthetic corpus's kNN cosines span 0.08-0.49, so 0.9
+        # is a no-op there and 0.0 drops 402 of 500 docs). Measured
+        # at sf0.01, min_cosine=0.3: lexical curated_pack keeps 445
+        # packed docs, +semantic keeps 295.
+        from ecom_etl_proj_spark.operators import similarity
+
+        sem_losers = (
+            similarity.mutual_knn_clusters(
+                t, k=knn_k, min_cosine=min_cosine
+            )
+            .filter(~F.col("is_representative"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        final_counts = final_counts.join(sem_losers, "doc_id", "left_anti")
+    final_counts = final_counts.localCheckpoint()
     survivors.unpersist()
     keep.unpersist()
     return _pack_from_counts(final_counts, ctx_len, n_shards)

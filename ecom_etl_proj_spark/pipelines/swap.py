@@ -59,10 +59,41 @@ def _list_generations(base: str) -> list[str]:
     ]
 
 
+def link_tree(src: str, dst: str) -> None:
+    """Hard-link mirror of a directory tree — the metadata-only
+    carry-forward a generation rewrite uses to keep the previous
+    generation's files without copying data. Merges into an existing
+    ``dst`` (existing files win: a writer's own fresher version of a
+    file is never clobbered by the carried-forward one); falls back to
+    a copy across devices."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s = os.path.join(src, name)
+        d = os.path.join(dst, name)
+        if os.path.isdir(s):
+            link_tree(s, d)
+        elif not os.path.exists(d):
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover - cross-device fallback
+                shutil.copy2(s, d)
+
+
 def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
     """Write the table's next generation via ``write_fn(gen_dir)`` and
     atomically re-point ``path`` at it. Returns the new generation
-    directory. See module docstring for the reader/crash contract."""
+    directory. See module docstring for the reader/crash contract.
+
+    Underscore-prefixed SYSTEM directories in the outgoing generation
+    (e.g. copy_into's ``_load_history`` ledger) are carried forward
+    HERE, after ``write_fn`` runs, so every writer preserves them by
+    construction — compact/cluster/merge rewrites that regenerate data
+    files only can no longer silently drop the ledger and turn the
+    next COPY INTO into a full (duplicating) reload (r12 ADVICE #1).
+    A writer that produced its own version of a system dir keeps it:
+    the carry-forward only fills in dirs (and, per file, names) the
+    writer did not emit. Spark ignores underscore-prefixed paths in
+    data reads, so carried dirs never leak into query results."""
     base = path.rstrip("/")
 
     if os.path.exists(base) and not os.path.islink(base):
@@ -84,6 +115,15 @@ def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
     write_fn(gen_dir)
 
     prev_target = os.path.realpath(base)
+    # carry system dirs (_load_history, ...) forward — see docstring
+    if (
+        os.path.isdir(prev_target)
+        and os.path.realpath(gen_dir) != prev_target
+    ):
+        for entry in os.listdir(prev_target):
+            src = os.path.join(prev_target, entry)
+            if entry.startswith("_") and os.path.isdir(src):
+                link_tree(src, os.path.join(gen_dir, entry))
     tmp_link = f"{base}.__lnk_tmp__"
     if os.path.lexists(tmp_link):
         os.remove(tmp_link)

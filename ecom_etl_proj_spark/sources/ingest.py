@@ -382,6 +382,8 @@ def copy_into(
     def write_fn(gen_dir: str) -> None:
         import shutil as _sh
 
+        from ecom_etl_proj_spark.pipelines.swap import link_tree
+
         tag = os.path.basename(gen_dir)
         hist_dir = os.path.join(gen_dir, _HISTORY_DIR)
         stage_data = os.path.join(gen_dir, "_stage_data")
@@ -391,15 +393,21 @@ def copy_into(
         os.makedirs(hist_dir, exist_ok=True)
         prev = os.path.realpath(base) if os.path.islink(base) else None
         if prev and os.path.isdir(prev):
-            for f in os.listdir(prev):
-                if f.endswith(".parquet"):
-                    _link(os.path.join(prev, f), os.path.join(gen_dir, f))
-            prev_hist = os.path.join(prev, _HISTORY_DIR)
-            if os.path.isdir(prev_hist):
-                for f in os.listdir(prev_hist):
-                    if f.endswith(".parquet"):
-                        _link(os.path.join(prev_hist, f),
-                              os.path.join(hist_dir, f))
+            # recursive tree mirror, NOT a flat *.parquet listing: a
+            # previous generation holding partitioned/nested data files
+            # (e.g. written by another tool) carries forward intact
+            # instead of silently dropping its rows (r12 ADVICE #3).
+            # The staged dirs already exist in gen_dir and merge-wins
+            # semantics keep them; the ledger merges into hist_dir.
+            for entry in os.listdir(prev):
+                if entry in ("_stage_data", "_stage_hist"):
+                    continue  # never resurrect a crashed load's staging
+                src = os.path.join(prev, entry)
+                dst = os.path.join(gen_dir, entry)
+                if os.path.isdir(src):
+                    link_tree(src, dst)
+                elif not os.path.exists(dst):
+                    _link(src, dst)
         # pre-r12 ledger migration: fold <table>__load_history into the
         # in-generation ledger (generation-unique prefix avoids name
         # collisions with carried-forward shards)
@@ -431,6 +439,59 @@ def copy_into(
         "rows_loaded": n_rows,
         "files_skipped": n_stage - len(names),
     }
+
+
+def ingest_validated(
+    spark: SparkSession,
+    raw: DataFrame,
+    table_path: str,
+    quarantine_path: str,
+    required: list[str],
+    typed: dict[str, str] | None = None,
+    key: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Validate-and-route ingest: the reference's process_csv_file
+    contract (ingestion_script.py:230-360) engine-side — ONE
+    validation pass over the raw all-string batch, valid+unique rows
+    cast to their declared types and committed to ``table_path``
+    (atomic generation swap, so a crash never publishes a half-load),
+    invalid/duplicate rows routed to ``quarantine_path`` WITH their
+    per-row reason in ``_error`` (the reference quarantines CSVs with
+    an _error column; here a parquet dir per batch). Rules and
+    precedence live in ``operators.cleaning.validation_errors`` —
+    the same declaration style ``constraint_audit`` checks post-load,
+    applied pre-load.
+
+    Scale shape: the marked batch materializes once (persist) and
+    feeds both writes — a row-local CASE chain + one window on the
+    dedup key; the quarantine side is usually tiny and the valid side
+    is the load itself, so validation adds one shuffle to what a
+    blind load already pays.
+
+    Returns {"rows_loaded": n, "rows_quarantined": n}.
+    """
+    from ecom_etl_proj_spark.operators.cleaning import validation_errors
+    from ecom_etl_proj_spark.pipelines.swap import generation_swap
+
+    typed = dict(typed or {})
+    marked = validation_errors(raw, required, typed, key, order_by).persist()
+    try:
+        valid = marked.filter(F.col("_error").isNull()).drop("_error")
+        for c, typ in typed.items():
+            valid = valid.withColumn(c, F.expr(f"try_cast({c} AS {typ})"))
+        bad = marked.filter(F.col("_error").isNotNull())
+        n_loaded = valid.count()
+        n_bad = bad.count()
+        generation_swap(
+            table_path.rstrip("/"),
+            lambda gen: valid.write.parquet(gen),
+        )
+        if n_bad:
+            bad.write.mode("overwrite").parquet(quarantine_path)
+    finally:
+        marked.unpersist()
+    return {"rows_loaded": n_loaded, "rows_quarantined": n_bad}
 
 
 def read_json(

@@ -73,6 +73,14 @@ class KVStore:
         at-least-once replay path."""
         raise NotImplementedError
 
+    def was_applied(self, sink_id: str, epoch: int) -> bool:
+        """Read-only marker probe — did ``apply_batch(sink_id, epoch,
+        ...)`` already commit? Used once per run for the pre-r12
+        marker-namespace migration (r12 ADVICE #2): a store that
+        cannot answer may keep this default (False = never consulted
+        = pre-r13 behavior)."""
+        return False
+
     # -- snapshot reads (the dashboard surface: utils.py fetch_data) --
     def hgetall(self, key: str) -> dict:
         raise NotImplementedError
@@ -106,6 +114,10 @@ class EmbeddedKVStore(KVStore):
                 self._apply(op)
             seen.add(epoch)
             return True
+
+    def was_applied(self, sink_id: str, epoch: int) -> bool:
+        with self._lock:
+            return epoch in self._applied.get(sink_id, set())
 
     def _apply(self, op: Op) -> None:
         kind = op[0]
@@ -192,6 +204,9 @@ class RedisKVStore(KVStore):
         pipe.execute()
         return True
 
+    def was_applied(self, sink_id: str, epoch: int) -> bool:
+        return bool(self._r.sismember(f"_applied:{sink_id}", epoch))
+
     def hgetall(self, key: str) -> dict:
         return self._r.hgetall(key)
 
@@ -272,6 +287,10 @@ class KVServer:
                             )
                         elif cmd == "get":
                             result = outer.store.get(req["key"])
+                        elif cmd == "was_applied":
+                            result = outer.store.was_applied(
+                                req["sink"], req["epoch"]
+                            )
                         else:
                             raise ValueError(f"unknown cmd {cmd!r}")
                         resp = {"ok": True, "result": result}
@@ -338,6 +357,11 @@ class SocketKVStore(KVStore):
         return self._call(
             {"cmd": "apply_batch", "sink": sink_id, "epoch": epoch,
              "ops": [list(op) for op in ops]}
+        )
+
+    def was_applied(self, sink_id: str, epoch: int) -> bool:
+        return self._call(
+            {"cmd": "was_applied", "sink": sink_id, "epoch": epoch}
         )
 
     def hgetall(self, key: str) -> dict:
@@ -877,11 +901,27 @@ def serve_consumer_metrics(
             ns_cache.append(_run_namespace(checkpoint, sink_id))
         return ns_cache[0]
 
+    legacy_checked: list[bool] = []
+
     def process_driver(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        ns = namespace()
+        # One-time pre-r12 marker-namespace migration (r12 ADVICE #2):
+        # only the FIRST epoch a run processes can be a restart replay,
+        # and an upgraded deployment's persistent store may have
+        # applied it under the legacy un-namespaced sink_id — re-apply
+        # under the new @query-id namespace would double-count once.
+        # Consult the legacy marker set for that first epoch only;
+        # on a hit, mark it applied in the new namespace (empty ops)
+        # and skip.
+        if ns != sink_id and not legacy_checked:
+            legacy_checked.append(True)
+            if store.was_applied(sink_id, epoch):
+                store.apply_batch(ns, epoch, [])
+                return
         store.apply_batch(
-            namespace(), epoch, consumer_metric_ops(batch_df, recent_n)
+            ns, epoch, consumer_metric_ops(batch_df, recent_n)
         )
 
     def process_executor(batch_df: DataFrame, epoch: int) -> None:

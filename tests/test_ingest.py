@@ -713,6 +713,150 @@ def test_copy_into_migrates_pre_r12_ledger(spark, tables, workdir):
                     "files_skipped": 2}
 
 
+def test_ingest_validated_routes_quarantine(spark, workdir):
+    """Validate-and-route ingest (reference ingestion_script.py
+    process_csv_file): valid+unique rows land typed in the table,
+    invalid/duplicate rows land in the quarantine dir WITH per-row
+    reasons, first-failing-rule-wins precedence, duplicates counted
+    among valid rows only."""
+    raw = spark.createDataFrame(
+        [
+            # (id, name, amount, ts)
+            ("1", "alpha", "10.5", "2024-01-01 00:00:00"),   # valid
+            ("2", "beta", "x", "2024-01-01 00:00:00"),       # bad amount
+            ("3", "", "1.0", "2024-01-01 00:00:00"),         # missing name
+            ("", "gamma", "?", "bad"),                        # missing id wins
+            ("4", "delta", "2.0", "nope"),                    # bad ts
+            ("1", "alpha2", "99.0", "2024-01-02 00:00:00"),  # dup of id 1
+            ("2", "beta2", "1.0", "2024-01-03 00:00:00"),    # VALID: id-2 bad row not a dup blocker
+            ("null", "eps", "3.0", "2024-01-01 00:00:00"),   # 'null' literal
+        ],
+        "id string, name string, amount string, ts string",
+    )
+    tbl = os.path.join(workdir, "validated_tbl")
+    quar = os.path.join(workdir, "validated_quarantine")
+    rep = ingest.ingest_validated(
+        spark, raw, tbl, quar,
+        required=["id", "name"],
+        typed={"amount": "double", "ts": "timestamp"},
+        key=["id"],
+        order_by=["name"],
+    )
+    assert rep == {"rows_loaded": 2, "rows_quarantined": 6}
+    loaded = spark.read.parquet(tbl)
+    assert dict(loaded.dtypes)["amount"] == "double"
+    assert dict(loaded.dtypes)["ts"].startswith("timestamp")
+    # keep-first determinism: the surviving id-1 row is 'alpha'
+    # (order_by name beats 'alpha2'), and id-2's valid row loads even
+    # though another id-2 row was type-rejected (duplicates are
+    # counted among VALID rows only)
+    assert sorted(r["name"] for r in loaded.collect()) == ["alpha", "beta2"]
+    reasons = {
+        r["name"]: r["_error"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert reasons == {
+        "beta": "Field amount should be double",
+        "": "Missing required field: name",
+        "gamma": "Missing required field: id",
+        "delta": "Field ts should be timestamp",
+        "alpha2": "Duplicate record",
+        "eps": "Missing required field: id",
+    }
+
+
+def test_copy_into_ledger_survives_maintenance(spark, tables, workdir):
+    """Compaction/clustering of a COPY INTO table must carry the
+    in-generation ledger forward (r12 ADVICE #1: every generation_swap
+    writer used to rewrite data files only, so a compact dropped
+    _load_history and the next copy_into duplicated the whole stage).
+    The carry now lives in generation_swap itself."""
+    import shutil as _shutil
+
+    from ecom_etl_proj_spark.pipelines import maintenance
+
+    stage = os.path.join(workdir, "stage_maint")
+    os.makedirs(stage, exist_ok=True)
+    tbl = os.path.join(workdir, "ods_nation_maint")
+    nation = tables["nation"]
+    n = nation.count()
+    tmp = os.path.join(workdir, "csv_maint_tmp")
+    nation.coalesce(1).write.mode("overwrite").option(
+        "header", "true").csv(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+    for i in range(2):
+        _shutil.copy(os.path.join(tmp, part),
+                     os.path.join(stage, f"m_{i}.csv"))
+
+    rep = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                           glob="*.csv")
+    assert rep["files_loaded"] == 2
+
+    # compact rewrites the generation with data files only; the swap
+    # must carry the ledger
+    maintenance.compact(spark, tbl)
+    assert spark.read.parquet(tbl).count() == 2 * n
+    rep2 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep2 == {"files_loaded": 0, "rows_loaded": 0,
+                    "files_skipped": 2}
+    assert spark.read.parquet(tbl).count() == 2 * n
+
+    # same through a clustering rewrite
+    maintenance.cluster_table(spark, tbl, "n_nationkey", n_files=2)
+    rep3 = ingest.copy_into(spark, tbl, stage, nation.schema, fmt="csv",
+                            glob="*.csv")
+    assert rep3 == {"files_loaded": 0, "rows_loaded": 0,
+                    "files_skipped": 2}
+    hist = {r["file_name"]: r["n_rows"]
+            for r in ingest.load_history(spark, tbl).collect()}
+    assert hist == {"m_0.csv": n, "m_1.csv": n}
+
+
+def test_copy_into_carries_nested_data_forward(spark, tables, workdir):
+    """A previous generation holding PARTITIONED (nested-dir) data
+    files must survive the next copy_into commit (r12 ADVICE #3: the
+    flat *.parquet link loop silently dropped nested rows)."""
+    import shutil as _shutil
+
+    from ecom_etl_proj_spark.pipelines.swap import generation_swap
+
+    stage = os.path.join(workdir, "stage_nested")
+    os.makedirs(stage, exist_ok=True)
+    tbl = os.path.join(workdir, "ods_region_nested")
+    region = tables["region"]
+    n = region.count()
+
+    # seed the table as a PARTITIONED layout committed via the swap
+    # (as another tool might have written it)
+    generation_swap(
+        tbl,
+        lambda gen: region.write.partitionBy("r_regionkey").parquet(gen),
+    )
+    assert spark.read.parquet(tbl).count() == n
+
+    # now a COPY INTO lands one csv on top
+    tmp = os.path.join(workdir, "csv_nested_tmp")
+    region.coalesce(1).write.mode("overwrite").option(
+        "header", "true").csv(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
+    _shutil.copy(os.path.join(tmp, part), os.path.join(stage, "late.csv"))
+    rep = ingest.copy_into(spark, tbl, stage, region.schema, fmt="csv",
+                           glob="*.csv")
+    assert rep["files_loaded"] == 1 and rep["rows_loaded"] == n
+    # prior partitioned rows + the new slice are both present.
+    # (The partitioned files lack the partition column in-file; read
+    # the carried tree directly to count its rows.)
+    gen = os.path.realpath(tbl)
+    nested_dirs = [
+        os.path.join(gen, d)
+        for d in os.listdir(gen)
+        if d.startswith("r_regionkey=")
+    ]
+    assert len(nested_dirs) == n  # one partition dir per key survived
+    assert spark.read.parquet(*nested_dirs).count() == n
+
+
 def test_copy_into_many_file_stage(spark, tables, workdir):
     """Many-file stage (r11 judge #4 'done' bar): 24 staged shards load
     in one batch through the engine-side listing + anti-join, and the

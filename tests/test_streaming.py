@@ -1747,6 +1747,76 @@ def test_serving_sink_crash_replay_exactly_once(spark, tables):
     ) == batch["orders"]["total_value"]
 
 
+def test_serving_legacy_marker_namespace_migration(spark, tables):
+    """Upgrade continuity (r12 ADVICE #2): a pre-r12 deployment wrote
+    applied-epoch markers under the plain sink_id; the namespaced code
+    must consult that legacy set for the FIRST (replayable) epoch so
+    the post-upgrade restart doesn't double-apply it under the new
+    sink_id@query_id namespace."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    class CrashOnceStore(serving.EmbeddedKVStore):
+        def __init__(self):
+            super().__init__()
+            self.crashed = False
+
+        def apply_batch(self, sink_id, epoch, ops):
+            applied = super().apply_batch(sink_id, epoch, ops)
+            if applied and ops and not self.crashed:
+                self.crashed = True
+                raise RuntimeError("injected crash before epoch commit")
+            return applied
+
+    events = tables["events"].filter(F.col("event_id") % 11 == 0)
+    store = CrashOnceStore()
+    with tempfile.TemporaryDirectory(prefix="serving_mig_") as d:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        events.repartition(3).write.parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = serving.serve_consumer_metrics(stream, store, ckpt)
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                pass
+
+        # run 1: epoch 0 applied to the store, crash before the
+        # checkpoint commits it — the replay window
+        run()
+        assert store.crashed
+        # simulate the pre-upgrade deployment: the applied marker for
+        # epoch 0 lives under the LEGACY un-namespaced sink_id
+        with store._lock:
+            (ns, epochs), = store._applied.items()
+            assert "@" in ns and epochs == {0}
+            store._applied = {"consumer_metrics": epochs}
+        # restart under the NEW code: epoch 0 replays, the legacy
+        # marker must gate it (mark-and-skip), the rest drains
+        run()
+
+    topic_to_fam = {
+        "product_views": "views",
+        "cart_additions": "cart_adds",
+        "wishlist_additions": "wishlist_adds",
+        "orders": "orders",
+    }
+    totals = store.hgetall("metrics:totals")
+    batch = {
+        r["topic"]: r
+        for r in ev.topic_counters({"events": events}).collect()
+    }
+    for topic, fam in topic_to_fam.items():
+        assert totals[f"total_{fam}"] == batch[topic]["n_events"], fam
+    assert float(
+        round(totals["total_revenue"], 2)
+    ) == batch["orders"]["total_value"]
+
+
 def test_serving_read_helpers():
     """timeseries sorts minutes chronologically; leaderboard sorts by
     value desc with deterministic entity tie-break — the dashboard's
