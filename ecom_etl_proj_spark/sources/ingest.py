@@ -214,6 +214,10 @@ def write_warehouse(
 #: reads — so one pointer swap commits data and ledger together.
 _HISTORY_DIR = "_load_history"
 
+#: ON_ERROR=CONTINUE quarantine lives beside the ledger, inside the
+#: generation — committed by the same swap, invisible to data reads
+_QUARANTINE_DIR = "_quarantine"
+
 
 def _raw_basename(col):
     """Basename of the ``binaryFile`` source's ``path`` column, which
@@ -235,6 +239,16 @@ def load_history(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def load_quarantine(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ON_ERROR=CONTINUE quarantine of a table: the raw rejected
+    rows with their ``_error`` reason and ``_src_file`` stage file
+    name (accumulates across loads; carried forward by the swap like
+    the ledger)."""
+    return spark.read.parquet(
+        os.path.join(table_path.rstrip("/"), _QUARANTINE_DIR)
+    )
+
+
 def copy_into(
     spark: SparkSession,
     table_path: str,
@@ -244,6 +258,9 @@ def copy_into(
     glob: str = "*",
     force: bool = False,
     pattern: str | None = None,
+    on_error: str = "abort",
+    required: list[str] | None = None,
+    dedup_key: list[str] | None = None,
 ) -> dict[str, int]:
     """Snowflake-style COPY INTO: load ONLY files not yet loaded,
     tracked in a load-history ledger — the reference's ODS ingestion
@@ -281,7 +298,27 @@ def copy_into(
     daily shard pays for the shard plus O(files) link metadata — the
     same manifest-commit cost a lakehouse format pays in its log.
 
-    Returns {"files_loaded": n, "rows_loaded": n, "files_skipped": n}.
+    **Row-level validation (r13 — Snowflake's ON_ERROR option,
+    composing the reference's process_csv_file checks into the COPY
+    path).** When ``required``/``dedup_key`` are declared (CSV stages
+    only), the new files are read RAW (all-string) and pass through
+    ``cleaning.validation_errors`` — required / castable-to-``schema``
+    type / batch-duplicate rules, first-failing-rule reasons:
+
+    - ``on_error="continue"`` (Snowflake ON_ERROR=CONTINUE): valid
+      rows cast to ``schema`` and committed; invalid rows + ``_error``
+      land in ``_quarantine/`` INSIDE the same generation — data,
+      ledger, and quarantine publish through the ONE atomic swap, and
+      the ledger's per-file n_rows counts LOADED rows only (a file
+      whose rows all fail is still consumed: recorded, skipped on
+      re-run — COPY semantics). Read back via ``load_quarantine``.
+    - ``on_error="abort"`` (default; ABORT_STATEMENT): any invalid
+      row raises before anything commits — the table, ledger, and
+      stage diff are untouched, so the corrected re-run loads
+      everything.
+
+    Returns {"files_loaded": n, "rows_loaded": n, "files_skipped": n}
+    (+ "rows_quarantined" when validation rules are declared).
     """
     from urllib.parse import unquote
 
@@ -329,21 +366,33 @@ def copy_into(
             new_df = stage.join(loaded, "file_name", "left_anti")
     new_rows = new_df.select("file_name", "path").collect()
     if not new_rows:
-        return {
+        empty = {
             "files_loaded": 0,
             "rows_loaded": 0,
             "files_skipped": n_stage,
         }
+        if required or dedup_key:
+            empty["rows_quarantined"] = 0
+        return empty
 
-    # 3) typed read of exactly the new files
+    # 3) read exactly the new files: typed read normally, RAW
+    # (all-string) when validation rules are declared — the rules run
+    # on the raw values (the reference validates pre-cast strings) and
+    # the valid rows cast to the declared schema afterwards
+    validating = bool(required or dedup_key)
+    if validating and fmt != "csv":
+        raise ValueError("row-level validation supports csv stages only")
+    if on_error not in ("abort", "continue"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     paths = [r["path"] for r in new_rows]
-    reader = spark.read.schema(schema)
-    if fmt == "csv":
-        df = reader.option("header", "true").csv(paths)
+    if validating:
+        df = spark.read.option("header", "true").csv(paths)
+    elif fmt == "csv":
+        df = spark.read.schema(schema).option("header", "true").csv(paths)
     elif fmt == "json":
-        df = reader.json(paths)
+        df = spark.read.schema(schema).json(paths)
     else:
-        df = reader.parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
     df = lowercase_columns(df)
     # one batch-sized cache: the slice is read twice (per-file counts,
     # then write_fn's data write) — without it the stage files would be
@@ -354,12 +403,55 @@ def copy_into(
     # empty), and the column is dropped before the data write.
     df = df.withColumn("_src_file", F.input_file_name()).persist()
 
-    # per-file row counts for the ledger (the reference's COPY report):
-    # one aggregate over the just-read slice, URL-decoded on the driver
-    # so names with spaces/percent-escapes match the listing names
+    bad = None
+    n_quarantined = 0
+    if validating:
+        from ecom_etl_proj_spark.operators.cleaning import (
+            validation_errors,
+        )
+
+        typed_map = {
+            f.name.lower(): f.dataType.simpleString()
+            for f in schema.fields
+            if not f.dataType.simpleString().startswith("string")
+        }
+        marked = validation_errors(
+            df,
+            [c.lower() for c in (required or [])],
+            typed_map,
+            [c.lower() for c in dedup_key] if dedup_key else None,
+        )
+        bad = marked.filter(F.col("_error").isNotNull())
+        n_quarantined = bad.count()
+        if n_quarantined and on_error == "abort":
+            df.unpersist()
+            raise ValueError(
+                f"COPY INTO aborted: {n_quarantined} invalid row(s) "
+                f"(ON_ERROR=ABORT); first reasons: "
+                + str(
+                    [r["_error"] for r in bad.select("_error")
+                     .distinct().limit(3).collect()]
+                )
+            )
+        # the committed slice: valid rows cast to the declared schema
+        df_valid = marked.filter(F.col("_error").isNull())
+        for f_ in schema.fields:
+            c = f_.name.lower()
+            df_valid = df_valid.withColumn(
+                c, F.expr(f"try_cast({c} AS {f_.dataType.simpleString()})")
+            )
+        df_valid = df_valid.drop("_error")
+    else:
+        df_valid = df
+
+    # per-file LOADED-row counts for the ledger (the reference's COPY
+    # report): one aggregate over the committed slice, URL-decoded on
+    # the driver so names with spaces/percent-escapes match the
+    # listing names. Under validation a fully-invalid file records 0
+    # rows but IS recorded — the stage file is consumed either way.
     per_file = {
         unquote(os.path.basename(r["f"])): r["n"]
-        for r in df.groupBy(F.col("_src_file").alias("f"))
+        for r in df_valid.groupBy(F.col("_src_file").alias("f"))
         .agg(F.count("*").alias("n")).collect()
     }
     names = [r["file_name"] for r in new_rows]
@@ -388,8 +480,21 @@ def copy_into(
         hist_dir = os.path.join(gen_dir, _HISTORY_DIR)
         stage_data = os.path.join(gen_dir, "_stage_data")
         stage_hist = os.path.join(gen_dir, "_stage_hist")
-        df.drop("_src_file").write.parquet(stage_data)
+        stage_quar = os.path.join(gen_dir, "_stage_quar")
+        df_valid.drop("_src_file").write.parquet(stage_data)
         hist_df.coalesce(1).write.parquet(stage_hist)
+        if n_quarantined:
+            # quarantined rows + reason + source file, committed by the
+            # SAME swap as data and ledger (ON_ERROR=CONTINUE).
+            # input_file_name() is percent-ENCODED (unlike binaryFile's
+            # raw path column) — decode it so the recorded name matches
+            # the ledger's raw names.
+            bad.withColumn(
+                "_src_file",
+                F.url_decode(
+                    F.element_at(F.split(F.col("_src_file"), "/"), -1)
+                ),
+            ).write.parquet(stage_quar)
         os.makedirs(hist_dir, exist_ok=True)
         prev = os.path.realpath(base) if os.path.islink(base) else None
         if prev and os.path.isdir(prev):
@@ -400,7 +505,7 @@ def copy_into(
             # The staged dirs already exist in gen_dir and merge-wins
             # semantics keep them; the ledger merges into hist_dir.
             for entry in os.listdir(prev):
-                if entry in ("_stage_data", "_stage_hist"):
+                if entry in ("_stage_data", "_stage_hist", "_stage_quar"):
                     continue  # never resurrect a crashed load's staging
                 src = os.path.join(prev, entry)
                 dst = os.path.join(gen_dir, entry)
@@ -418,8 +523,12 @@ def copy_into(
                           os.path.join(hist_dir, f"{tag}-legacy-{f}"))
         # adopt the staged writes under generation-unique names (the
         # tag prefix guarantees no collision with linked prior files)
-        for src_dir_, dst_dir in ((stage_data, gen_dir),
-                                  (stage_hist, hist_dir)):
+        adopt = [(stage_data, gen_dir), (stage_hist, hist_dir)]
+        if os.path.isdir(stage_quar):
+            quar_dir = os.path.join(gen_dir, _QUARANTINE_DIR)
+            os.makedirs(quar_dir, exist_ok=True)
+            adopt.append((stage_quar, quar_dir))
+        for src_dir_, dst_dir in adopt:
             for f in os.listdir(src_dir_):
                 if f.endswith(".parquet"):
                     os.rename(os.path.join(src_dir_, f),
@@ -434,11 +543,14 @@ def copy_into(
         import shutil as _sh
 
         _sh.rmtree(legacy_hist, ignore_errors=True)
-    return {
+    report = {
         "files_loaded": len(names),
         "rows_loaded": n_rows,
         "files_skipped": n_stage - len(names),
     }
+    if validating:
+        report["rows_quarantined"] = n_quarantined
+    return report
 
 
 def ingest_validated(
@@ -469,7 +581,10 @@ def ingest_validated(
     is the load itself, so validation adds one shuffle to what a
     blind load already pays.
 
-    Returns {"rows_loaded": n, "rows_quarantined": n}.
+    Returns the reference's ingestion-report shape
+    (ingestion_script.py:370-378): {"total_records", "valid_records",
+    "invalid_records", "duplicate_records"} — valid = committed,
+    invalid excludes duplicates, like the reference report.
     """
     from ecom_etl_proj_spark.operators.cleaning import validation_errors
     from ecom_etl_proj_spark.pipelines.swap import generation_swap
@@ -481,17 +596,27 @@ def ingest_validated(
         for c, typ in typed.items():
             valid = valid.withColumn(c, F.expr(f"try_cast({c} AS {typ})"))
         bad = marked.filter(F.col("_error").isNotNull())
-        n_loaded = valid.count()
-        n_bad = bad.count()
+        # one tiny aggregate for the whole report (bounded: #reasons)
+        by_reason = dict(
+            marked.groupBy("_error").count().collect()
+        )
+        n_loaded = by_reason.pop(None, 0)
+        n_dup = by_reason.pop("Duplicate record", 0)
+        n_invalid = sum(by_reason.values())
         generation_swap(
             table_path.rstrip("/"),
             lambda gen: valid.write.parquet(gen),
         )
-        if n_bad:
+        if n_dup + n_invalid:
             bad.write.mode("overwrite").parquet(quarantine_path)
     finally:
         marked.unpersist()
-    return {"rows_loaded": n_loaded, "rows_quarantined": n_bad}
+    return {
+        "total_records": n_loaded + n_invalid + n_dup,
+        "valid_records": n_loaded,
+        "invalid_records": n_invalid,
+        "duplicate_records": n_dup,
+    }
 
 
 def read_json(

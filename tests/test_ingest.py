@@ -742,7 +742,13 @@ def test_ingest_validated_routes_quarantine(spark, workdir):
         key=["id"],
         order_by=["name"],
     )
-    assert rep == {"rows_loaded": 2, "rows_quarantined": 6}
+    # the reference's ingestion-report shape (ingestion_script.py:370)
+    assert rep == {
+        "total_records": 8,
+        "valid_records": 2,
+        "invalid_records": 5,
+        "duplicate_records": 1,
+    }
     loaded = spark.read.parquet(tbl)
     assert dict(loaded.dtypes)["amount"] == "double"
     assert dict(loaded.dtypes)["ts"].startswith("timestamp")
@@ -763,6 +769,71 @@ def test_ingest_validated_routes_quarantine(spark, workdir):
         "alpha2": "Duplicate record",
         "eps": "Missing required field: id",
     }
+
+
+def test_copy_into_on_error_continue_quarantines(spark, workdir):
+    """COPY INTO + row-level validation (Snowflake ON_ERROR): CONTINUE
+    commits valid rows, routes invalid rows + reason to _quarantine
+    inside the SAME generation (one atomic swap for data + ledger +
+    quarantine), and the ledger counts LOADED rows only; ABORT raises
+    before anything commits, so the corrected re-run loads all."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    stage = os.path.join(workdir, "stage_onerr")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "good.csv"), "w") as f:
+        f.write("id,name,amount\n1,a,10.5\n2,b,11.0\n")
+    with open(os.path.join(stage, "mixed.csv"), "w") as f:
+        f.write("id,name,amount\n3,c,xx\n4,d,2.0\n4,e,3.0\n")
+
+    tbl = os.path.join(workdir, "onerr_tbl")
+
+    # ABORT (default when rules are declared): nothing commits
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ABORT"):
+        ingest.copy_into(spark, tbl, stage, schema, fmt="csv",
+                         glob="*.csv", required=["id"], dedup_key=["id"])
+    assert not os.path.exists(tbl)
+
+    # CONTINUE: valid rows commit typed; bad + dup quarantined
+    rep = ingest.copy_into(spark, tbl, stage, schema, fmt="csv",
+                           glob="*.csv", required=["id"],
+                           dedup_key=["id"], on_error="continue")
+    assert rep == {"files_loaded": 2, "rows_loaded": 3,
+                   "files_skipped": 0, "rows_quarantined": 2}
+    data = spark.read.parquet(tbl)
+    assert dict(data.dtypes)["amount"] == "double"
+    assert sorted(r["name"] for r in data.collect()) == ["a", "b", "d"]
+    quar = {r["name"]: (r["_error"], r["_src_file"])
+            for r in ingest.load_quarantine(spark, tbl).collect()}
+    assert quar["c"] == ("Field amount should be double", "mixed.csv")
+    # keep-first by the non-key columns: 'd' < 'e', so 'e' is the dup
+    assert quar["e"] == ("Duplicate record", "mixed.csv")
+    hist = {r["file_name"]: r["n_rows"]
+            for r in ingest.load_history(spark, tbl).collect()}
+    assert hist == {"good.csv": 2, "mixed.csv": 1}
+
+    # idempotent re-run; quarantine survives the next commit
+    rep2 = ingest.copy_into(spark, tbl, stage, schema, fmt="csv",
+                            glob="*.csv", required=["id"],
+                            dedup_key=["id"], on_error="continue")
+    assert rep2 == {"files_loaded": 0, "rows_loaded": 0,
+                    "files_skipped": 2, "rows_quarantined": 0}
+    with open(os.path.join(stage, "late.csv"), "w") as f:
+        f.write("id,name,amount\n9,z,1.0\n,y,1.0\n")
+    rep3 = ingest.copy_into(spark, tbl, stage, schema, fmt="csv",
+                            glob="*.csv", required=["id"],
+                            dedup_key=["id"], on_error="continue")
+    assert rep3 == {"files_loaded": 1, "rows_loaded": 1,
+                    "files_skipped": 2, "rows_quarantined": 1}
+    assert ingest.load_quarantine(spark, tbl).count() == 3
+    assert spark.read.parquet(tbl).count() == 4
 
 
 def test_copy_into_ledger_survives_maintenance(spark, tables, workdir):

@@ -2740,6 +2740,63 @@ def test_append_ann_state_equals_full_build(spark, tables):
         drop("apB")
 
 
+def test_knn_graph_recall_consistent_with_operator(spark, tables):
+    """The audit must price exactly what the operator serves: at each
+    probe level, n_found equals |knn_graph(n_probe=p) edges over the
+    sample ∩ exact top-k edges|; recall is monotone in n_probe (extra
+    probes only add candidates, and a displacer must itself be an
+    exact-top-k member); and n_probe=1 is the registered knn_graph."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.functions import vectors as V
+    from ecom_etl_proj_spark.operators import similarity
+
+    nq, k = 20, 3
+    audit = {
+        r["n_probe"]: r
+        for r in similarity.knn_graph_recall(
+            tables, n_queries=nq, k=k, max_probe=2
+        ).collect()
+    }
+    assert audit[2]["recall"] >= audit[1]["recall"]
+    assert audit[1]["n_exact_pairs"] == audit[2]["n_exact_pairs"]
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql import Window
+
+    ew = Window.partitionBy("qid").orderBy(
+        F.col("c").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.cosine("q_emb", "embedding"), 6).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ew))
+        .filter(F.col("rn") <= k)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id")
+    )
+    assert audit[1]["n_exact_pairs"] == exact.count()
+    for p in (1, 2):
+        g = similarity.knn_graph(tables, k=k, n_probe=p).filter(
+            F.col("vec_id") < nq
+        )
+        n_found = g.join(exact, ["vec_id", "neighbor_id"]).count()
+        assert n_found == audit[p]["n_found"], p
+    # n_probe=1 is exactly the registered knn_graph
+    base = similarity.knn_graph(tables, k=k)
+    probed = similarity.knn_graph(tables, k=k, n_probe=1)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
+
+
 def test_append_ann_pq_state_equals_full_build(spark, tables):
     """The PQ path of append_ann_state (r13): build WITH pq_m on
     corpus A + append batch B must serve ADC probes EXACTLY like a
