@@ -562,6 +562,8 @@ def ingest_validated(
     typed: dict[str, str] | None = None,
     key: list[str] | None = None,
     order_by: list[str] | None = None,
+    mode: str = "overwrite",
+    epoch_marker: str | None = None,
 ) -> dict[str, int]:
     """Validate-and-route ingest: the reference's process_csv_file
     contract (ingestion_script.py:230-360) engine-side — ONE
@@ -575,6 +577,20 @@ def ingest_validated(
     the same declaration style ``constraint_audit`` checks post-load,
     applied pre-load.
 
+    ``mode="append"`` (the streaming micro-batch shape,
+    ``run_validated_ingest_stream``): the previous generation's files
+    carry forward by hard link and the batch lands beside them —
+    copy_into's commit discipline without its stage ledger — and the
+    quarantine dir appends instead of replacing. ``epoch_marker``
+    (an opaque string, ``<query_id>@<epoch>`` from the streaming
+    caller — query-id-scoped so a deleted/recreated checkpoint's
+    renumbered epochs can never collide with committed markers, the
+    r11 serving-sink lesson) is recorded as
+    ``_ingest_epochs/<marker>`` INSIDE the committed generation
+    (carried forward by every later swap), so a foreachBatch replay
+    of an already-committed epoch can be detected and skipped —
+    exactly-once appends over an at-least-once streaming sink.
+
     Scale shape: the marked batch materializes once (persist) and
     feeds both writes — a row-local CASE chain + one window on the
     dedup key; the quarantine side is usually tiny and the valid side
@@ -587,8 +603,14 @@ def ingest_validated(
     invalid excludes duplicates, like the reference report.
     """
     from ecom_etl_proj_spark.operators.cleaning import validation_errors
-    from ecom_etl_proj_spark.pipelines.swap import generation_swap
+    from ecom_etl_proj_spark.pipelines.swap import (
+        generation_swap,
+        link_tree,
+    )
 
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    base = table_path.rstrip("/")
     typed = dict(typed or {})
     marked = validation_errors(raw, required, typed, key, order_by).persist()
     try:
@@ -603,12 +625,52 @@ def ingest_validated(
         n_loaded = by_reason.pop(None, 0)
         n_dup = by_reason.pop("Duplicate record", 0)
         n_invalid = sum(by_reason.values())
-        generation_swap(
-            table_path.rstrip("/"),
-            lambda gen: valid.write.parquet(gen),
-        )
+
+        if mode == "overwrite" and epoch_marker is None:
+            generation_swap(base, lambda gen: valid.write.parquet(gen))
+        else:
+
+            def write_fn(gen_dir: str) -> None:
+                import shutil as _sh
+
+                tag = os.path.basename(gen_dir)
+                stage_data = os.path.join(gen_dir, "_stage_data")
+                valid.write.parquet(stage_data)
+                prev = (
+                    os.path.realpath(base)
+                    if os.path.islink(base)
+                    else None
+                )
+                if mode == "append" and prev and os.path.isdir(prev):
+                    for entry in os.listdir(prev):
+                        if entry == "_stage_data":
+                            continue
+                        src = os.path.join(prev, entry)
+                        dst = os.path.join(gen_dir, entry)
+                        if os.path.isdir(src):
+                            link_tree(src, dst)
+                        elif not os.path.exists(dst):
+                            try:
+                                os.link(src, dst)
+                            except OSError:  # pragma: no cover
+                                _sh.copy2(src, dst)
+                if epoch_marker is not None:
+                    ep_dir = os.path.join(gen_dir, "_ingest_epochs")
+                    os.makedirs(ep_dir, exist_ok=True)
+                    open(os.path.join(ep_dir, epoch_marker), "w").close()
+                for f in os.listdir(stage_data):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(stage_data, f),
+                            os.path.join(gen_dir, f"{tag}-{f}"),
+                        )
+                _sh.rmtree(stage_data, ignore_errors=True)
+
+            generation_swap(base, write_fn)
         if n_dup + n_invalid:
-            bad.write.mode("overwrite").parquet(quarantine_path)
+            bad.write.mode(
+                "append" if mode == "append" else "overwrite"
+            ).parquet(quarantine_path)
     finally:
         marked.unpersist()
     return {
@@ -617,6 +679,111 @@ def ingest_validated(
         "invalid_records": n_invalid,
         "duplicate_records": n_dup,
     }
+
+
+def applied_ingest_epochs(table_path: str) -> set[str]:
+    """Epoch markers already committed into the table by
+    ``ingest_validated(epoch_marker=...)`` — read from the CURRENT
+    generation (markers are carried forward by every swap)."""
+    base = table_path.rstrip("/")
+    ep_dir = os.path.join(os.path.realpath(base), "_ingest_epochs")
+    if not os.path.isdir(ep_dir):
+        return set()
+    return set(os.listdir(ep_dir))
+
+
+def run_validated_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    table_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    required: list[str],
+    key: list[str] | None = None,
+    order_by: list[str] | None = None,
+    max_files: int = 1,
+):
+    """CONTINUOUS validate-and-route ingest: the streaming face of the
+    reference's folder-driven ingestion loop — a Structured Streaming
+    file source watches ``src_dir`` (the checkpoint's file-source log
+    remembers which files are consumed, the streaming twin of
+    copy_into's ledger) and every micro-batch runs the
+    ``ingest_validated`` contract in append mode: valid rows commit to
+    the table through an atomic generation swap, invalid rows + reason
+    append to the quarantine dir.
+
+    Exactly-once despite foreachBatch's at-least-once replay: each
+    batch's ``<query_id>@<epoch>`` marker is committed INSIDE the
+    generation (``_ingest_epochs/``, carried forward by every later
+    swap) in the SAME swap as its data, so a replayed epoch — crash
+    after the swap, before the checkpoint commit — is detected and
+    skipped (``applied_ingest_epochs``), the same marker discipline
+    as the serving sink and copy_into. Query-id scoping means a
+    deleted/recreated checkpoint (which renumbers epochs from 0)
+    can never have its genuinely-new batches skipped by surviving
+    markers (the r11 serving-sink lesson, applied from day one).
+
+    Typed rules derive from ``schema`` (non-string fields must
+    try_cast); the dedup ``key`` is batch-scoped like the reference's
+    per-file check — cross-batch dedup is the incremental_dedup state
+    family's job. Returns the streaming query handle.
+    """
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in schema.fields]
+    )
+    typed_map = {
+        f.name.lower(): f.dataType.simpleString()
+        for f in schema.fields
+        if not f.dataType.simpleString().startswith("string")
+    }
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", max_files)
+        .option("header", "true")
+        .schema(raw_schema)
+        .csv(src_dir)
+    )
+
+    def run_id() -> str:
+        """The checkpoint's query id (the serving sink's
+        _run_namespace trick): stable across restarts of the same
+        checkpoint, fresh for a recreated one."""
+        try:
+            import json as _json
+
+            path = checkpoint.removeprefix("file:")
+            with open(os.path.join(path, "metadata"),
+                      encoding="utf-8") as fh:
+                return _json.load(fh)["id"]
+        except Exception:  # pragma: no cover - metadata not yet there
+            return "run"
+
+    def process(batch_df: DataFrame, epoch: int) -> None:
+        marker = f"{run_id()}@{epoch}"
+        if marker in applied_ingest_epochs(table_path):
+            return  # replayed epoch: already committed by its swap
+        if batch_df.isEmpty():
+            return
+        ingest_validated(
+            spark,
+            lowercase_columns(batch_df),
+            table_path,
+            quarantine_path,
+            required=[c.lower() for c in required],
+            typed=typed_map,
+            key=[c.lower() for c in key] if key else None,
+            order_by=order_by,
+            mode="append",
+            epoch_marker=marker,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def read_json(

@@ -836,6 +836,93 @@ def test_copy_into_on_error_continue_quarantines(spark, workdir):
     assert spark.read.parquet(tbl).count() == 4
 
 
+def test_validated_ingest_stream_exactly_once(spark, workdir, monkeypatch):
+    """Streaming validate-and-route (the reference's folder-driven
+    ingestion loop as a Structured Streaming pipeline): files arrive,
+    valid rows append through atomic generation swaps, invalid rows +
+    reason append to quarantine; a crash AFTER an epoch's swap but
+    BEFORE its checkpoint commit replays the epoch on restart and the
+    in-generation marker makes the replay a no-op — exactly-once."""
+    import pyspark.sql.types as T
+
+    from ecom_etl_proj_spark.sources import ingest as ingest_mod
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    src = os.path.join(workdir, "vstream_src")
+    os.makedirs(src, exist_ok=True)
+    tbl = os.path.join(workdir, "vstream_tbl")
+    quar = os.path.join(workdir, "vstream_quar")
+    ckpt = os.path.join(workdir, "vstream_ckpt")
+    with open(os.path.join(src, "f1.csv"), "w") as f:
+        f.write("id,name,amount\n1,a,1.5\n2,b,bad\n")
+    with open(os.path.join(src, "f2.csv"), "w") as f:
+        f.write("id,name,amount\n3,c,3.0\n")
+
+    crash_flag = os.path.join(workdir, "vstream_crashed")
+    real = ingest_mod.ingest_validated
+
+    def crash_after_commit(*args, **kwargs):
+        rep = real(*args, **kwargs)
+        if not os.path.exists(crash_flag):
+            with open(crash_flag, "w"):
+                pass
+            raise RuntimeError(
+                "injected crash: swap committed, epoch commit did not"
+            )
+        return rep
+
+    monkeypatch.setattr(
+        ingest_mod, "ingest_validated", crash_after_commit
+    )
+
+    def run():
+        q = ingest_mod.run_validated_ingest_stream(
+            spark, src, schema, tbl, quar, ckpt,
+            required=["id", "name"], key=["id"], max_files=1,
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass  # injected crash surfaces here on run 1
+
+    run()
+    assert os.path.exists(crash_flag), "injection never fired"
+    run()  # restart: the crashed epoch replays, marker skips it
+
+    data = spark.read.parquet(tbl)
+    assert sorted(r["name"] for r in data.collect()) == ["a", "c"]
+    assert dict(data.dtypes)["amount"] == "double"
+    quarantined = {
+        r["name"]: r["_error"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert quarantined == {"b": "Field amount should be double"}
+
+    # late arrival: a third file appends alone through the same
+    # checkpoint; everything already consumed stays consumed
+    with open(os.path.join(src, "f3.csv"), "w") as f:
+        f.write("id,name,amount\n4,d,4.0\n4,e,5.0\n")
+    run()
+    data = spark.read.parquet(tbl)
+    assert sorted(r["name"] for r in data.collect()) == ["a", "c", "d"]
+    quarantined = {
+        r["name"]: r["_error"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert quarantined == {
+        "b": "Field amount should be double",
+        "e": "Duplicate record",
+    }
+    # three committed epoch markers, all under one query id
+    markers = ingest_mod.applied_ingest_epochs(tbl)
+    assert len(markers) == 3
+    assert len({m.split("@")[0] for m in markers}) == 1
+
+
 def test_copy_into_ledger_survives_maintenance(spark, tables, workdir):
     """Compaction/clustering of a COPY INTO table must carry the
     in-generation ledger forward (r12 ADVICE #1: every generation_swap
