@@ -32,6 +32,7 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    keep: int = 1,
 ) -> tuple[int, int]:
     """Rewrite a parquet directory into ~target-sized files.
 
@@ -42,6 +43,9 @@ def compact(
     concurrent readers never observe a half-written directory (pin a
     snapshot with ``swap.resolve_snapshot`` for scan-long
     consistency). On Delta/Iceberg this is a native OPTIMIZE commit.
+    ``keep`` retains that many pre-rewrite generations as time-travel
+    snapshots (``swap.read_generation``) — OPTIMIZE without losing
+    VERSION AS OF history.
     """
     from ecom_etl_proj_spark.pipelines.swap import (
         generation_swap,
@@ -55,6 +59,7 @@ def compact(
     generation_swap(
         path,
         lambda gen: df.repartition(n_out).write.mode("overwrite").parquet(gen),
+        keep=keep,
     )
     after, _ = dir_stats(path)
     return before, after
@@ -65,6 +70,7 @@ def cluster_table(
     path: str,
     cluster_col: str,
     n_files: int = 8,
+    keep: int = 1,
 ) -> int:
     """Range-cluster a table on a key: every output file owns a disjoint
     key range, written sorted within the file.
@@ -97,6 +103,7 @@ def cluster_table(
             .write.mode("overwrite")
             .parquet(gen)
         ),
+        keep=keep,
     )
     n, _ = dir_stats(path)
     return n

@@ -79,7 +79,42 @@ def link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
-def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
+def list_generations(path: str) -> list[tuple[int, str]]:
+    """(generation_no, dir) for every on-disk generation of a table,
+    ascending — the table's retained history. The LAST entry is the
+    current generation iff the pointer resolves to it; earlier entries
+    are readable snapshots until a later swap sweeps them (see
+    ``generation_swap``'s ``keep``)."""
+    base = path.rstrip("/")
+    gens = sorted((_gen_no(p), p) for p in _list_generations(base))
+    return gens
+
+
+def read_generation(spark, path: str, generation: int):
+    """Time-travel read: the table AS OF a retained generation —
+    Delta/Iceberg ``VERSION AS OF`` over the plain-parquet swap
+    machinery. Raises if that generation has been swept (retention is
+    ``generation_swap(keep=)``, default 1 previous)."""
+    base = path.rstrip("/")
+    gen_dir = f"{base}.__gen_{generation}__"
+    if not os.path.isdir(gen_dir):
+        retained = [g for g, _ in list_generations(base)]
+        raise FileNotFoundError(
+            f"generation {generation} of {base} not retained "
+            f"(on disk: {retained})"
+        )
+    return spark.read.parquet(gen_dir)
+
+
+def current_generation(path: str) -> int:
+    """The generation number the table pointer currently resolves to
+    (-1 for a legacy real-directory table that never swapped)."""
+    return _gen_no(os.path.realpath(path.rstrip("/")))
+
+
+def generation_swap(
+    path: str, write_fn: Callable[[str], None], keep: int = 1
+) -> str:
     """Write the table's next generation via ``write_fn(gen_dir)`` and
     atomically re-point ``path`` at it. Returns the new generation
     directory. See module docstring for the reader/crash contract.
@@ -93,7 +128,17 @@ def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
     A writer that produced its own version of a system dir keeps it:
     the carry-forward only fills in dirs (and, per file, names) the
     writer did not emit. Spark ignores underscore-prefixed paths in
-    data reads, so carried dirs never leak into query results."""
+    data reads, so carried dirs never leak into query results.
+
+    ``keep`` (r13) is the RETENTION knob — how many generations
+    BEFORE the new one survive the sweep. keep=1 (default, the
+    pre-r13 behavior) retains exactly the immediately previous
+    generation as the in-flight-reader grace window; keep=N turns the
+    swap machinery into Delta-style time travel on plain parquet:
+    ``read_generation(spark, path, k)`` reads the table AS OF any
+    retained generation, ``list_generations`` enumerates them.
+    Retention is by generation COUNT, not age — hard links make a
+    retained generation cost only the files unique to it."""
     base = path.rstrip("/")
 
     if os.path.exists(base) and not os.path.islink(base):
@@ -129,10 +174,18 @@ def generation_swap(path: str, write_fn: Callable[[str], None]) -> str:
         os.remove(tmp_link)
     os.symlink(os.path.basename(gen_dir), tmp_link)  # sibling-relative
     os.rename(tmp_link, base)  # atomic pointer swap
-    # retire everything except the new and the immediately previous
-    # generation (grace period for in-flight scans; also sweeps
-    # crash-orphaned generations from failed earlier rewrites)
+    # retire everything older than the ``keep`` most recent PUBLISHED
+    # prior generations (keep=1: exactly the immediately previous one
+    # — the grace period for in-flight scans). History counts only
+    # generations up to the outgoing pointer: crash-orphaned
+    # directories from failed earlier rewrites were never published,
+    # so they are swept regardless of their number, exactly as before.
+    prev_no = _gen_no(prev_target)
+    history = sorted(
+        (p for p in siblings if _gen_no(p) <= prev_no), key=_gen_no
+    )
+    retained = set(history[-max(1, keep):])
     for p in siblings:
-        if os.path.realpath(p) != prev_target:
+        if os.path.realpath(p) != prev_target and p not in retained:
             shutil.rmtree(p, ignore_errors=True)
     return gen_dir

@@ -637,6 +637,58 @@ def test_concurrent_readers_never_see_torn_merge(spark, tmp_path):
     assert len(gens) <= 2, gens
 
 
+def test_generation_time_travel(spark, tmp_path):
+    """r13: generation retention as time travel — keep=N retains the N
+    most recent PUBLISHED generations; read_generation reads the table
+    AS OF any retained one (Delta VERSION AS OF over plain parquet);
+    crash orphans never count as history; keep=1 stays the exact
+    pre-r13 two-dirs behavior."""
+    from ecom_etl_proj_spark.pipelines.swap import (
+        current_generation,
+        generation_swap,
+        list_generations,
+        read_generation,
+    )
+
+    tbl = str(tmp_path / "tt_table")
+
+    def writer(val):
+        def write_fn(gen_dir):
+            spark.range(5).selectExpr("id", f"{val} AS v").write.parquet(
+                gen_dir
+            )
+        return write_fn
+
+    for k in (0, 1, 2, 3):
+        generation_swap(tbl, writer(k), keep=3)
+    assert current_generation(tbl) == 3
+    # keep=3 PRIOR generations + the current one: all four retained
+    retained = [g for g, _ in list_generations(tbl)]
+    assert retained == [0, 1, 2, 3]
+
+    # versions 1..3 are readable snapshots with their own contents
+    for g in retained:
+        vals = read_generation(spark, tbl, g).select("v").distinct().collect()
+        assert [r[0] for r in vals] == [g]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_generation(spark, tbl, 99)
+
+    # a crash orphan (written, never published) is swept by the next
+    # swap and never counts toward retention
+    orphan = f"{tbl}.__gen_50__"
+    os.makedirs(orphan)
+    generation_swap(tbl, writer(4), keep=3)
+    assert not os.path.exists(orphan)
+    assert current_generation(tbl) == 51  # numbering continues past it
+    assert [g for g, _ in list_generations(tbl)] == [1, 2, 3, 51]
+    # back to keep=1: the sweep tightens to live + previous
+    generation_swap(tbl, writer(5), keep=1)
+    gens = [g for g, _ in list_generations(tbl)]
+    assert len(gens) == 2
+
+
 def test_generation_swap_relative_path_with_dirs(spark, tmp_path, monkeypatch):
     """r11 ADVICE #1: symlink targets must be sibling basenames. A
     RELATIVE table path with a directory component ('data/dim') used to
