@@ -2297,6 +2297,41 @@ def probe_ann_pq_state(
     )
 
 
+def probe_ann_pq_state_refined(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    n_probe: int = 2,
+    k: int = 5,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """The complete persisted-state serving pipeline (r13): IVF cell
+    pruning + ADC shortlist from the bucketed code arrays
+    (``probe_ann_pq_state``, ``refine_factor * k`` candidates), then
+    EXACT squared-L2 re-rank against the raw vectors stored in
+    ``{prefix}_cells`` (``pq_refine``, FAISS IndexRefineFlat) — the
+    state twin of the registered ``ann_ivfpq_refined``. Raw-vector
+    reads stay bounded at queries x shortlist: the shortlist
+    broadcasts onto ONE scan of the bucketed cells table, so the cold
+    raw-vector storage is touched exactly as much as a production
+    deployment touches it. Same output contract as
+    ``ann_ivfpq_refined``: (query_id, neighbor_id, sq_dist, rank) —
+    exact distance rounded to 6, ranked unrounded, neighbor ties
+    ascending (A/B-identity with matching seeded parameters is
+    pytest-asserted).
+    """
+    short = probe_ann_pq_state(
+        spark, prefix, queries, n_probe=n_probe, k=refine_factor * k
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    raw = spark.table(f"{prefix}_cells").select("vec_id", "embedding")
+    return pq_refine(raw, queries, short, k).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("d"), 6).alias("sq_dist"),
+        "rank",
+    )
+
+
 def incremental_semantic_dedup(
     t: dict[str, DataFrame],
     batch_size: int = 100,

@@ -2789,6 +2789,35 @@ register(
     """,
 )
 
+# The state twin of ann_ivfpq_refined (r13): ADC shortlist served from
+# the PERSISTED bucketed code arrays + exact re-rank against the raw
+# vectors in {prefix}_cells — raw reads bounded at queries x shortlist,
+# zero corpus scans, zero quantization work. Shares the built state
+# with ann_ivfpq_state (same prefix) and the ann_ivfpq_refined oracle
+# (same contract/parameters; A/B-identity also pytest-asserted).
+def _ann_ivfpq_state_refined(t: Tables) -> DataFrame:
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    prefix = _state_prefix("pqst", id(emb))
+    if ("pqst", id(emb)) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark, t, prefix, lloyd_iters=0, location=_state_location(),
+            pq_m=8, pq_n_codes=16, pq_iters=0,
+        )
+        _STATE_BUILT.add(("pqst", id(emb)))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return similarity.probe_ann_pq_state_refined(spark, prefix, queries)
+
+
+register(
+    "ann_ivfpq_state_refined",
+    _ann_ivfpq_state_refined,
+    _REGISTRY["ann_ivfpq_refined"][1],
+)
+
 register(
     "ivf_cell_balance",
     lambda t: similarity.ivf_cell_balance(t, lloyd_iters=0),

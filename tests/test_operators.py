@@ -2464,9 +2464,32 @@ def test_ann_pq_state_build_probe_matches_in_plan(spark, tables):
                     ).collect(),
                 )
             )
+            # r13: the exact-refine state twin matches the in-plan
+            # refined pipeline under the same parameters — the
+            # shortlist comes from the persisted codes and raw-vector
+            # reads come from {prefix}_cells, nothing else changes
+            got_r = sorted(
+                map(
+                    tuple,
+                    similarity.probe_ann_pq_state_refined(
+                        spark, prefix, queries
+                    ).collect(),
+                )
+            )
+            want_r = sorted(
+                map(
+                    tuple,
+                    similarity.ann_ivfpq_refined(
+                        tables, m=m, n_codes=nc,
+                        lloyd_iters=li, pq_iters=pi,
+                    ).collect(),
+                )
+            )
             similarity.release_lloyd_caches()
             assert got == want, f"case {(li, m, nc, pi)}"
             assert len(got) == 50
+            assert got_r == want_r, f"refined case {(li, m, nc, pi)}"
+            assert len(got_r) == 50
         finally:
             drop(prefix)
 
