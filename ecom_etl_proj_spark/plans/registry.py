@@ -6163,7 +6163,12 @@ register(
 # oracle text is shared (unchanged) and additionally composed into
 # curated_pack_semantic with the mutual-kNN recursive CTEs spliced in.
 # Max staleness at r13 check time: the r9 cohort at 4 rounds, back to
-# <= 3 from r14 on.
+# <= 3 from r14 on. The FOURTH r13 registration
+# (ann_ivfpq_state_refined, added after this head was frozen at
+# 3 + 47 = 50) is not in this list, so _finalize_order appends it at
+# the tail: local oracle parity at sf0.001/0.01 gates it until its
+# driver row lands in the r14 head (the established r7+ pattern for
+# post-freeze additions).
 _DRIVER_PRIORITY: list[str] = [
     # --- head-50: the THREE r13 additions (never driver-verified) ---
     "knn_graph_recall",
