@@ -2098,14 +2098,24 @@ def append_ann_state(
     assigned.write.insertInto(f"{prefix}_cells")
     if spark.catalog.tableExists(f"{prefix}_pqcodes"):
         cb = spark.table(f"{prefix}_codebook")
-        m = cb.agg(F.max("sub")).collect()[0][0] + 1
+        # derive m AND the codebook width from the persisted table so
+        # _pq_codes picks the same A/B-established encode form the
+        # build used (k=0 would always select the small-k join form,
+        # bypassing PQ_FOLD_MIN_CODES at wide configs — r13
+        # self-review); trained codebooks may drop codes per subspace,
+        # so width = the widest subspace.
+        dims = cb.groupBy("sub").count().agg(
+            F.max("sub").alias("mx"), F.max("count").alias("k")
+        ).collect()[0]
+        m = int(dims["mx"]) + 1
+        k_eff = int(dims["k"])
         d_sub = DIM // m
         raw_codes = (
             _pq_assign_arrow(
                 new_vectors, cb.collect(), m, d_sub
             ).select("vec_id", "sub", "code")
             if assign_impl == "arrow"
-            else _pq_codes(new_vectors, m, 0, d_sub, cb=cb)
+            else _pq_codes(new_vectors, m, k_eff, d_sub, cb=cb)
         )
         codes = (
             raw_codes.groupBy("vec_id")
@@ -2119,17 +2129,12 @@ def append_ann_state(
                 F.expr("transform(s, x -> x.code)").alias("codes"),
             )
         )
-        # cell comes from the just-appended batch assignment (re-derived:
-        # a bounded broadcast argmin over the batch, cheaper than
-        # persisting) — column order matches the build's (cell, vec_id,
-        # codes); insertInto is positional and bucket-spec-aware.
-        (
-            _assign_cells_arrow
-            if assign_impl == "arrow"
-            else _assign_cells
-        )(new_vectors, spark.table(f"{prefix}_centroids")).select(
-            "cell", "vec_id"
-        ).join(codes, "vec_id").select(
+        # cell comes from the batch assignment plan above (reused —
+        # insertInto consumed it, so this re-executes the bounded
+        # broadcast argmin, not a second code path); column order
+        # matches the build's (cell, vec_id, codes); insertInto is
+        # positional and bucket-spec-aware.
+        assigned.select("cell", "vec_id").join(codes, "vec_id").select(
             "cell", "vec_id", "codes"
         ).write.insertInto(f"{prefix}_pqcodes")
 

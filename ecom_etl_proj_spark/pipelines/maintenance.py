@@ -32,7 +32,7 @@ def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
-    keep: int = 1,
+    keep: int | None = None,
 ) -> tuple[int, int]:
     """Rewrite a parquet directory into ~target-sized files.
 
@@ -70,7 +70,7 @@ def cluster_table(
     path: str,
     cluster_col: str,
     n_files: int = 8,
-    keep: int = 1,
+    keep: int | None = None,
 ) -> int:
     """Range-cluster a table on a key: every output file owns a disjoint
     key range, written sorted within the file.

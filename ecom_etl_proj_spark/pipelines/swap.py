@@ -113,7 +113,10 @@ def current_generation(path: str) -> int:
 
 
 def generation_swap(
-    path: str, write_fn: Callable[[str], None], keep: int = 1
+    path: str,
+    write_fn: Callable[[str], None],
+    keep: int | None = None,
+    carry_system_dirs: bool = True,
 ) -> str:
     """Write the table's next generation via ``write_fn(gen_dir)`` and
     atomically re-point ``path`` at it. Returns the new generation
@@ -129,17 +132,42 @@ def generation_swap(
     the carry-forward only fills in dirs (and, per file, names) the
     writer did not emit. Spark ignores underscore-prefixed paths in
     data reads, so carried dirs never leak into query results.
+    ``carry_system_dirs=False`` opts a writer out — for REPLACE
+    semantics (ingest_validated mode='overwrite'), where carrying the
+    old COPY INTO ledger would make the next copy_into silently skip
+    stage files whose rows the replace just wiped (r13 self-review).
 
     ``keep`` (r13) is the RETENTION knob — how many generations
-    BEFORE the new one survive the sweep. keep=1 (default, the
-    pre-r13 behavior) retains exactly the immediately previous
-    generation as the in-flight-reader grace window; keep=N turns the
-    swap machinery into Delta-style time travel on plain parquet:
+    BEFORE the new one survive the sweep. keep=1 retains exactly the
+    immediately previous generation as the in-flight-reader grace
+    window (the pre-r13 behavior); keep=N turns the swap machinery
+    into Delta-style time travel on plain parquet:
     ``read_generation(spark, path, k)`` reads the table AS OF any
     retained generation, ``list_generations`` enumerates them.
     Retention is by generation COUNT, not age — hard links make a
-    retained generation cost only the files unique to it."""
+    retained generation cost only the files unique to it. An explicit
+    ``keep`` also PERSISTS as the table's retention policy
+    (``<table>.__retention__`` beside the generations), and the
+    default ``keep=None`` reads it back — so ``compact(keep=10)``
+    survives later writers that never heard of retention (a
+    copy_into append no longer silently sweeps the history a
+    maintenance job promised to keep; r13 self-review)."""
     base = path.rstrip("/")
+
+    retention_file = f"{base}.__retention__"
+    if keep is None:
+        try:
+            with open(retention_file, encoding="utf-8") as fh:
+                keep = max(1, int(fh.read().strip()))
+        except (OSError, ValueError):
+            keep = 1
+    else:
+        keep = max(1, keep)
+        try:
+            with open(retention_file, "w", encoding="utf-8") as fh:
+                fh.write(str(keep))
+        except OSError:  # pragma: no cover - read-only parent
+            pass
 
     if os.path.exists(base) and not os.path.islink(base):
         # one-time migration of a legacy real-directory table
@@ -162,7 +190,8 @@ def generation_swap(
     prev_target = os.path.realpath(base)
     # carry system dirs (_load_history, ...) forward — see docstring
     if (
-        os.path.isdir(prev_target)
+        carry_system_dirs
+        and os.path.isdir(prev_target)
         and os.path.realpath(gen_dir) != prev_target
     ):
         for entry in os.listdir(prev_target):

@@ -325,6 +325,14 @@ def copy_into(
     from ecom_etl_proj_spark.pipelines.swap import generation_swap
 
     base = table_path.rstrip("/")
+    # argument validation up front — a misconfiguration must surface
+    # on the empty-stage re-run too, not only when a new file lands
+    # (r13 self-review)
+    validating = bool(required or dedup_key)
+    if validating and fmt != "csv":
+        raise ValueError("row-level validation supports csv stages only")
+    if on_error not in ("abort", "continue"):
+        raise ValueError(f"unknown on_error {on_error!r}")
 
     # 1) distributed, metadata-only stage listing (content pruned)
     stage = (
@@ -371,7 +379,7 @@ def copy_into(
             "rows_loaded": 0,
             "files_skipped": n_stage,
         }
-        if required or dedup_key:
+        if validating:
             empty["rows_quarantined"] = 0
         return empty
 
@@ -379,11 +387,6 @@ def copy_into(
     # (all-string) when validation rules are declared — the rules run
     # on the raw values (the reference validates pre-cast strings) and
     # the valid rows cast to the declared schema afterwards
-    validating = bool(required or dedup_key)
-    if validating and fmt != "csv":
-        raise ValueError("row-level validation supports csv stages only")
-    if on_error not in ("abort", "continue"):
-        raise ValueError(f"unknown on_error {on_error!r}")
     paths = [r["path"] for r in new_rows]
     if validating:
         df = spark.read.option("header", "true").csv(paths)
@@ -488,28 +491,50 @@ def copy_into(
             # SAME swap as data and ledger (ON_ERROR=CONTINUE).
             # input_file_name() is percent-ENCODED (unlike binaryFile's
             # raw path column) — decode it so the recorded name matches
-            # the ledger's raw names.
+            # the ledger's raw names. url_decode is FORM decoding
+            # ('+' -> space) while the ledger uses Python unquote ('+'
+            # preserved); pre-escaping literal '+' to %2B makes the two
+            # agree for names like 'daily+extra.csv' (r13 self-review).
             bad.withColumn(
                 "_src_file",
                 F.url_decode(
-                    F.element_at(F.split(F.col("_src_file"), "/"), -1)
+                    F.regexp_replace(
+                        F.element_at(
+                            F.split(F.col("_src_file"), "/"), -1
+                        ),
+                        r"\+",
+                        "%2B",
+                    )
                 ),
             ).write.parquet(stage_quar)
         os.makedirs(hist_dir, exist_ok=True)
         prev = os.path.realpath(base) if os.path.islink(base) else None
         if prev and os.path.isdir(prev):
-            # recursive tree mirror, NOT a flat *.parquet listing: a
-            # previous generation holding partitioned/nested data files
-            # (e.g. written by another tool) carries forward intact
-            # instead of silently dropping its rows (r12 ADVICE #3).
-            # The staged dirs already exist in gen_dir and merge-wins
-            # semantics keep them; the ledger merges into hist_dir.
+            # r12 ADVICE #3 closed the flat-*.parquet silent row drop;
+            # the r13 self-review closed the OTHER failure the advice
+            # named: a previous generation holding PARTITIONED
+            # (key=value dirs) or otherwise-nested data cannot take a
+            # flat appended slice — the mixed layout is unreadable as
+            # one table ('Conflicting directory structures') — so the
+            # load REFUSES before committing anything, instead of
+            # either dropping the nested rows or publishing a broken
+            # generation. System (underscore) dirs still carry via
+            # link_tree; all other entries must be flat files.
             for entry in os.listdir(prev):
                 if entry in ("_stage_data", "_stage_hist", "_stage_quar"):
                     continue  # never resurrect a crashed load's staging
                 src = os.path.join(prev, entry)
                 dst = os.path.join(gen_dir, entry)
                 if os.path.isdir(src):
+                    if not entry.startswith(("_", ".")):
+                        raise ValueError(
+                            "COPY INTO appends flat parquet slices, but "
+                            f"the current generation of {base} holds a "
+                            f"nested/partitioned data directory "
+                            f"({entry!r}); rewrite the table flat "
+                            "(e.g. pipelines.maintenance.compact) "
+                            "before loading into it"
+                        )
                     link_tree(src, dst)
                 elif not os.path.exists(dst):
                     _link(src, dst)
@@ -626,8 +651,35 @@ def ingest_validated(
         n_dup = by_reason.pop("Duplicate record", 0)
         n_invalid = sum(by_reason.values())
 
+        # Quarantine BEFORE the swap (r13 self-review): the epoch
+        # marker commits with the data, so a crash between the two
+        # writes must leave the quarantine already durable — written
+        # after the swap, a replayed epoch would skip on the marker
+        # and the rejected rows would be lost forever. Epoch-markered
+        # batches land in an epoch=<marker> subdir with OVERWRITE, so
+        # the replay of a crash-after-quarantine-before-swap rewrites
+        # the same dir instead of duplicating rows (reads of the
+        # quarantine root see 'epoch' as a partition column).
+        if n_dup + n_invalid:
+            if epoch_marker is not None:
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(quarantine_path, f"epoch={epoch_marker}")
+                )
+            else:
+                bad.write.mode(
+                    "append" if mode == "append" else "overwrite"
+                ).parquet(quarantine_path)
+
         if mode == "overwrite" and epoch_marker is None:
-            generation_swap(base, lambda gen: valid.write.parquet(gen))
+            # REPLACE semantics: do NOT carry system dirs — keeping a
+            # previous copy_into ledger across a full replace would
+            # make the next copy_into silently skip stage files whose
+            # rows this replace just wiped (r13 self-review).
+            generation_swap(
+                base,
+                lambda gen: valid.write.parquet(gen),
+                carry_system_dirs=False,
+            )
         else:
 
             def write_fn(gen_dir: str) -> None:
@@ -666,11 +718,10 @@ def ingest_validated(
                         )
                 _sh.rmtree(stage_data, ignore_errors=True)
 
-            generation_swap(base, write_fn)
-        if n_dup + n_invalid:
-            bad.write.mode(
-                "append" if mode == "append" else "overwrite"
-            ).parquet(quarantine_path)
+            generation_swap(
+                base, write_fn,
+                carry_system_dirs=(mode == "append"),
+            )
     finally:
         marked.unpersist()
     return {
@@ -744,19 +795,27 @@ def run_validated_ingest_stream(
         .csv(src_dir)
     )
 
+    _qid: list[str] = []
+
     def run_id() -> str:
         """The checkpoint's query id (the serving sink's
         _run_namespace trick): stable across restarts of the same
-        checkpoint, fresh for a recreated one."""
-        try:
+        checkpoint, fresh for a recreated one. Read once per process
+        and cached; a read FAILURE raises instead of falling back —
+        a best-effort name here would make marker identity unstable
+        across restarts (committed as 'fallback@N', replayed as
+        '<qid>@N' -> duplicate append), and the streaming engine
+        writes the metadata file before any foreachBatch runs, so a
+        failure means something is genuinely wrong (r13 self-review).
+        """
+        if not _qid:
             import json as _json
 
             path = checkpoint.removeprefix("file:")
             with open(os.path.join(path, "metadata"),
                       encoding="utf-8") as fh:
-                return _json.load(fh)["id"]
-        except Exception:  # pragma: no cover - metadata not yet there
-            return "run"
+                _qid.append(_json.load(fh)["id"])
+        return _qid[0]
 
     def process(batch_df: DataFrame, epoch: int) -> None:
         marker = f"{run_id()}@{epoch}"

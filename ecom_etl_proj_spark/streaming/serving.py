@@ -851,6 +851,7 @@ def serve_consumer_metrics(
     recent_n: int = 100,
     mode: str = "driver",
     store_url: str | None = None,
+    migrate_legacy_markers: bool = False,
 ):
     """Start the serving sink: every micro-batch's aggregate deltas are
     applied to the store exactly once (epoch-marker idempotency — see
@@ -910,12 +911,22 @@ def serve_consumer_metrics(
         # One-time pre-r12 marker-namespace migration (r12 ADVICE #2):
         # only the FIRST epoch a run processes can be a restart replay,
         # and an upgraded deployment's persistent store may have
-        # applied it under the legacy un-namespaced sink_id — re-apply
-        # under the new @query-id namespace would double-count once.
-        # Consult the legacy marker set for that first epoch only;
-        # on a hit, mark it applied in the new namespace (empty ops)
-        # and skip.
-        if ns != sink_id and not legacy_checked:
+        # applied it under the legacy un-namespaced sink_id —
+        # re-applying under the new @query-id namespace would
+        # double-count once. Consult the legacy marker set for that
+        # first epoch only; on a hit, mark it applied in the new
+        # namespace (empty ops) and skip. OPT-IN
+        # (migrate_legacy_markers=True, the documented one-restart
+        # upgrade flag) because the signal is ambiguous the other way:
+        # a RECREATED checkpoint renumbers epochs from 0, and a stale
+        # legacy marker set would silently swallow the genuinely-new
+        # first batch if this ran unconditionally (r13 self-review).
+        # Drop the flag again after the first post-upgrade restart.
+        if (
+            migrate_legacy_markers
+            and ns != sink_id
+            and not legacy_checked
+        ):
             legacy_checked.append(True)
             if store.was_applied(sink_id, epoch):
                 store.apply_batch(ns, epoch, [])

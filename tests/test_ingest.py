@@ -971,11 +971,19 @@ def test_copy_into_ledger_survives_maintenance(spark, tables, workdir):
     assert hist == {"m_0.csv": n, "m_1.csv": n}
 
 
-def test_copy_into_carries_nested_data_forward(spark, tables, workdir):
-    """A previous generation holding PARTITIONED (nested-dir) data
-    files must survive the next copy_into commit (r12 ADVICE #3: the
-    flat *.parquet link loop silently dropped nested rows)."""
+def test_copy_into_refuses_partitioned_previous_generation(
+    spark, tables, workdir
+):
+    """A previous generation holding PARTITIONED (key=value) data dirs
+    cannot take a flat appended slice — the mixed layout is unreadable
+    as one table — so COPY INTO must REFUSE before committing (r12
+    ADVICE #3 named both failure arms: silent row drop, or this
+    assert-flat; r13 review showed recursive carry alone produced the
+    unreadable mix). Nothing commits: table, pointer, and absence of a
+    ledger all stay pre-load."""
     import shutil as _shutil
+
+    import pytest as _pytest
 
     from ecom_etl_proj_spark.pipelines.swap import generation_swap
 
@@ -992,27 +1000,21 @@ def test_copy_into_carries_nested_data_forward(spark, tables, workdir):
         lambda gen: region.write.partitionBy("r_regionkey").parquet(gen),
     )
     assert spark.read.parquet(tbl).count() == n
+    gen_before = os.path.realpath(tbl)
 
-    # now a COPY INTO lands one csv on top
     tmp = os.path.join(workdir, "csv_nested_tmp")
     region.coalesce(1).write.mode("overwrite").option(
         "header", "true").csv(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".csv")][0]
     _shutil.copy(os.path.join(tmp, part), os.path.join(stage, "late.csv"))
-    rep = ingest.copy_into(spark, tbl, stage, region.schema, fmt="csv",
-                           glob="*.csv")
-    assert rep["files_loaded"] == 1 and rep["rows_loaded"] == n
-    # prior partitioned rows + the new slice are both present.
-    # (The partitioned files lack the partition column in-file; read
-    # the carried tree directly to count its rows.)
-    gen = os.path.realpath(tbl)
-    nested_dirs = [
-        os.path.join(gen, d)
-        for d in os.listdir(gen)
-        if d.startswith("r_regionkey=")
-    ]
-    assert len(nested_dirs) == n  # one partition dir per key survived
-    assert spark.read.parquet(*nested_dirs).count() == n
+    with _pytest.raises(ValueError, match="nested/partitioned"):
+        ingest.copy_into(spark, tbl, stage, region.schema, fmt="csv",
+                         glob="*.csv")
+    # committed state untouched: same generation, same rows, no ledger
+    assert os.path.realpath(tbl) == gen_before
+    assert spark.read.parquet(tbl).count() == n
+    with _pytest.raises(Exception):
+        ingest.load_history(spark, tbl).collect()
 
 
 def test_copy_into_many_file_stage(spark, tables, workdir):

@@ -683,7 +683,12 @@ def test_generation_time_travel(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert current_generation(tbl) == 51  # numbering continues past it
     assert [g for g, _ in list_generations(tbl)] == [1, 2, 3, 51]
-    # back to keep=1: the sweep tightens to live + previous
+    # retention PERSISTS as table policy: a later writer that never
+    # heard of keep (default None — e.g. a routine copy_into append)
+    # inherits it instead of sweeping the promised history
+    generation_swap(tbl, writer(99))
+    assert [g for g, _ in list_generations(tbl)] == [2, 3, 51, 52]
+    # an explicit keep=1 resets the policy: live + previous only
     generation_swap(tbl, writer(5), keep=1)
     gens = [g for g, _ in list_generations(tbl)]
     assert len(gens) == 2

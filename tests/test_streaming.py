@@ -1749,10 +1749,14 @@ def test_serving_sink_crash_replay_exactly_once(spark, tables):
 
 def test_serving_legacy_marker_namespace_migration(spark, tables):
     """Upgrade continuity (r12 ADVICE #2): a pre-r12 deployment wrote
-    applied-epoch markers under the plain sink_id; the namespaced code
-    must consult that legacy set for the FIRST (replayable) epoch so
-    the post-upgrade restart doesn't double-apply it under the new
-    sink_id@query_id namespace."""
+    applied-epoch markers under the plain sink_id; with the documented
+    one-restart migrate_legacy_markers=True flag, the namespaced code
+    consults that legacy set for the FIRST (replayable) epoch so the
+    post-upgrade restart doesn't double-apply it under the new
+    sink_id@query_id namespace. The consult is OPT-IN: by default a
+    RECREATED checkpoint (epochs renumbered from 0) next to a store
+    full of old markers must still apply its genuinely-new first
+    batch (r13 self-review) — asserted at the end."""
     from ecom_etl_proj_spark.operators import events as ev
 
     class CrashOnceStore(serving.EmbeddedKVStore):
@@ -1779,7 +1783,9 @@ def test_serving_legacy_marker_namespace_migration(spark, tables):
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )
-            q = serving.serve_consumer_metrics(stream, store, ckpt)
+            q = serving.serve_consumer_metrics(
+                stream, store, ckpt, migrate_legacy_markers=True
+            )
             try:
                 q.awaitTermination(180)
             except Exception:
@@ -1815,6 +1821,23 @@ def test_serving_legacy_marker_namespace_migration(spark, tables):
     assert float(
         round(totals["total_revenue"], 2)
     ) == batch["orders"]["total_value"]
+
+    # DEFAULT (no flag): a recreated checkpoint next to a store that
+    # still holds old bare-sink_id markers must NOT have its first
+    # batch swallowed by them
+    store2 = serving.EmbeddedKVStore()
+    with store2._lock:
+        store2._applied["consumer_metrics"] = set(range(100))
+    with tempfile.TemporaryDirectory(prefix="serving_mig2_") as d2:
+        src2, ckpt2 = f"{d2}/src", f"{d2}/ckpt"
+        events.write.parquet(src2)
+        stream = (
+            spark.readStream.schema(events.schema).parquet(src2)
+        )
+        q = serving.serve_consumer_metrics(stream, store2, ckpt2)
+        q.awaitTermination(180)
+    totals2 = store2.hgetall("metrics:totals")
+    assert totals2[f"total_views"] == batch["product_views"]["n_events"]
 
 
 def test_serving_read_helpers():
