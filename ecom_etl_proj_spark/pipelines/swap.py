@@ -79,6 +79,63 @@ def link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+def carry_previous_flat(gen_dir: str, base: str, op_name: str) -> None:
+    """Hard-link the previous generation's contents into ``gen_dir``
+    for an APPEND-shaped writer: flat data files link forward, system
+    (underscore/dot-prefixed) directories mirror via ``link_tree``,
+    and a non-system DATA directory — a partitioned/nested layout —
+    REFUSES the load before anything commits, because a flat appended
+    slice beside ``key=value`` dirs is unreadable as one table
+    ('Conflicting directory structures'). ``_stage*`` entries from a
+    crashed writer are never resurrected. Shared by ``copy_into`` and
+    ``ingest_validated`` (the r13 close-out's acknowledged duplicate
+    loop; sharing it also closes ingest_validated's silent mixed-layout
+    gap — it used to link nested dirs where copy_into refused)."""
+    prev = os.path.realpath(base) if os.path.islink(base) else None
+    if not (prev and os.path.isdir(prev)):
+        return
+    for entry in os.listdir(prev):
+        if entry.startswith("_stage"):
+            continue  # never resurrect a crashed load's staging
+        src = os.path.join(prev, entry)
+        dst = os.path.join(gen_dir, entry)
+        if os.path.isdir(src):
+            if not entry.startswith(("_", ".")):
+                raise ValueError(
+                    f"{op_name} appends flat parquet slices, but the "
+                    f"current generation of {base} holds a nested/"
+                    f"partitioned data directory ({entry!r}); rewrite "
+                    "the table flat (e.g. pipelines.maintenance."
+                    "compact) before loading into it"
+                )
+            link_tree(src, dst)
+        elif not os.path.exists(dst):
+            try:
+                os.link(src, dst)
+            except OSError:  # pragma: no cover - cross-device fallback
+                shutil.copy2(src, dst)
+
+
+def adopt_staged(gen_dir: str, pairs: list[tuple[str, str]]) -> None:
+    """Move a writer's ``_stage_*`` parquet outputs to their final
+    directories under generation-unique ``<tag>-`` names (the tag
+    prefix guarantees no collision with files carried forward from the
+    previous generation) and remove the stage dirs. Missing stage dirs
+    (an optional output that this run didn't produce) are skipped."""
+    tag = os.path.basename(gen_dir)
+    for src_dir, dst_dir in pairs:
+        if not os.path.isdir(src_dir):
+            continue
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(src_dir, f),
+                    os.path.join(dst_dir, f"{tag}-{f}"),
+                )
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def list_generations(path: str) -> list[tuple[int, str]]:
     """(generation_no, dir) for every on-disk generation of a table,
     ascending — the table's retained history. The LAST entry is the

@@ -475,9 +475,10 @@ def copy_into(
             _sh.copy2(src, dst)
 
     def write_fn(gen_dir: str) -> None:
-        import shutil as _sh
-
-        from ecom_etl_proj_spark.pipelines.swap import link_tree
+        from ecom_etl_proj_spark.pipelines.swap import (
+            adopt_staged,
+            carry_previous_flat,
+        )
 
         tag = os.path.basename(gen_dir)
         hist_dir = os.path.join(gen_dir, _HISTORY_DIR)
@@ -508,36 +509,12 @@ def copy_into(
                 ),
             ).write.parquet(stage_quar)
         os.makedirs(hist_dir, exist_ok=True)
-        prev = os.path.realpath(base) if os.path.islink(base) else None
-        if prev and os.path.isdir(prev):
-            # r12 ADVICE #3 closed the flat-*.parquet silent row drop;
-            # the r13 self-review closed the OTHER failure the advice
-            # named: a previous generation holding PARTITIONED
-            # (key=value dirs) or otherwise-nested data cannot take a
-            # flat appended slice — the mixed layout is unreadable as
-            # one table ('Conflicting directory structures') — so the
-            # load REFUSES before committing anything, instead of
-            # either dropping the nested rows or publishing a broken
-            # generation. System (underscore) dirs still carry via
-            # link_tree; all other entries must be flat files.
-            for entry in os.listdir(prev):
-                if entry in ("_stage_data", "_stage_hist", "_stage_quar"):
-                    continue  # never resurrect a crashed load's staging
-                src = os.path.join(prev, entry)
-                dst = os.path.join(gen_dir, entry)
-                if os.path.isdir(src):
-                    if not entry.startswith(("_", ".")):
-                        raise ValueError(
-                            "COPY INTO appends flat parquet slices, but "
-                            f"the current generation of {base} holds a "
-                            f"nested/partitioned data directory "
-                            f"({entry!r}); rewrite the table flat "
-                            "(e.g. pipelines.maintenance.compact) "
-                            "before loading into it"
-                        )
-                    link_tree(src, dst)
-                elif not os.path.exists(dst):
-                    _link(src, dst)
+        # r12 ADVICE #3 closed the flat-*.parquet silent row drop; the
+        # r13 self-review added the flat-layout refusal for partitioned
+        # previous generations. Both now live in the shared
+        # carry_previous_flat (swap.py) alongside the ingest_validated
+        # append path that used to duplicate this loop.
+        carry_previous_flat(gen_dir, base, "COPY INTO")
         # pre-r12 ledger migration: fold <table>__load_history into the
         # in-generation ledger (generation-unique prefix avoids name
         # collisions with carried-forward shards)
@@ -546,19 +523,15 @@ def copy_into(
                 if f.endswith(".parquet"):
                     _link(os.path.join(legacy_hist, f),
                           os.path.join(hist_dir, f"{tag}-legacy-{f}"))
-        # adopt the staged writes under generation-unique names (the
-        # tag prefix guarantees no collision with linked prior files)
-        adopt = [(stage_data, gen_dir), (stage_hist, hist_dir)]
-        if os.path.isdir(stage_quar):
-            quar_dir = os.path.join(gen_dir, _QUARANTINE_DIR)
-            os.makedirs(quar_dir, exist_ok=True)
-            adopt.append((stage_quar, quar_dir))
-        for src_dir_, dst_dir in adopt:
-            for f in os.listdir(src_dir_):
-                if f.endswith(".parquet"):
-                    os.rename(os.path.join(src_dir_, f),
-                              os.path.join(dst_dir, f"{tag}-{f}"))
-            _sh.rmtree(src_dir_, ignore_errors=True)
+        # adopt the staged writes under generation-unique names
+        adopt_staged(
+            gen_dir,
+            [
+                (stage_data, gen_dir),
+                (stage_hist, hist_dir),
+                (stage_quar, os.path.join(gen_dir, _QUARANTINE_DIR)),
+            ],
+        )
 
     generation_swap(base, write_fn)
     df.unpersist()
@@ -629,8 +602,9 @@ def ingest_validated(
     """
     from ecom_etl_proj_spark.operators.cleaning import validation_errors
     from ecom_etl_proj_spark.pipelines.swap import (
+        adopt_staged,
+        carry_previous_flat,
         generation_swap,
-        link_tree,
     )
 
     if mode not in ("overwrite", "append"):
@@ -683,40 +657,22 @@ def ingest_validated(
         else:
 
             def write_fn(gen_dir: str) -> None:
-                import shutil as _sh
-
-                tag = os.path.basename(gen_dir)
                 stage_data = os.path.join(gen_dir, "_stage_data")
                 valid.write.parquet(stage_data)
-                prev = (
-                    os.path.realpath(base)
-                    if os.path.islink(base)
-                    else None
-                )
-                if mode == "append" and prev and os.path.isdir(prev):
-                    for entry in os.listdir(prev):
-                        if entry == "_stage_data":
-                            continue
-                        src = os.path.join(prev, entry)
-                        dst = os.path.join(gen_dir, entry)
-                        if os.path.isdir(src):
-                            link_tree(src, dst)
-                        elif not os.path.exists(dst):
-                            try:
-                                os.link(src, dst)
-                            except OSError:  # pragma: no cover
-                                _sh.copy2(src, dst)
+                if mode == "append":
+                    # shared with copy_into (swap.py): flat files link
+                    # forward, system dirs mirror, a PARTITIONED
+                    # previous generation refuses the append instead of
+                    # silently committing a mixed (unreadable) layout —
+                    # this path used to link nested dirs through.
+                    carry_previous_flat(
+                        gen_dir, base, "validated APPEND ingest"
+                    )
                 if epoch_marker is not None:
                     ep_dir = os.path.join(gen_dir, "_ingest_epochs")
                     os.makedirs(ep_dir, exist_ok=True)
                     open(os.path.join(ep_dir, epoch_marker), "w").close()
-                for f in os.listdir(stage_data):
-                    if f.endswith(".parquet"):
-                        os.rename(
-                            os.path.join(stage_data, f),
-                            os.path.join(gen_dir, f"{tag}-{f}"),
-                        )
-                _sh.rmtree(stage_data, ignore_errors=True)
+                adopt_staged(gen_dir, [(stage_data, gen_dir)])
 
             generation_swap(
                 base, write_fn,

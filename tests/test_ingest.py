@@ -771,6 +771,41 @@ def test_ingest_validated_routes_quarantine(spark, workdir):
     }
 
 
+def test_ingest_validated_append_refuses_partitioned_previous(
+    spark, tables, workdir
+):
+    """mode='append' over a previous generation holding PARTITIONED
+    (key=value) data dirs must REFUSE like copy_into does (shared
+    carry_previous_flat): pre-r13-close this path silently link_tree'd
+    the nested dirs beside the flat appended slice, committing a mixed
+    layout Spark cannot read as one table. Nothing commits on refusal."""
+    import pytest as _pytest
+
+    from ecom_etl_proj_spark.pipelines.swap import generation_swap
+
+    tbl = os.path.join(workdir, "validated_nested_tbl")
+    quar = os.path.join(workdir, "validated_nested_quar")
+    region = tables["region"]
+    generation_swap(
+        tbl,
+        lambda gen: region.write.partitionBy("r_regionkey").parquet(gen),
+    )
+    gen_before = os.path.realpath(tbl)
+    n = region.count()
+    raw = spark.createDataFrame(
+        [("9", "late")], "r_regionkey string, r_name string"
+    )
+    with _pytest.raises(ValueError, match="nested/partitioned"):
+        ingest.ingest_validated(
+            spark, raw, tbl, quar,
+            required=["r_regionkey"],
+            typed={"r_regionkey": "int"},
+            mode="append",
+        )
+    assert os.path.realpath(tbl) == gen_before
+    assert spark.read.parquet(tbl).count() == n
+
+
 def test_copy_into_on_error_continue_quarantines(spark, workdir):
     """COPY INTO + row-level validation (Snowflake ON_ERROR): CONTINUE
     commits valid rows, routes invalid rows + reason to _quarantine
