@@ -2337,3 +2337,99 @@ def oov_rate_by_source(
         )
         .orderBy("source")
     )
+
+
+def dsir_weights(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", simplified from
+    hashed-ngram features to raw unigrams): each document scores
+    ln(p_target(x) / p_raw(x)) under add-one-smoothed unigram models of
+    a small TARGET slice (the sources you want the training mixture to
+    look like) and the RAW corpus. Positive log-weight = reads more
+    like the target than like the average document; feeding the weights
+    into top-k selection (``dsir_select``) or Gumbel-noise resampling
+    reproduces the paper's pipeline. Completes the quality family: the
+    gopher/LM gates score documents absolutely, this scores them
+    RELATIVE to a reference distribution.
+
+    Scale shape: one corpus explode into (doc, term) rows; BOTH models
+    come from a single term-keyed groupBy (target counts are a
+    conditional sum in the same aggregate — not a second pass); the
+    per-token log-ratio attaches through a plain SHUFFLE join on the
+    term key (vocabulary unbounded at web scale — the no-broadcast rule
+    of unigram_logprob), only the 1-row totals are hinted. Double-sum
+    caveat as unigram_logprob: log terms are irrational, last-ulp order
+    dependence is the accepted trade.
+
+    Output: (doc_id, source, is_target, n_tokens, log_weight).
+    """
+    d = t["documents"]
+    is_tgt_term = F.col("source").isin(*target_sources)
+    toks = d.select(
+        "doc_id", "source", F.explode(X.tokens()).alias("term")
+    )
+    totals = toks.agg(
+        F.countDistinct("term").alias("v"),
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(is_tgt_term, 1).otherwise(0)).alias("n_tgt"),
+    )
+    tf = toks.groupBy("term").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(is_tgt_term, 1).otherwise(0)).alias("c_tgt"),
+    )
+    lw = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.col("v"))
+    ) - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + F.col("v")))
+    return (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lw), 6).alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.when(is_tgt_term, 1).otherwise(0).alias("is_target"),
+            "n_tokens",
+            "log_weight",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_select(
+    t: dict[str, DataFrame],
+    top: int = 100,
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+) -> DataFrame:
+    """Importance SELECTION over the DSIR weights: the ``top``
+    non-target documents most like the target distribution — the
+    deterministic top-k variant of the paper's resampling step (the
+    Gumbel-noise variant adds -ln(-ln(u)) per doc before ranking; u
+    from a seeded hash — deliberately not the registered form, where
+    bit-exact cross-engine ordering matters more than sampling
+    diversity). Target docs are excluded from the pool: they ARE the
+    reference, selecting them back is vacuous.
+
+    Scale shape: ``orderBy().limit(top)`` is a distributed TakeOrdered
+    (per-partition top-k, then one bounded merge) — no global sort
+    shuffle, no unbounded window; the rank window runs over the
+    already-limited ``top`` rows.
+
+    Output: (doc_id, source, n_tokens, log_weight, rank).
+    """
+    pool = dsir_weights(t, target_sources).filter(
+        F.col("is_target") == 0
+    )
+    top_docs = pool.orderBy(
+        F.col("log_weight").desc(), F.col("doc_id").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return top_docs.withColumn(
+        "rank", F.row_number().over(w)
+    ).select("doc_id", "source", "n_tokens", "log_weight", "rank")

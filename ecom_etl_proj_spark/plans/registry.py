@@ -6141,6 +6141,196 @@ register(
 )
 
 
+# --- Scalar quantization (SQ8) family (r13) ---------------------------
+# Per-DIMENSION trained uint8 codes (FAISS IndexScalarQuantizer QT_8bit
+# semantics): lo/hi per dim over the corpus, value -> round(255 *
+# (x - lo) / (hi - lo)). The rung between quantize_embeddings
+# (per-vector int8 stats) and the PQ family. Shared CTE block: training
+# stats, codes, decodes — mirrored operation-for-operation against
+# similarity._SQ8_ENCODE/_SQ8_DECODE so FP comparisons agree.
+_SQ8_CTES = """
+    dims AS (
+        SELECT i.i AS pos, CAST(e.embedding[i.i] AS DOUBLE) AS v
+        FROM embeddings e, range(1, 65) i(i)
+    ),
+    lohi AS (
+        SELECT list(mn ORDER BY pos) AS lo, list(mx ORDER BY pos) AS hi
+        FROM (SELECT pos, min(v) AS mn, max(v) AS mx FROM dims GROUP BY pos)
+    ),
+    enc AS (
+        SELECT e.vec_id, e.label, e.embedding,
+               list_transform(range(1, 65), i -> CASE
+                   WHEN l.hi[i] = l.lo[i] THEN 0
+                   ELSE CAST(least(255.0, greatest(0.0,
+                        round(255.0 * (CAST(e.embedding[i] AS DOUBLE)
+                                       - l.lo[i])
+                              / (l.hi[i] - l.lo[i])))) AS INTEGER)
+                   END) AS codes
+        FROM embeddings e CROSS JOIN lohi l
+    ),
+    dec AS (
+        SELECT c.vec_id, c.label, c.embedding,
+               c.codes,
+               list_transform(range(1, 65), i ->
+                   l.lo[i] + CAST(c.codes[i] AS DOUBLE) / 255.0
+                           * (l.hi[i] - l.lo[i])) AS decoded
+        FROM enc c CROSS JOIN lohi l
+    )"""
+
+register(
+    "sq8_encode",
+    similarity.sq8_encode,
+    "WITH "
+    + _SQ8_CTES
+    + """
+    SELECT vec_id, label,
+           CAST(list_min(codes) AS INTEGER) AS code_min,
+           CAST(list_max(codes) AS INTEGER) AS code_max,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (CAST(embedding[i] AS DOUBLE) - decoded[i])
+                    * (CAST(embedding[i] AS DOUBLE) - decoded[i]))),
+               6) AS recon_err
+    FROM dec
+    """,
+)
+
+register(
+    "sq8_search",
+    lambda t: similarity.sq8_search(t),
+    "WITH "
+    + _SQ8_CTES
+    + """,
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 10),
+    dists AS (
+        SELECT q.query_id, d.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> (CAST(q.q_emb[i] AS DOUBLE) - d.decoded[i])
+                        * (CAST(q.q_emb[i] AS DOUBLE) - d.decoded[i]))),
+                   6) AS sq_dist
+        FROM dec d CROSS JOIN q
+        WHERE d.vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, sq_dist, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY sq_dist ASC, neighbor_id ASC) AS rank
+        FROM dists)
+    WHERE rank <= 10
+    """,
+)
+
+register(
+    "sq8_recall_audit",
+    lambda t: similarity.sq8_recall_audit(t),
+    "WITH "
+    + _SQ8_CTES
+    + """,
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < 10),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, d.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_sum(list_transform(range(1, 65),
+                           i -> (CAST(q.q_emb[i] AS DOUBLE) - d.decoded[i])
+                                * (CAST(q.q_emb[i] AS DOUBLE)
+                                   - d.decoded[i]))), 6) ASC,
+                           d.vec_id ASC) AS rn
+            FROM dec d CROSS JOIN q
+            WHERE d.vec_id >= 10)
+        WHERE rn <= 10
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> (CAST(q.q_emb[i] AS DOUBLE)
+                                 - CAST(e.embedding[i] AS DOUBLE))
+                                * (CAST(q.q_emb[i] AS DOUBLE)
+                                   - CAST(e.embedding[i] AS DOUBLE)))) ASC,
+                           e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id >= 10)
+        WHERE rn <= 10
+    )
+    SELECT 10 AS n_queries, 10 AS k,
+           CAST(count(*) AS INTEGER) AS n_overlap,
+           round(count(*) / 100.0, 6) AS recall
+    FROM exact JOIN approx USING (query_id, neighbor_id)
+    """,
+)
+
+# --- DSIR importance weighting (r13) ----------------------------------
+# Shared CTE block: unigram models of the target slice and the raw
+# corpus from ONE token-keyed aggregate, mirrored against
+# textops.dsir_weights operation-for-operation (same add-one smoothing,
+# same ln-of-quotient form).
+_DSIR_CTES = """
+    toks AS (
+        SELECT doc_id, source, u.tok AS term FROM (
+            SELECT doc_id, source,
+                   string_split(lower(trim(text)), ' ') AS l
+            FROM documents
+        ), unnest(l) AS u(tok)
+    ),
+    totals AS (
+        SELECT count(DISTINCT term) AS v, count(*) AS n_raw,
+               sum(CASE WHEN source IN ('src0', 'src1')
+                   THEN 1 ELSE 0 END) AS n_tgt
+        FROM toks
+    ),
+    tf AS (
+        SELECT term, count(*) AS c_raw,
+               sum(CASE WHEN source IN ('src0', 'src1')
+                   THEN 1 ELSE 0 END) AS c_tgt
+        FROM toks GROUP BY 1
+    ),
+    weights AS (
+        SELECT t.doc_id, t.source,
+               CASE WHEN t.source IN ('src0', 'src1')
+                    THEN 1 ELSE 0 END AS is_target,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(ln((tf.c_tgt + 1.0) / (tot.n_tgt + tot.v))
+                         - ln((tf.c_raw + 1.0) / (tot.n_raw + tot.v))),
+                     6) AS log_weight
+        FROM toks t JOIN tf USING (term) CROSS JOIN totals tot
+        GROUP BY 1, 2, 3
+    )"""
+
+register(
+    "dsir_weights",
+    lambda t: textops.dsir_weights(t),
+    "WITH "
+    + _DSIR_CTES
+    + """
+    SELECT doc_id, source, is_target, n_tokens, log_weight
+    FROM weights ORDER BY doc_id
+    """,
+)
+
+register(
+    "dsir_select",
+    lambda t: textops.dsir_select(t),
+    "WITH "
+    + _DSIR_CTES
+    + """,
+    top AS (
+        SELECT doc_id, source, n_tokens, log_weight
+        FROM weights WHERE is_target = 0
+        ORDER BY log_weight DESC, doc_id ASC LIMIT 100
+    )
+    SELECT doc_id, source, n_tokens, log_weight,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY log_weight DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM top
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------

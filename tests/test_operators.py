@@ -3357,3 +3357,122 @@ def test_embedding_outliers_flags_planted_corruption(spark):
     ).collect()}
     assert 99 in out and out[99]["z_score"] > 3
     assert all(v == 99 for v in out), out  # tight members unflagged
+
+
+def test_sq8_encode_bounds_and_reconstruction(spark):
+    """SQ8 semantics on a hand-built corpus: codes span [0, 255] at
+    the per-dimension extremes, a constant dimension encodes to 0 and
+    decodes back to its constant (recon contribution 0), and a
+    mid-range value reconstructs within half a quantization step."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    # dim 64; dim 0 varies over [0, 10], dim 1 constant at 3.0
+    rows = []
+    for i, v in enumerate([0.0, 2.5, 5.0, 10.0]):
+        e = [0.0] * 64
+        e[0] = v
+        e[1] = 3.0
+        rows.append((i, e, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.sq8_encode({"embeddings": emb}).collect()
+    }
+    # vec 0 holds the min of every varying dim -> all codes 0
+    assert out[0]["code_min"] == 0 and out[0]["code_max"] == 0
+    # vec 3 holds the dim-0 max -> its max code is 255
+    assert out[3]["code_max"] == 255
+    # worst per-dim error is half a step: (10/255/2)^2 ~ 3.8e-4; only
+    # dim 0 is lossy, so every recon_err stays under one step squared
+    assert all(r["recon_err"] <= (10.0 / 255) ** 2 for r in out.values())
+
+
+def test_sq8_search_matches_exact_on_separated_data(spark):
+    """With well-separated clusters the SQ8 ranking equals the exact
+    ranking: the quantization step is far below the inter-cluster
+    distance. Also pins the output contract (k rows per query,
+    rank 1..k, sq_dist ascending)."""
+    import random
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        base = [0.0] * 64
+        base[i % 4] = 10.0  # 4 well-separated directions
+        rows.append(
+            (i, [v + rng.uniform(-0.05, 0.05) for v in base], i % 4)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    t = {"embeddings": emb}
+    got = similarity.sq8_search(t, n_queries=4, k=5).collect()
+    assert len(got) == 4 * 5
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r["sq_dist"] for r in rs]
+        assert dists == sorted(dists)
+        # every neighbor shares the query's cluster (label == query_id
+        # % 4 by construction): quantization never crosses clusters
+        assert all(r["neighbor_id"] % 4 == q % 4 for r in rs)
+    # intra-cluster orderings CAN flip (the +-0.05 jitter is the same
+    # order as the ~0.04 quantization step), so the audit gates overlap
+    # rather than demanding identity — cross-cluster purity above is
+    # the exact claim
+    audit = similarity.sq8_recall_audit(t, n_queries=4, k=5).collect()[0]
+    assert audit["n_overlap"] >= 16, audit
+    assert audit["n_queries"] == 4 and audit["k"] == 5
+
+
+def test_sq8_recall_on_corpus(spark, tables):
+    """On the synthetic corpus SQ8 recall@10 must be near-exact (the
+    family's selling point vs PQ's lossier 8x) — observed 0.98 at
+    sf0.001/0.01; gate at >= 0.9 to absorb corpus regeneration."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    r = similarity.sq8_recall_audit(tables).collect()[0]
+    assert r["recall"] >= 0.9, r
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR semantics on a hand-built corpus: documents sharing the
+    target slice's vocabulary score a HIGHER log-weight than documents
+    made of vocabulary the target never uses; target rows are flagged
+    and excluded from selection; dsir_select returns the target-like
+    raw doc first."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [
+        # the target slice (src0/src1): 'alpha beta' language
+        (0, "alpha beta alpha beta", "src0", 21),
+        (1, "beta alpha beta alpha", "src1", 21),
+        # raw pool: doc 2 speaks the target language, doc 3 does not
+        (2, "alpha beta beta alpha", "src7", 21),
+        (3, "gamma delta gamma delta", "src7", 23),
+    ]
+    docs = spark.createDataFrame(
+        [(i, txt, "en", src, n) for i, txt, src, n in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    t = {"documents": docs}
+    w = {r["doc_id"]: r for r in textops.dsir_weights(t).collect()}
+    assert w[0]["is_target"] == 1 and w[1]["is_target"] == 1
+    assert w[2]["is_target"] == 0 and w[3]["is_target"] == 0
+    # target-language doc outranks the alien-vocabulary doc
+    assert w[2]["log_weight"] > w[3]["log_weight"]
+    # and the target-like doc's weight is positive (more likely under
+    # the target model), the alien doc's negative
+    assert w[2]["log_weight"] > 0 > w[3]["log_weight"]
+    sel = textops.dsir_select(t, top=2).collect()
+    assert [r["doc_id"] for r in sorted(sel, key=lambda r: r["rank"])] \
+        == [2, 3]
+    assert all(r["source"] not in ("src0", "src1") for r in sel)

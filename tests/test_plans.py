@@ -408,6 +408,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
     - hybrid_search             ranks over .limit(top) rows of each
                                 ranker and over the <= 2*top fused list
     - pq_search                 rank over .limit(top) ADC rows
+    - dsir_select               rank over .limit(top) importance rows
     """
     import re
 
@@ -425,6 +426,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
         "quality_threshold_sweep",
         "hybrid_search",
         "pq_search",
+        "dsir_select",
     }
     offenders = set()
     for name, fn in registry.queries().items():
