@@ -1810,3 +1810,46 @@ def order_fulfillment_span(t: dict[str, DataFrame]) -> DataFrame:
             F.col("n_orders") / F.sum("n_orders").over(total).cast("double"), 6
         ).alias("pct_of_priority"),
     ).orderBy("o_orderpriority", "span_week_bucket")
+
+
+def nation_profit(t: dict[str, DataFrame]) -> DataFrame:
+    """Product-type profit by supplier nation and order year — the
+    TPC-H Q9 shape, the one classic star-join the catalog still lacked
+    a counterpart for. The corpus has no partsupp table, so supply
+    cost is the deterministic 0.6 * p_retailprice proxy; the part
+    filter (name LIKE '%widget%') plays Q9's '%green%' role.
+
+    Scale shape: the filtered part list prunes the fact join first
+    (smallest selectivity earliest); nation broadcasts; supplier and
+    orders join on their keys with map-side pruned columns. Profit
+    terms are pure double IEEE arithmetic in the SAME operation order
+    both engines run, then quantize to DECIMAL(18,6) per row and sum
+    exactly — the money-sum discipline.
+    """
+    parts = (
+        t["part"]
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = (
+        t["lineitem"]
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )

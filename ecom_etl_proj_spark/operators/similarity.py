@@ -3285,3 +3285,57 @@ def sq8_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def label_prototypes(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-label class prototypes over the embedding corpus: the
+    centroid of each label's vectors plus dispersion stats — the
+    labeled-corpus hygiene audit (mislabeled or drifted examples
+    inflate their class's mean/max distance-to-prototype; prototype
+    norms near zero reveal labels whose members cancel out). The
+    prototype-distance column is also the building block of
+    prototype-based filtering (keep the examples nearest their class
+    center), the classification-time analog of SemDeDup's
+    representative selection.
+
+    Scale shape: centroids via posexplode + (label, pos) partial-agg
+    groupBy — the corpus scans once, only labels x dim rows shuffle;
+    the dispersion pass re-scans with the tiny per-label centroid
+    frame broadcast. Double-avg caveat as unigram_logprob: the
+    centroid mean is order-dependent in its last ulps; quantities
+    round at 1e-6, ~10 orders above the noise (the accepted trade).
+
+    Output: (label, n, centroid_norm, mean_dist, max_dist).
+    """
+    emb = t["embeddings"]
+    dims = emb.select("label", F.posexplode("embedding"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s")
+        )
+        .select(
+            "label",
+            F.expr("transform(s, x -> x.c)").alias("centroid"),
+        )
+    )
+    d = F.expr(_SQ_L2.format(a="embedding", b="centroid"))
+    norm = F.sqrt(
+        F.expr(
+            "aggregate(centroid, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v * v)"
+        )
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first(norm), 6).alias("centroid_norm"),
+            F.round(F.avg(d), 6).alias("mean_dist"),
+            F.round(F.max(d), 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )

@@ -6331,6 +6331,62 @@ register(
     """,
 )
 
+# --- TPC-H Q9 shape (r13) ----------------------------------------------
+register(
+    "nation_profit",
+    analytics.nation_profit,
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                          AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+# --- per-label embedding prototypes (r13) ------------------------------
+register(
+    "label_prototypes",
+    similarity.label_prototypes,
+    """
+    WITH dims AS (
+        SELECT label, i.i AS pos, CAST(e.embedding[i.i] AS DOUBLE) AS v
+        FROM embeddings e, range(1, 65) i(i)
+    ),
+    cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, pos, avg(v) AS c FROM dims GROUP BY 1, 2)
+        GROUP BY label
+    ),
+    centn AS (
+        SELECT label, centroid,
+               round(sqrt(list_sum(list_transform(centroid,
+                   x -> x * x))), 6) AS centroid_norm
+        FROM cent
+    )
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+           min(c.centroid_norm) AS centroid_norm,
+           round(avg(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                    * (CAST(e.embedding[i] AS DOUBLE)
+                       - c.centroid[i])))), 6) AS mean_dist,
+           round(max(list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                    * (CAST(e.embedding[i] AS DOUBLE)
+                       - c.centroid[i])))), 6) AS max_dist
+    FROM embeddings e JOIN centn c USING (label)
+    GROUP BY 1 ORDER BY label
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------

@@ -3476,3 +3476,40 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert [r["doc_id"] for r in sorted(sel, key=lambda r: r["rank"])] \
         == [2, 3]
     assert all(r["source"] not in ("src0", "src1") for r in sel)
+
+
+def test_label_prototypes_flag_mislabeled_example(spark):
+    """A vector carrying the wrong label must inflate its class's
+    max_dist far beyond mean_dist, while a clean class stays tight —
+    the mislabeled-data signal the operator exists to surface."""
+    import random
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):  # label 0: tight around e0
+        base = [0.0] * 64
+        base[0] = 1.0
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base], 0))
+    for i in range(30, 60):  # label 1: tight around e1
+        base = [0.0] * 64
+        base[1] = 1.0
+        rows.append((i, [v + rng.uniform(-0.01, 0.01) for v in base], 1))
+    # the mislabeled row: label 0, but it lives in class 1's region
+    bad = [0.0] * 64
+    bad[1] = 1.0
+    rows.append((99, bad, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in similarity.label_prototypes(
+            {"embeddings": emb}
+        ).collect()
+    }
+    assert out[0]["n"] == 31 and out[1]["n"] == 30
+    # clean class: max close to mean; poisoned class: max >> mean
+    assert out[1]["max_dist"] < 4 * out[1]["mean_dist"] + 1e-6
+    assert out[0]["max_dist"] > 10 * out[0]["mean_dist"]
