@@ -3513,3 +3513,68 @@ def test_label_prototypes_flag_mislabeled_example(spark):
     # clean class: max close to mean; poisoned class: max >> mean
     assert out[1]["max_dist"] < 4 * out[1]["mean_dist"] + 1e-6
     assert out[0]["max_dist"] > 10 * out[0]["mean_dist"]
+
+
+def test_append_ann_sq8_state_serves_appended_batch(spark, tables):
+    """The SQ8 path of append_ann_state: an appended batch is encoded
+    against the PERSISTED per-dimension ranges (zero re-training) and
+    lands in the bucketed codes table, so probe_ann_sq8_state serves it
+    immediately. Unlike the PQ path there is no append==rebuild
+    identity to assert — a rebuild RETRAINS the ranges over A∪B and
+    may re-code every vector — so the contract is: (1) every appended
+    vector is present and encoded with A's ranges, (2) a probe whose
+    true neighbor is an appended vector finds it at rank 1."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for suffix in ("centroids", "cells", "sq8range", "sq8codes"):
+            spark.sql(f"DROP TABLE IF EXISTS sqapp_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/sqapp_{suffix}", ignore_errors=True
+                )
+
+    emb = tables["embeddings"]
+    total = emb.count()
+    split = total - max(1, total // 5)
+    drop()
+    try:
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb.filter(F.col("vec_id") < split)},
+            "sqapp",
+            n_centroids=max(16, int(split ** 0.5)),
+            lloyd_iters=0, n_buckets=4, corpus_size=split, sq8=True,
+        )
+        batch = emb.filter(F.col("vec_id") >= split)
+        similarity.append_ann_state(spark, "sqapp", batch)
+        # (1) all appended vectors present, codes == encode(B, A-range)
+        appended = spark.table("sqapp_sq8codes").filter(
+            F.col("vec_id") >= split
+        )
+        assert appended.count() == total - split
+        expect = batch.crossJoin(
+            F.broadcast(spark.table("sqapp_sq8range"))
+        ).select("vec_id", F.expr(similarity._SQ8_ENCODE).alias("codes"))
+        assert appended.select("vec_id", "codes").exceptAll(expect).count() == 0
+        # (2) a probe AT an appended vector's position finds it first
+        target = batch.orderBy("vec_id").limit(1).collect()[0]
+        q = spark.createDataFrame(
+            [(-1, target["embedding"])],
+            "query_id long, q_emb array<float>",
+        )
+        got = similarity.probe_ann_sq8_state(spark, "sqapp", q, k=1)
+        row = got.collect()[0]
+        assert row["neighbor_id"] == target["vec_id"]
+        # self-distance is pure reconstruction error: tiny
+        assert row["sq_dist"] < 0.01
+    finally:
+        drop()

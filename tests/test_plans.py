@@ -797,3 +797,70 @@ def test_ann_pq_state_probe_exchange_free_and_scan_free(spark, tables):
         assert df.count() == 50
     finally:
         drop()
+
+
+def test_ann_sq8_state_probe_exchange_free_and_scan_free(spark, tables):
+    """probe_ann_sq8_state's docstring claims the bucketed codes table
+    is never shuffled, decode is row-local against the broadcast 1-row
+    range frame, NO raw embedding is read in serving (the inverted
+    file is absent from the plan), and the only embeddings reads are
+    the bounded query block. Assert all of it on the physical plan."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for suffix in ("centroids", "cells", "sq8range", "sq8codes"):
+            spark.sql(f"DROP TABLE IF EXISTS sqplan_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/sqplan_{suffix}", ignore_errors=True
+                )
+
+    drop()
+    try:
+        similarity.build_ann_state(
+            spark, tables, "sqplan", lloyd_iters=0, n_buckets=4, sq8=True,
+        )
+        queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        df = similarity.probe_ann_sq8_state(spark, "sqplan", queries)
+        plan = plan_of(df)
+        lines = plan.splitlines()
+        # the codes scan is the STREAMED side of BroadcastHashJoins:
+        # no Exchange between it and the join above it.
+        assert "BroadcastHashJoin" in plan, plan
+        scan_idx = next(
+            i for i, ln in enumerate(lines) if "sqplan_sq8codes" in ln
+        )
+        join_idx = max(
+            i for i, ln in enumerate(lines)
+            if "BroadcastHashJoin" in ln and i < scan_idx
+        )
+        scan_indent = len(lines[scan_idx]) - len(lines[scan_idx].lstrip(" :+-"))
+        for ln in lines[join_idx + 1 : scan_idx]:
+            indent = len(ln) - len(ln.lstrip(" :+-"))
+            if indent < scan_indent and "Exchange" in ln:
+                raise AssertionError(plan)
+        # zero raw-vector reads in serving: the inverted file (which
+        # holds embeddings) is absent — the probe runs on codes alone
+        assert "sqplan_cells" not in plan, plan
+        # no corpus scan: the only embeddings reads are the bounded
+        # query block with vec_id < 10 pushed to the scan
+        n_emb = sum("embeddings.parquet" in ln for ln in lines)
+        n_bounded = sum(
+            "PushedFilters" in ln and "LessThan(vec_id,10)" in ln
+            for ln in lines
+        )
+        assert n_emb >= 1 and n_emb == n_bounded, plan
+        assert df.count() == 50
+    finally:
+        drop()
