@@ -210,6 +210,15 @@ def _llm_prod_queries():
         # corpus text scans (verdict-identical to incremental_dedup,
         # tests/test_operators.py).
         "incremental_dedup_state": _incremental_dedup_state_fn(),
+        # Additive r13 key: the steady-state IVF-SQ8 serving path —
+        # the scalar rung between the raw inverted file (ann_ivf_state)
+        # and PQ ADC (ann_ivfpq_state). First call builds the
+        # production index (Lloyd centroids + per-dimension ranges +
+        # bucketed uint8 codes, p0); warm passes measure serving:
+        # exact queries against row-locally DECODED codes, 1/4 the
+        # inverted file's scan bytes, zero corpus scans, zero
+        # raw-vector reads.
+        "ann_sq8_state": _ann_sq8_state_fn(),
     }
 
 
@@ -231,6 +240,30 @@ def _ann_ivf_state_fn(prefix: str = "benchann"):
             F.col("embedding").alias("q_emb"),
         )
         return similarity.probe_ann_state(spark, prefix, queries)
+
+    return run
+
+
+def _ann_sq8_state_fn(prefix: str = "benchsq"):
+    built: set[str] = set()
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from ecom_etl_proj_spark.operators import similarity
+        from ecom_etl_proj_spark.plans.registry import tables_for
+
+        t = tables_for(spark, sf_dir)
+        if sf_dir not in built:
+            similarity.build_ann_state(
+                spark, t, prefix, lloyd_iters=2, sq8=True
+            )
+            built.add(sf_dir)
+        queries = t["embeddings"].filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        return similarity.probe_ann_sq8_state(spark, prefix, queries)
 
     return run
 
@@ -481,6 +514,7 @@ def main() -> None:
             state_ring = {
                 "ann_ivf_state": _ann_ivf_state_fn(prefix="spann"),
                 "ann_ivfpq_state": _ann_ivfpq_state_fn(prefix="sppq"),
+                "ann_sq8_state": _ann_sq8_state_fn(prefix="spsq"),
                 "curated_pack_state": _curated_pack_state_fn(prefix="spcps"),
                 "semantic_dedup_state": _semantic_dedup_state_fn(
                     prefix="spsem"

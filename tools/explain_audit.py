@@ -104,6 +104,16 @@ HEADLINE = [
     # with the shortlist broadcast onto it (bounded raw-vector reads),
     # and no embeddings-corpus scan anywhere.
     "ann_ivfpq_state_refined",
+    # r13 continuation adds: the SQ8 family (encode must be row-local
+    # with the 1-row range broadcast; the state probe must show the
+    # bucketed sq8codes scan with zero Exchanges on it, no cells scan,
+    # no corpus scan), the DSIR weights (one term-keyed shuffle join,
+    # no broadcast on the unbounded vocab side), and the Q9-shape
+    # star join (part filter pushed, dims broadcast).
+    "sq8_search",
+    "ann_sq8_state",
+    "dsir_weights",
+    "nation_profit",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
