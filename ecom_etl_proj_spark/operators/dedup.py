@@ -1694,3 +1694,37 @@ def lsh_band_planner(
         )
         .orderBy(F.col("bands").desc())
     )
+
+
+def dedup_keep_best(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact dedup with KEEP-BEST selection: within each duplicate
+    group survive the LONGEST member (n_chars desc, ties to the lower
+    doc_id) instead of ``dedup_exact``'s min-id — the curation policy
+    real pipelines run, where truncated or boilerplate-stripped copies
+    should lose to the most complete one.
+
+    Scale shape: identical to ``dedup_exact`` — ONE fingerprint-keyed
+    aggregate; the argmax rides the same shuffle as the count via a
+    struct-max (no per-group window, no second pass).
+
+    Output: (fingerprint, keep_doc_id, n_copies, keep_n_chars).
+    """
+    d = t["documents"].select(
+        "doc_id", "n_chars", X.fingerprint().alias("fingerprint")
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("nc"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    )
+    return (
+        d.groupBy("fingerprint")
+        .agg(best.alias("b"), F.count("*").alias("n_copies"))
+        .select(
+            "fingerprint",
+            (-F.col("b.neg_id")).cast("bigint").alias("keep_doc_id"),
+            "n_copies",
+            F.col("b.nc").alias("keep_n_chars"),
+        )
+    )

@@ -2433,3 +2433,59 @@ def dsir_select(
     return top_docs.withColumn(
         "rank", F.row_number().over(w)
     ).select("doc_id", "source", "n_tokens", "log_weight", "rank")
+
+
+def source_divergence(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus-wide
+    distribution — the mixture-health gauge next to
+    ``corpus_mix_report`` (how much of each source) and
+    ``dsir_weights`` (per-document relative quality): a source whose
+    language drifts from the corpus shows a high KL, flagging
+    scrape-pipeline regressions or mislabeled source tags before they
+    skew training. Add-one-smoothed models; the sum runs over each
+    source's OBSERVED vocabulary (the standard plug-in estimate —
+    unobserved terms' smoothed mass is omitted identically in both
+    engines, so parity is exact).
+
+    Scale shape: one corpus explode; (source, term) and term
+    frequencies via two map-side-combined groupBys; the ratio attaches
+    through a plain shuffle join on term (unbounded vocab, no
+    broadcast hint — the unigram_logprob rule); output is one row per
+    source. Double-sum caveat as unigram_logprob.
+
+    Output: (source, n_docs, n_tokens, kl_divergence).
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", "source", F.explode(X.tokens()).alias("term"))
+    totals = toks.agg(
+        F.countDistinct("term").alias("v"),
+        F.count("*").alias("n_all"),
+    )
+    cw = toks.groupBy("term").agg(F.count("*").alias("c_all"))
+    src_tot = toks.groupBy("source").agg(
+        F.count("*").alias("n_src"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    csw = toks.groupBy("source", "term").agg(
+        F.count("*").alias("c_src")
+    )
+    ps = (F.col("c_src") + 1.0) / (F.col("n_src") + F.col("v"))
+    pc = (F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v"))
+    return (
+        csw.join(cw, "term")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source", "n_docs", "n_src")
+        .agg(
+            F.round(F.sum(ps * (F.log(ps) - F.log(pc))), 6).alias(
+                "kl_divergence"
+            )
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_src").alias("n_tokens"),
+            "kl_divergence",
+        )
+        .orderBy("source")
+    )

@@ -6474,6 +6474,69 @@ register(
     """,
 )
 
+# --- keep-best exact dedup + source drift (r13) ------------------------
+register(
+    "dedup_keep_best",
+    dedup.dedup_keep_best,
+    """
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY fingerprint
+            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM f
+    ),
+    counts AS (
+        SELECT fingerprint, count(*) AS n_copies FROM f GROUP BY 1
+    )
+    SELECT r.fingerprint, r.doc_id AS keep_doc_id, c.n_copies,
+           r.n_chars AS keep_n_chars
+    FROM ranked r JOIN counts c USING (fingerprint)
+    WHERE rn = 1
+    """,
+)
+
+register(
+    "source_divergence",
+    lambda t: textops.source_divergence(t),
+    """
+    WITH toks AS (
+        SELECT doc_id, source, u.tok AS term FROM (
+            SELECT doc_id, source,
+                   string_split(lower(trim(text)), ' ') AS l
+            FROM documents
+        ), unnest(l) AS u(tok)
+    ),
+    totals AS (
+        SELECT count(DISTINCT term) AS v, count(*) AS n_all FROM toks
+    ),
+    cw AS (SELECT term, count(*) AS c_all FROM toks GROUP BY 1),
+    src_tot AS (
+        SELECT source, count(*) AS n_src,
+               count(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY 1
+    ),
+    csw AS (
+        SELECT source, term, count(*) AS c_src FROM toks GROUP BY 1, 2
+    )
+    SELECT s.source, st.n_docs, st.n_src AS n_tokens,
+           round(sum(((s.c_src + 1.0) / (st.n_src + t.v))
+                     * (ln((s.c_src + 1.0) / (st.n_src + t.v))
+                        - ln((cw.c_all + 1.0) / (t.n_all + t.v)))),
+                 6) AS kl_divergence
+    FROM csw s
+    JOIN cw USING (term)
+    JOIN src_tot st USING (source)
+    CROSS JOIN totals t
+    GROUP BY 1, 2, 3
+    ORDER BY source
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------

@@ -3578,3 +3578,61 @@ def test_append_ann_sq8_state_serves_appended_batch(spark, tables):
         assert row["sq_dist"] < 0.01
     finally:
         drop()
+
+
+def test_dedup_keep_best_prefers_longest_member(spark):
+    """Keep-best exact dedup: within a duplicate group (same canonical
+    fingerprint after lower+trim) the LONGEST member survives, ties to
+    the lower doc_id; singletons keep themselves."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            # group A: same canonical text, different raw lengths
+            (1, "Alpha Beta  ", "en", "src0", 12),
+            (2, "  alpha beta", "en", "src0", 40),  # longest -> keeps
+            (3, "alpha beta", "en", "src1", 10),
+            # group B: two copies, equal length -> lower doc_id keeps
+            (4, "gamma", "en", "src0", 5),
+            (5, "GAMMA", "en", "src0", 5),
+            # singleton
+            (6, "delta", "en", "src1", 5),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r["keep_doc_id"]: r
+        for r in dedup.dedup_keep_best({"documents": docs}).collect()
+    }
+    assert set(out) == {2, 4, 6}
+    assert out[2]["n_copies"] == 3 and out[2]["keep_n_chars"] == 40
+    assert out[4]["n_copies"] == 2
+    assert out[6]["n_copies"] == 1
+
+
+def test_source_divergence_flags_drifted_source(spark):
+    """A source speaking a different vocabulary than the rest of the
+    corpus must show a much larger unigram KL than sources drawn from
+    the corpus-dominant language."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "spark join table scan query", "en",
+                     f"src{i % 2}", 27))
+    for i in range(20, 25):
+        rows.append((i, "zebra quagga okapi tapir ibex", "en",
+                     "srcX", 29))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r["source"]: r
+        for r in textops.source_divergence({"documents": docs}).collect()
+    }
+    assert out["srcX"]["n_docs"] == 5
+    assert out["srcX"]["kl_divergence"] > 5 * out["src0"]["kl_divergence"]
+    assert out["src0"]["kl_divergence"] < 0.2
