@@ -2244,6 +2244,39 @@ def probe_ann_sq8_state(
     )
 
 
+def probe_ann_sq8_state_refined(
+    spark,
+    prefix: str,
+    queries: DataFrame,
+    n_probe: int = 2,
+    k: int = 5,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """The complete IVF-SQ8 serving pipeline: decoded-uint8 shortlist
+    (``probe_ann_sq8_state``, ``refine_factor * k`` candidates) + exact
+    squared-L2 re-rank against the raw vectors in ``{prefix}_cells``
+    (``pq_refine``) — the scalar sibling of
+    ``probe_ann_pq_state_refined``, with the same bounded cost: raw
+    reads stay at queries x shortlist, broadcast onto ONE scan of the
+    bucketed cells table. With SQ8's near-exact shortlist recall the
+    refine stage mostly re-orders within quantization noise — the
+    belt-and-braces configuration for recall-critical serving.
+
+    Output: (query_id, neighbor_id, sq_dist, rank) — exact distance
+    rounded to 6, ranked unrounded, neighbor ties ascending.
+    """
+    short = probe_ann_sq8_state(
+        spark, prefix, queries, n_probe=n_probe, k=refine_factor * k
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    raw = spark.table(f"{prefix}_cells").select("vec_id", "embedding")
+    return pq_refine(raw, queries, short, k).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(F.col("d"), 6).alias("sq_dist"),
+        "rank",
+    )
+
+
 def probe_ann_state(
     spark,
     prefix: str,

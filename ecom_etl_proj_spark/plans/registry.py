@@ -6418,6 +6418,55 @@ register(
     """,
 )
 
+# The complete scalar serving pipeline: SQ8 shortlist (the
+# ann_sq8_state SQL widened to refine_factor*k=20) -> exact squared-L2
+# re-rank -> top-5, mirroring ann_ivfpq_state_refined's construction.
+_SQ8_SHORT_SQL = _REGISTRY["ann_sq8_state"][1].replace(
+    "WHERE rank <= 5", "WHERE rank <= 20"
+)
+assert "rank <= 20" in _SQ8_SHORT_SQL
+
+
+def _ann_sq8_state_refined(t: Tables) -> DataFrame:
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    prefix = _state_prefix("sqst", id(emb))
+    if ("sqst", id(emb)) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark, t, prefix, lloyd_iters=0, location=_state_location(),
+            sq8=True,
+        )
+        _STATE_BUILT.add(("sqst", id(emb)))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return similarity.probe_ann_sq8_state_refined(spark, prefix, queries)
+
+
+register(
+    "ann_sq8_state_refined",
+    _ann_sq8_state_refined,
+    f"""
+    SELECT query_id, neighbor_id, round(d, 6) AS sq_dist,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT r.query_id, r.neighbor_id, r.d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY r.d ASC, r.neighbor_id ASC) AS rank
+        FROM (
+            SELECT sh.query_id, sh.neighbor_id,
+                   {_REFINE_L2} AS d
+            FROM ({_SQ8_SHORT_SQL}) sh
+            JOIN embeddings e ON e.vec_id = sh.neighbor_id
+            JOIN embeddings q ON q.vec_id = sh.query_id
+        ) r
+    )
+    WHERE rank <= 5
+    """,
+)
+
 # --- TPC-H Q9 shape (r13) ----------------------------------------------
 register(
     "nation_profit",

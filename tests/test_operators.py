@@ -2070,11 +2070,19 @@ def test_lloyd_cache_release_hook(spark, tables):
     # snapshot is the true baseline
     similarity.release_lloyd_caches()
     jsc_sc = spark.sparkContext._jsc.sc()
-    before = len(jsc_sc.getRDDStorageInfo())
+    # Track SPECIFIC RDD ids, not global counts: the ContextCleaner
+    # unpersists unrelated GC'd caches asynchronously, so a count
+    # comparison flakes whenever another test's cache evaporates
+    # between the two snapshots (observed once under heavy host load).
+    before_ids = {i.id() for i in jsc_sc.getRDDStorageInfo()}
     similarity.ann_ivf(tables, lloyd_iters=2).count()
-    assert len(jsc_sc.getRDDStorageInfo()) >= before + 2  # caches live
+    new_ids = {
+        i.id() for i in jsc_sc.getRDDStorageInfo()
+    } - before_ids
+    assert len(new_ids) >= 2  # the per-iteration caches are live
     similarity.release_lloyd_caches()
-    assert len(jsc_sc.getRDDStorageInfo()) == before
+    after_ids = {i.id() for i in jsc_sc.getRDDStorageInfo()}
+    assert not (new_ids & after_ids)  # and release dropped all of them
     assert similarity._lloyd_caches == []
 
 
