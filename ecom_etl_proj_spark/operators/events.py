@@ -757,3 +757,103 @@ def covisitation_pairs(
         )
         .limit(top)
     )
+
+
+def purchase_view_window(t: dict[str, DataFrame]) -> DataFrame:
+    """Interval join, scalably: for every purchase, how many views the
+    same user made in the PRECEDING HOUR and what they were worth —
+    the conversion-window attribution query (event_attribution's as-of
+    join takes only the LATEST prior view; this aggregates the whole
+    window). Spark has no interval-join operator for batch; the naive
+    formulation (self-join on user + range predicate) fans out
+    per-user-density². The scalable form used here is a RANGE window
+    over the unioned stream: one exchange on user_id, a numeric range
+    frame over epoch-microseconds, zero fan-out — each row is touched
+    once, exactly how Structured Streaming's stream-stream interval
+    join bounds its state.
+
+    The frame is [ts - 1h, ts) EXCLUSIVE of the purchase instant
+    (upper bound -1 microsecond), so a view stamped at the purchase's
+    own microsecond does not count — strictly-earlier semantics, like
+    the as-of join.
+
+    Output: (purchase_id, user_id, ts, n_prior_views, prior_view_value).
+    """
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+        .alias("is_view"),
+        F.when(F.col("event_type") == "view", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    return (
+        ev.withColumn("n_prior_views", F.sum("is_view").over(w))
+        .withColumn(
+            "prior_view_value", F.round(F.sum("view_value").over(w), 4)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_prior_views"), F.lit(0)).cast(
+                "bigint"
+            ).alias("n_prior_views"),
+            F.coalesce(F.col("prior_view_value"), F.lit(0.0)).alias(
+                "prior_view_value"
+            ),
+        )
+    )
+
+
+def key_skew_profile(t: dict[str, DataFrame], top: int = 20) -> DataFrame:
+    """The pre-flight skew diagnostic for a join/aggregation key: the
+    ``top`` heaviest user_ids with their row share and cumulative
+    share — the numbers that decide whether a fact-fact join on this
+    key needs salting or AQE skew handling before it ships. (The
+    engine also has the runtime answers — skew_salted_join, AQE skew
+    join — this is the PLANNING query run first.)
+
+    Scale shape: one map-side-combined count per key, a distributed
+    TakeOrdered for the top block, and rank/cumulative windows over
+    the already-limited ``top`` rows (bounded, whitelisted like
+    bm25_search).
+
+    Output: (user_id, n_events, share, cum_share, rank).
+    """
+    counts = t["events"].groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    total = t["events"].agg(F.count("*").alias("n_total"))
+    top_keys = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    cum = Window.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top_keys.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "share", F.round(F.col("n_events") / F.col("n_total"), 6)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(F.sum("n_events").over(cum) / F.col("n_total"), 6),
+        )
+        .select("user_id", "n_events", "share", "cum_share", "rank")
+    )

@@ -6586,6 +6586,62 @@ register(
     """,
 )
 
+# --- interval join + skew planning (r13) --------------------------------
+register(
+    "purchase_view_window",
+    events.purchase_view_window,
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type,
+               epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view,
+               CASE WHEN event_type = 'view' THEN value
+                    ELSE 0.0 END AS view_value
+        FROM events
+    ),
+    win AS (
+        SELECT *,
+               sum(is_view) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+                   AS n_prior_views,
+               round(sum(view_value) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+                   4) AS prior_view_value
+        FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           CAST(coalesce(n_prior_views, 0) AS BIGINT) AS n_prior_views,
+           coalesce(prior_view_value, 0.0) AS prior_view_value
+    FROM win WHERE event_type = 'purchase'
+    """,
+)
+
+register(
+    "key_skew_profile",
+    events.key_skew_profile,
+    """
+    WITH counts AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+    ),
+    total AS (SELECT count(*) AS n_total FROM events),
+    top AS (
+        SELECT * FROM counts CROSS JOIN total
+        ORDER BY n_events DESC, user_id ASC LIMIT 20
+    )
+    SELECT user_id, n_events,
+           round(n_events / n_total, 6) AS share,
+           round(sum(n_events) OVER (
+               ORDER BY n_events DESC, user_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / n_total, 6) AS cum_share,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS rank
+    FROM top
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------------

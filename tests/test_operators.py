@@ -3644,3 +3644,63 @@ def test_source_divergence_flags_drifted_source(spark):
     assert out["srcX"]["n_docs"] == 5
     assert out["srcX"]["kl_divergence"] > 5 * out["src0"]["kl_divergence"]
     assert out["src0"]["kl_divergence"] < 0.2
+
+
+def test_purchase_view_window_hand_events(spark):
+    """Interval-join semantics on hand-built events: views inside the
+    preceding hour count, a view outside it doesn't, a view at the
+    purchase's exact microsecond doesn't (strictly earlier), and other
+    users' views never leak in."""
+    import datetime as dt
+
+    from ecom_etl_proj_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, uid, offset_s, etype, value):
+        return (eid, t0 + dt.timedelta(seconds=offset_s), uid, etype,
+                value, "{}")
+
+    rows = [
+        row(1, 1, -3700, "view", 5.0),   # outside the hour
+        row(2, 1, -3599, "view", 7.0),   # inside
+        row(3, 1, -60, "view", 9.0),     # inside
+        row(4, 2, -30, "view", 100.0),   # other user
+        row(5, 1, 0, "view", 11.0),      # same instant: excluded
+        row(6, 1, 0, "purchase", 50.0),
+        row(7, 2, 0, "purchase", 60.0),
+        row(8, 3, 0, "purchase", 70.0),  # no views at all
+    ]
+    events_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["purchase_id"]: r
+        for r in ev.purchase_view_window({"events": events_df}).collect()
+    }
+    assert out[6]["n_prior_views"] == 2
+    assert out[6]["prior_view_value"] == 16.0
+    assert out[7]["n_prior_views"] == 1
+    assert out[7]["prior_view_value"] == 100.0
+    assert out[8]["n_prior_views"] == 0
+    assert out[8]["prior_view_value"] == 0.0
+
+
+def test_key_skew_profile_orders_and_shares(spark, tables):
+    """Shares are in (0, 1], descending by count, cum_share is
+    monotone and ends at top-block total / corpus total."""
+    from ecom_etl_proj_spark.operators import events as ev
+
+    rows = sorted(
+        ev.key_skew_profile(tables, top=10).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0 < r["share"] <= 1 for r in rows)
+    cums = [r["cum_share"] for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - round(sum(r["share"] for r in rows), 6)) < 1e-4
