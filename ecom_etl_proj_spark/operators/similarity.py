@@ -1927,11 +1927,21 @@ def build_ann_state(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
         "file:"
     )
-    tables = [f"{prefix}_centroids", f"{prefix}_cells"]
-    if pq_m is not None:
-        tables += [f"{prefix}_codebook", f"{prefix}_pqcodes"]
-    if sq8:
-        tables += [f"{prefix}_sq8range", f"{prefix}_sq8codes"]
+    # Drop EVERY table the prefix could carry, not just the ones this
+    # build will write: a rebuild without pq_m/sq8 over a prefix that
+    # previously had them would otherwise leave stale codes tables
+    # whose cell ids reference the OLD centroid set — append and the
+    # quantized probes (which discover the index shape via
+    # tableExists) would silently keep serving them against the new
+    # centroids (r13 self-review).
+    tables = [
+        f"{prefix}_centroids",
+        f"{prefix}_cells",
+        f"{prefix}_codebook",
+        f"{prefix}_pqcodes",
+        f"{prefix}_sq8range",
+        f"{prefix}_sq8codes",
+    ]
     for tbl in tables:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         for base in (warehouse, location):

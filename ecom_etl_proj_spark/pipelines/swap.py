@@ -59,6 +59,17 @@ def _list_generations(base: str) -> list[str]:
     ]
 
 
+def link_or_copy(src: str, dst: str) -> None:
+    """Hard-link ``src`` to ``dst``, copying across devices — the one
+    shared fallback every carry-forward path uses (link_tree,
+    carry_previous_flat, copy_into's ledger migration), so a future
+    change to the fallback semantics lands once."""
+    try:
+        os.link(src, dst)
+    except OSError:  # pragma: no cover - cross-device fallback
+        shutil.copy2(src, dst)
+
+
 def link_tree(src: str, dst: str) -> None:
     """Hard-link mirror of a directory tree — the metadata-only
     carry-forward a generation rewrite uses to keep the previous
@@ -73,10 +84,7 @@ def link_tree(src: str, dst: str) -> None:
         if os.path.isdir(s):
             link_tree(s, d)
         elif not os.path.exists(d):
-            try:
-                os.link(s, d)
-            except OSError:  # pragma: no cover - cross-device fallback
-                shutil.copy2(s, d)
+            link_or_copy(s, d)
 
 
 def carry_previous_flat(gen_dir: str, base: str, op_name: str) -> None:
@@ -110,10 +118,7 @@ def carry_previous_flat(gen_dir: str, base: str, op_name: str) -> None:
                 )
             link_tree(src, dst)
         elif not os.path.exists(dst):
-            try:
-                os.link(src, dst)
-            except OSError:  # pragma: no cover - cross-device fallback
-                shutil.copy2(src, dst)
+            link_or_copy(src, dst)
 
 
 def adopt_staged(gen_dir: str, pairs: list[tuple[str, str]]) -> None:

@@ -466,18 +466,11 @@ def copy_into(
 
     # 4) one atomic commit: prev data+ledger hard-linked forward, new
     # slice + ledger shard added, single pointer swap publishes both
-    def _link(src: str, dst: str) -> None:
-        try:
-            os.link(src, dst)
-        except OSError:  # pragma: no cover - cross-device fallback
-            import shutil as _sh
-
-            _sh.copy2(src, dst)
-
     def write_fn(gen_dir: str) -> None:
         from ecom_etl_proj_spark.pipelines.swap import (
             adopt_staged,
             carry_previous_flat,
+            link_or_copy,
         )
 
         tag = os.path.basename(gen_dir)
@@ -521,8 +514,10 @@ def copy_into(
         if legacy_df is not None and os.path.isdir(legacy_hist):
             for f in os.listdir(legacy_hist):
                 if f.endswith(".parquet"):
-                    _link(os.path.join(legacy_hist, f),
-                          os.path.join(hist_dir, f"{tag}-legacy-{f}"))
+                    link_or_copy(
+                        os.path.join(legacy_hist, f),
+                        os.path.join(hist_dir, f"{tag}-legacy-{f}"),
+                    )
         # adopt the staged writes under generation-unique names
         adopt_staged(
             gen_dir,

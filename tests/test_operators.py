@@ -3704,3 +3704,60 @@ def test_key_skew_profile_orders_and_shares(spark, tables):
     cums = [r["cum_share"] for r in rows]
     assert cums == sorted(cums)
     assert abs(cums[-1] - round(sum(r["share"] for r in rows), 6)) < 1e-4
+
+
+def test_build_ann_state_rebuild_drops_stale_optional_tables(
+    spark, tables
+):
+    """A rebuild WITHOUT pq_m/sq8 over a prefix that previously had
+    them must drop the stale codes tables: append_ann_state and the
+    quantized probes discover the index shape via tableExists, so a
+    surviving sq8codes/pqcodes table with cell ids from the OLD
+    centroid set would silently serve garbage against the new
+    centroids (r13 self-review)."""
+    import shutil
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop():
+        for suffix in ("centroids", "cells", "codebook", "pqcodes",
+                       "sq8range", "sq8codes"):
+            spark.sql(f"DROP TABLE IF EXISTS rbst_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/rbst_{suffix}", ignore_errors=True
+                )
+
+    drop()
+    try:
+        similarity.build_ann_state(
+            spark, tables, "rbst", lloyd_iters=0, n_buckets=4,
+            pq_m=8, pq_n_codes=16, sq8=True,
+        )
+        for suffix in ("pqcodes", "sq8codes"):
+            assert spark.catalog.tableExists(f"rbst_{suffix}")
+        # plain-IVF rebuild (over a SUBSET, so the later append isn't
+        # a double insert): every quantized table must be gone
+        import pyspark.sql.functions as F
+
+        emb = tables["embeddings"]
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb.filter(F.col("vec_id") < 490)},
+            "rbst",
+            lloyd_iters=0, n_buckets=4, corpus_size=490,
+        )
+        for suffix in ("codebook", "pqcodes", "sq8range", "sq8codes"):
+            assert not spark.catalog.tableExists(f"rbst_{suffix}"), suffix
+        # and append on the rebuilt index takes the plain path cleanly
+        batch = emb.filter(F.col("vec_id") >= 490)
+        similarity.append_ann_state(spark, "rbst", batch)
+        assert spark.table("rbst_cells").filter(
+            F.col("vec_id") >= 490
+        ).count() == batch.count()
+    finally:
+        drop()
