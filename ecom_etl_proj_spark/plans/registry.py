@@ -6725,6 +6725,14 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "token_count_bpe",
     "train_val_split",
+    # NOTE for the r14 rotation: the r13 CONTINUATION registered 13
+    # more rows after this head was frozen (sq8_encode/sq8_search/
+    # sq8_recall_audit, ann_sq8_state(+_refined), dsir_weights,
+    # dsir_select, nation_profit, label_prototypes, dedup_keep_best,
+    # source_divergence, purchase_view_window, key_skew_profile) —
+    # never driver-verified, each locally oracle-verified at
+    # sf0.001/0.01/0.1. They should OPEN the r14 head, then the r10
+    # block below (stale 4 rounds by then), to fill 50.
     # --- r10-verified block (stale 3 rounds; leads the r14 head) ---
     "ann_ivf_state",
     "ann_recall_audit",
