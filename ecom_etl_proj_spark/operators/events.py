@@ -777,9 +777,21 @@ def purchase_view_window(t: dict[str, DataFrame]) -> DataFrame:
     own microsecond does not count — strictly-earlier semantics, like
     the as-of join.
 
+    Only view and purchase rows enter the window: clicks / signups /
+    errors contribute zero to both framed sums (is_view = 0,
+    view_value = 0.0) and are dropped by the post-window purchase
+    filter, so pre-filtering is output-identical under the RANGE
+    frame (a numeric frame keys on ts_us values, not row positions)
+    while cutting the user_id exchange and window-sort input ~2.5x
+    on this event mix. Identity proven in tests/test_operators.py::
+    test_purchase_view_window_prefilter_identity on a mix with clicks
+    at purchase-adjacent timestamps.
+
     Output: (purchase_id, user_id, ts, n_prior_views, prior_view_value).
     """
-    ev = t["events"].select(
+    ev = t["events"].filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
         "event_id",
         "user_id",
         "ts",

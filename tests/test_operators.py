@@ -3688,6 +3688,96 @@ def test_purchase_view_window_hand_events(spark):
     assert out[8]["prior_view_value"] == 0.0
 
 
+def test_purchase_view_window_prefilter_identity(spark):
+    """The view/purchase pre-filter is output-identical to running the
+    RANGE window over ALL event types: clicks/signups/errors at
+    purchase-adjacent timestamps (same microsecond, 1us earlier,
+    mid-window) contribute zero to both framed sums, and a numeric
+    RANGE frame keys on ts_us values, not row positions, so removing
+    those rows cannot shift the frame."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, uid, offset_us, etype, value):
+        return (eid, t0 + dt.timedelta(microseconds=offset_us), uid,
+                etype, value, "{}")
+
+    rows = [
+        # user 1: clicks hugging the purchase instant from every side
+        row(1, 1, -3_600_000_001, "view", 5.0),   # just outside hour
+        row(2, 1, -3_600_000_000, "view", 7.0),   # exactly on boundary
+        row(3, 1, -1_000_000, "click", 9.0),      # mid-window click
+        row(4, 1, -1, "click", 13.0),             # 1us before purchase
+        row(5, 1, 0, "click", 17.0),              # same microsecond
+        row(6, 1, -500_000, "view", 19.0),        # inside
+        row(7, 1, 0, "purchase", 50.0),
+        # user 2: only non-view noise in the window
+        row(8, 2, -10, "signup", 1.0),
+        row(9, 2, -5, "error", 2.0),
+        row(10, 2, 0, "purchase", 60.0),
+        # user 3: a click AND a view sharing a timestamp in-window
+        row(11, 3, -250_000, "click", 3.0),
+        row(12, 3, -250_000, "view", 23.0),
+        row(13, 3, 0, "purchase", 70.0),
+    ]
+    events_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+    # Reference: the pre-r14 formulation — the same window over the
+    # UNFILTERED stream.
+    unf = events_df.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+        .alias("is_view"),
+        F.when(F.col("event_type") == "view", F.col("value"))
+        .otherwise(F.lit(0.0)).alias("view_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    ref = {
+        r["purchase_id"]: r
+        for r in unf.withColumn("n_prior_views", F.sum("is_view").over(w))
+        .withColumn("prior_view_value",
+                    F.round(F.sum("view_value").over(w), 4))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts",
+            F.coalesce(F.col("n_prior_views"), F.lit(0)).cast("bigint")
+            .alias("n_prior_views"),
+            F.coalesce(F.col("prior_view_value"), F.lit(0.0))
+            .alias("prior_view_value"),
+        )
+        .collect()
+    }
+    out = {
+        r["purchase_id"]: r
+        for r in ev.purchase_view_window({"events": events_df}).collect()
+    }
+    assert set(out) == set(ref) == {7, 10, 13}
+    for pid in ref:
+        assert out[pid].asDict() == ref[pid].asDict()
+    # and the hand-checked values: boundary view at exactly -1h counts,
+    # clicks never do
+    assert out[7]["n_prior_views"] == 2
+    assert out[7]["prior_view_value"] == 26.0
+    assert out[10]["n_prior_views"] == 0
+    assert out[13]["n_prior_views"] == 1
+    assert out[13]["prior_view_value"] == 23.0
+
+
 def test_key_skew_profile_orders_and_shares(spark, tables):
     """Shares are in (0, 1], descending by count, cum_share is
     monotone and ends at top-block total / corpus total."""
