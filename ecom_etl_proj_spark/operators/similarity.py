@@ -2844,7 +2844,7 @@ def knn_graph(
     k: int = 3,
     n_centroids: int | None = None,
     corpus_size: int | None = None,
-    n_probe: int = 1,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Corpus-wide k-NN GRAPH via cell-local search: every vector gets
     its top-``k`` most-cosine-similar neighbors from its own IVF cell —
@@ -2868,9 +2868,24 @@ def knn_graph(
     (found edges / exact edges over a bounded query sample, per
     probe level).
 
+    The default is ``n_probe=2``: the knee of the measured cost-recall
+    frontier (r14 sweep via ``knn_graph_recall``, probe levels 1-4 —
+    sf0.1: 0.833 / 0.867 / 0.873 / 0.887; sf0.01: 0.553 / 0.627 /
+    0.660 / 0.680). Each level adds ~1x the cell-join work; the 1->2
+    step buys +0.033-0.073 recall while 2->3 and 3->4 buy only
+    +0.007-0.033 each — past 2, a finer centroid grid or exact refine
+    is the better spend. Graph consumers inherit the knee:
+    ``mutual_knn_clusters`` / ``curated_pack_semantic`` A/B at sf0.01
+    min_cosine=0.3: probe-2's boundary edges pull one more node into
+    the mutual graph and merge two components (244 nodes / 69
+    components / 175 non-representatives vs 243 / 70 / 173), so the
+    semantic pack keeps 294 docs vs probe-1's 295.
+
     Deterministic: seeded centroids (the lloyd_iters=0 oracle
     contract), rounded cosines, (cosine desc, neighbor asc) ties.
-    Vectors alone in their cell have no edges and are absent.
+    At ``n_probe=1`` vectors alone in their cell have no edges and
+    are absent; multi-probe finds them neighbors in their next
+    nearest cells.
 
     Output: (vec_id, neighbor_id, cosine_sim, rank) — n x k rows.
     """
@@ -2923,7 +2938,7 @@ def mutual_knn_clusters(
     min_cosine: float = 0.0,
     n_centroids: int | None = None,
     corpus_size: int | None = None,
-    n_probe: int = 1,
+    n_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic clusters from the MUTUAL k-NN graph:
     an edge survives only if a lists b AND b lists a in their top-k
@@ -2971,7 +2986,7 @@ def knn_graph_recall(
     t: dict[str, DataFrame],
     n_queries: int = 50,
     k: int = 3,
-    max_probe: int = 2,
+    max_probe: int = 4,
     n_centroids: int | None = None,
     corpus_size: int | None = None,
 ) -> DataFrame:

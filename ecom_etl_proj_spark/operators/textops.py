@@ -1482,7 +1482,7 @@ def curated_pack(
         # the synthetic corpus's kNN cosines span 0.08-0.49, so 0.9
         # is a no-op there and 0.0 drops 402 of 500 docs). Measured
         # at sf0.01, min_cosine=0.3: lexical curated_pack keeps 445
-        # packed docs, +semantic keeps 295.
+        # packed docs, +semantic keeps 294 (n_probe=2 knee, r14).
         from ecom_etl_proj_spark.operators import similarity
 
         sem_losers = (

@@ -103,9 +103,12 @@ def carry_previous_flat(gen_dir: str, base: str, op_name: str) -> None:
     if not (prev and os.path.isdir(prev)):
         return
     for entry in os.listdir(prev):
-        if entry.startswith("_stage"):
-            continue  # never resurrect a crashed load's staging
         src = os.path.join(prev, entry)
+        if entry.startswith("_stage") and os.path.isdir(src):
+            # never resurrect a crashed load's staging DIRECTORY; a
+            # committed plain FILE that happens to be named _stage*
+            # is data and must carry forward (r13 ADVICE)
+            continue
         dst = os.path.join(gen_dir, entry)
         if os.path.isdir(src):
             if not entry.startswith(("_", ".")):

@@ -1171,15 +1171,16 @@ def _incremental_dedup_state(t: Tables) -> DataFrame:
     correctness rested solely on local tests."""
     docs = t["documents"]
     spark = docs.sparkSession
-    prefix = _state_prefix("iddst", id(docs))
-    if ("iddst", id(docs)) not in _STATE_BUILT:
+    corpus = _corpus_key(docs)
+    prefix = _state_prefix("iddst", corpus)
+    if ("iddst", corpus) not in _STATE_BUILT:
         dedup.build_dedup_state(
             docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9),
             prefix,
             hash_mode="md5",
             location=_state_location(),
         )
-        _STATE_BUILT.add(("iddst", id(docs)))
+        _STATE_BUILT.add(("iddst", corpus))
     batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9)
     return dedup.probe_dedup_state(spark, batch, prefix, hash_mode="md5")
 
@@ -1687,8 +1688,9 @@ def _semantic_dedup_state(t: Tables) -> DataFrame:
     total = similarity._corpus_size(emb)
     b = min(100, max(1, total // 5))
     split = total - b
-    prefix = _state_prefix("semst", id(emb))
-    if ("semst", id(emb)) not in _STATE_BUILT:
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("semst", corpus)
+    if ("semst", corpus) not in _STATE_BUILT:
         similarity.build_ann_state(
             spark,
             {"embeddings": emb.filter(F.col("vec_id") < split)},
@@ -1698,7 +1700,7 @@ def _semantic_dedup_state(t: Tables) -> DataFrame:
             corpus_size=split,
             location=_state_location(),
         )
-        _STATE_BUILT.add(("semst", id(emb)))
+        _STATE_BUILT.add(("semst", corpus))
     batch = emb.filter(F.col("vec_id") >= split).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2661,22 +2663,40 @@ register(
 
 
 # Build-once bookkeeping for registered state-path queries: keyed by
-# the TABLE HANDLE id (tables_for caches one handle per
-# (session, sf_dir), so handle identity is exactly corpus identity and
-# the handle outlives us in _TABLE_CACHE — the id can't be recycled).
-# Each distinct corpus gets its own small-counter prefix, so two sf
-# dirs in one session never clobber each other's state tables.
-_STATE_PREFIX: dict[tuple[str, int], str] = {}
+# CORPUS IDENTITY — the (session id, sf_dir) pair _TABLE_CACHE already
+# uses when the handle was vended by tables_for, so the key survives
+# garbage collection (r13 ADVICE: the old id(handle) key could be
+# recycled by CPython after a hand-built test DataFrame died, letting
+# a fresh corpus false-hit the cache and skip its index build). Each
+# distinct corpus gets its own small-counter prefix, so two sf dirs in
+# one session never clobber each other's state tables.
+_CORPUS_PIN: dict[int, DataFrame] = {}
 
 
-def _state_prefix(kind: str, handle_id: int) -> str:
-    key = (kind, handle_id)
+def _corpus_key(df: DataFrame) -> tuple[str, str]:
+    for (sess_id, sf_dir), cached in _TABLE_CACHE.items():
+        for handle in cached.values():
+            if handle is df:
+                return (f"s{sess_id}", sf_dir)
+    # Hand-built handle (tests): pin it for the process lifetime so
+    # its id can never be recycled, then key on it. Bounded: one pin
+    # per distinct test corpus.
+    if id(df) not in _CORPUS_PIN:
+        _CORPUS_PIN[id(df)] = df
+    return ("pinned", str(id(df)))
+
+
+_STATE_PREFIX: dict[tuple[str, tuple[str, str]], str] = {}
+
+
+def _state_prefix(kind: str, corpus: tuple[str, str]) -> str:
+    key = (kind, corpus)
     if key not in _STATE_PREFIX:
         _STATE_PREFIX[key] = f"q_{kind}{sum(k == kind for k, _ in _STATE_PREFIX)}"
     return _STATE_PREFIX[key]
 
 
-_STATE_BUILT: set[tuple[str, int]] = set()
+_STATE_BUILT: set[tuple[str, tuple[str, str]]] = set()
 
 # Registered state builds write EXTERNAL tables under one per-process
 # temp dir, never into spark.sql.warehouse.dir: the driver runs these
@@ -2706,12 +2726,13 @@ def _ann_ivf_state(t: Tables) -> DataFrame:
     ann_ivf_state_prod and A/B-asserted in tests."""
     emb = t["embeddings"]
     spark = emb.sparkSession
-    prefix = _state_prefix("annst", id(emb))
-    if ("annst", id(emb)) not in _STATE_BUILT:
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("annst", corpus)
+    if ("annst", corpus) not in _STATE_BUILT:
         similarity.build_ann_state(
             spark, t, prefix, lloyd_iters=0, location=_state_location()
         )
-        _STATE_BUILT.add(("annst", id(emb)))
+        _STATE_BUILT.add(("annst", corpus))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2734,13 +2755,14 @@ def _ann_ivfpq_state(t: Tables) -> DataFrame:
     codebooks) is benched under ann_ivfpq_state in the llm_prod ring."""
     emb = t["embeddings"]
     spark = emb.sparkSession
-    prefix = _state_prefix("pqst", id(emb))
-    if ("pqst", id(emb)) not in _STATE_BUILT:
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("pqst", corpus)
+    if ("pqst", corpus) not in _STATE_BUILT:
         similarity.build_ann_state(
             spark, t, prefix, lloyd_iters=0, location=_state_location(),
             pq_m=8, pq_n_codes=16, pq_iters=0,
         )
-        _STATE_BUILT.add(("pqst", id(emb)))
+        _STATE_BUILT.add(("pqst", corpus))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2798,13 +2820,14 @@ register(
 def _ann_ivfpq_state_refined(t: Tables) -> DataFrame:
     emb = t["embeddings"]
     spark = emb.sparkSession
-    prefix = _state_prefix("pqst", id(emb))
-    if ("pqst", id(emb)) not in _STATE_BUILT:
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("pqst", corpus)
+    if ("pqst", corpus) not in _STATE_BUILT:
         similarity.build_ann_state(
             spark, t, prefix, lloyd_iters=0, location=_state_location(),
             pq_m=8, pq_n_codes=16, pq_iters=0,
         )
-        _STATE_BUILT.add(("pqst", id(emb)))
+        _STATE_BUILT.add(("pqst", corpus))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -5459,8 +5482,10 @@ register(
 # median 0.25), so a SemDeDup-grade 0.9+ floor is a no-op on this
 # corpus and 0.0 keeps every mutual edge (drops 402 of 500 docs);
 # 0.3 exercises the stage non-trivially — A/B at sf0.01:
-# curated_pack keeps 445 packed docs, +semantic keeps 295. On a real
-# embedding corpus the floor is the SemDeDup dial (0.9+).
+# curated_pack keeps 445 packed docs, +semantic keeps 294 (r14: the
+# n_probe=2 knee default pulls one more boundary edge into the mutual
+# graph — 295 under the old probe-1 form). On a real embedding corpus
+# the floor is the SemDeDup dial (0.9+).
 _SEM_LOSER_CTES = f"""semcent AS (
         SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
         WHERE vec_id < (SELECT greatest(16,
@@ -5472,14 +5497,22 @@ _SEM_LOSER_CTES = f"""semcent AS (
                {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
         FROM embeddings e CROSS JOIN semcent c
     ),
+    semranked AS (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM semkd
+    ),
     semassigned AS (
-        SELECT vec_id, cell FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
-            FROM semkd)
-        WHERE rn = 1
+        SELECT vec_id, cell FROM semranked WHERE rn = 1
+    ),
+    semprobed AS (
+        SELECT vec_id, cell FROM semranked WHERE rn <= 2
     ),
     semav AS (
+        SELECT p.vec_id, p.cell, e.embedding
+        FROM semprobed p JOIN embeddings e USING (vec_id)
+    ),
+    sembv AS (
         SELECT a.vec_id, a.cell, e.embedding
         FROM semassigned a JOIN embeddings e USING (vec_id)
     ),
@@ -5487,7 +5520,7 @@ _SEM_LOSER_CTES = f"""semcent AS (
         SELECT x.vec_id, y.vec_id AS neighbor_id,
                round({_COSINE_SQL.format(a='x.embedding', b='y.embedding')},
                      6) AS cosine_sim
-        FROM semav x JOIN semav y
+        FROM semav x JOIN sembv y
           ON x.cell = y.cell AND x.vec_id <> y.vec_id
     ),
     semgr AS (
@@ -5559,8 +5592,9 @@ def _curated_pack_state(t: Tables) -> DataFrame:
 
     docs = t["documents"]
     spark = docs.sparkSession
-    prefix = _state_prefix("cpst", id(docs))
-    if ("cpst", id(docs)) not in _STATE_BUILT:
+    corpus = _corpus_key(docs)
+    prefix = _state_prefix("cpst", corpus)
+    if ("cpst", corpus) not in _STATE_BUILT:
         loc = _state_location()
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", ""
@@ -5574,7 +5608,7 @@ def _curated_pack_state(t: Tables) -> DataFrame:
         textops.build_curation_state(
             spark, t, prefix, hash_mode="md5", location=loc
         )
-        _STATE_BUILT.add(("cpst", id(docs)))
+        _STATE_BUILT.add(("cpst", corpus))
     return textops.curated_pack_state(spark, prefix)
 
 
@@ -5641,9 +5675,13 @@ register(
     """,
 )
 
-# Corpus-wide cell-local k-NN graph (r12): every vector's top-3 in-cell
-# neighbors — the SemDeDup/label-propagation building block; work is
-# sum |cell|^2 (cell-keyed), never all-pairs.
+# Corpus-wide cell-local k-NN graph (r12): every vector's top-3
+# neighbors from its n_probe=2 nearest cells (r14: default moved to
+# the measured cost-recall knee — see the engine docstring) — the
+# SemDeDup/label-propagation building block; work is
+# n_probe x sum |cell|^2 (cell-keyed), never all-pairs. The a-side
+# probes its 2 nearest cells; the b-side stays keyed by its ONE home
+# cell, so a pair is generated at most once and no dedup is needed.
 register(
     "knn_graph",
     lambda t: similarity.knn_graph(t),
@@ -5662,14 +5700,22 @@ register(
                {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
         FROM embeddings e CROSS JOIN cent c
     ),
+    ranked_cells AS (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists
+    ),
     assigned AS (
-        SELECT vec_id, cell FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
-            FROM kdists)
-        WHERE rn = 1
+        SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM ranked_cells WHERE rn <= 2
     ),
     av AS (
+        SELECT p.vec_id, p.cell, e.embedding
+        FROM probed p JOIN embeddings e USING (vec_id)
+    ),
+    bv AS (
         SELECT a.vec_id, a.cell, e.embedding
         FROM assigned a JOIN embeddings e USING (vec_id)
     ),
@@ -5677,7 +5723,7 @@ register(
         SELECT x.vec_id, y.vec_id AS neighbor_id,
                round({_COSINE_SQL.format(a='x.embedding', b='y.embedding')},
                      6) AS cosine_sim
-        FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        FROM av x JOIN bv y ON x.cell = y.cell AND x.vec_id <> y.vec_id
     )
     SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
     FROM (
@@ -5726,7 +5772,7 @@ register(
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
             FROM kdists WHERE vec_id < 50)
-        WHERE rn <= 2
+        WHERE rn <= 4
     ),
     bv AS (
         SELECT a.vec_id AS neighbor_id, a.cell, e.embedding AS n_emb
@@ -5743,7 +5789,7 @@ register(
         FROM qv q JOIN bv b ON q.cell = b.cell
                            AND q.vec_id <> b.neighbor_id
     ),
-    levels AS (SELECT * FROM (VALUES (1), (2)) l(n_probe)),
+    levels AS (SELECT * FROM (VALUES (1), (2), (3), (4)) l(n_probe)),
     found AS (
         SELECT n_probe, vec_id, neighbor_id FROM (
             SELECT l.n_probe, c.vec_id, c.neighbor_id,
@@ -6346,13 +6392,14 @@ def _ann_sq8_state(t: Tables) -> DataFrame:
     quantization work per query."""
     emb = t["embeddings"]
     spark = emb.sparkSession
-    prefix = _state_prefix("sqst", id(emb))
-    if ("sqst", id(emb)) not in _STATE_BUILT:
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("sqst", corpus)
+    if ("sqst", corpus) not in _STATE_BUILT:
         similarity.build_ann_state(
             spark, t, prefix, lloyd_iters=0, location=_state_location(),
             sq8=True,
         )
-        _STATE_BUILT.add(("sqst", id(emb)))
+        _STATE_BUILT.add(("sqst", corpus))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -6430,13 +6477,14 @@ assert "rank <= 20" in _SQ8_SHORT_SQL
 def _ann_sq8_state_refined(t: Tables) -> DataFrame:
     emb = t["embeddings"]
     spark = emb.sparkSession
-    prefix = _state_prefix("sqst", id(emb))
-    if ("sqst", id(emb)) not in _STATE_BUILT:
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("sqst", corpus)
+    if ("sqst", corpus) not in _STATE_BUILT:
         similarity.build_ann_state(
             spark, t, prefix, lloyd_iters=0, location=_state_location(),
             sq8=True,
         )
-        _STATE_BUILT.add(("sqst", id(emb)))
+        _STATE_BUILT.add(("sqst", corpus))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -2776,7 +2776,8 @@ def test_knn_graph_recall_consistent_with_operator(spark, tables):
     probe level, n_found equals |knn_graph(n_probe=p) edges over the
     sample ∩ exact top-k edges|; recall is monotone in n_probe (extra
     probes only add candidates, and a displacer must itself be an
-    exact-top-k member); and n_probe=1 is the registered knn_graph."""
+    exact-top-k member); and n_probe=2 — the r14 knee default — is
+    the registered knn_graph."""
     from pyspark.sql import functions as F
 
     from ecom_etl_proj_spark.functions import vectors as V
@@ -2820,9 +2821,10 @@ def test_knn_graph_recall_consistent_with_operator(spark, tables):
         )
         n_found = g.join(exact, ["vec_id", "neighbor_id"]).count()
         assert n_found == audit[p]["n_found"], p
-    # n_probe=1 is exactly the registered knn_graph
+    # the default (r14: n_probe=2, the measured cost-recall knee) is
+    # exactly the registered knn_graph
     base = similarity.knn_graph(tables, k=k)
-    probed = similarity.knn_graph(tables, k=k, n_probe=1)
+    probed = similarity.knn_graph(tables, k=k, n_probe=2)
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, probed.collect())
     )

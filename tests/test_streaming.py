@@ -1186,6 +1186,23 @@ def test_incremental_dedup_stream_stateful_soak(spark, tables):
                 f"best-10-of-last-20 median {tail}ms over {len(durs)} "
                 "epochs — O(state) work is leaking into the per-batch path"
             )
+            # Second, looser gate on the PLAIN last-20 median: periodic
+            # growth (e.g. every-other-epoch compaction work scaling
+            # with state) can hide entirely in the best-10's discarded
+            # worst half, yet still regresses production throughput.
+            # 10x + 4s absorbs the observed transient host-load spikes
+            # (worst seen: 5.3x on the last-10 median) while a leak
+            # that inflates half the late epochs unboundedly still
+            # trips.
+            tail_all = sorted(durs[-20:])[10] if len(durs) >= 20 else (
+                sorted(durs[-10:])[5]
+            )
+            assert tail_all <= max(10 * head, head + 4000), (
+                f"periodic per-epoch drift: first-10 median {head}ms, "
+                f"plain last-20 median {tail_all}ms over {len(durs)} "
+                "epochs — alternating-epoch O(state) work is leaking "
+                "into the per-batch path"
+            )
     finally:
         drop()
 
