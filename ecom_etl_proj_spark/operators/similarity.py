@@ -3502,3 +3502,85 @@ def label_prototypes(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def prototype_outliers(
+    t: dict[str, DataFrame], z_threshold: float = 2.0
+) -> DataFrame:
+    """Prototype-based mislabel gate (r14): vectors whose distance to
+    their LABEL prototype is a z-score outlier within the class — the
+    mislabeled-example drop ``label_prototypes`` promises (that audit
+    reports the per-class aggregate signal; this names the rows).
+    Composes into curation exactly like ``embedding_outliers``: anti-
+    join the flagged vec_ids (= doc_ids on this corpus) against the
+    keep set before packing/training.
+
+    Scale shape — the ``embedding_outliers`` pattern swapped from cell
+    to label: prototypes via one posexplode + (label, pos) partial-agg
+    groupBy (labels x dim rows shuffle, corpus scans once); distances
+    attach through the broadcast prototype frame (row-local fold, zero
+    shuffle); per-class moments are ONE bounded groupBy(label) whose
+    sums accumulate round-6 DECIMAL terms — exact under any
+    partitioning, so mean/std and every z-score are bit-identical
+    across engines; the verdict join broadcasts |labels| moment rows.
+    The prototype mean itself is a double avg (order-dependent last
+    ulps); distances round at 1e-6, ~10 orders above that noise — the
+    documented ``label_prototypes`` trade.
+
+    Output: (vec_id, label, dist, label_mean, label_std, z_score) for
+    flagged rows, z rounded to 4.
+    """
+    emb = t["embeddings"]
+    dims = emb.select("label", F.posexplode("embedding"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s")
+        )
+        .select(
+            "label",
+            F.expr("transform(s, x -> x.c)").alias("centroid"),
+        )
+    )
+    with_d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.expr(_SQ_L2.format(a="embedding", b="centroid")), 6)
+        .cast("decimal(18,6)")
+        .alias("dist"),
+    )
+    moments = with_d.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("dist").alias("s1"),
+        F.sum(
+            (F.col("dist") * F.col("dist")).cast("decimal(28,12)")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    stats = moments.select(
+        "label",
+        F.round(mean, 6).alias("label_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias(
+            "label_std"
+        ),
+    )
+    z = (F.col("dist").cast("double") - F.col("label_mean")) / F.col(
+        "label_std"
+    )
+    return (
+        with_d.join(F.broadcast(stats), "label")
+        .filter(F.col("label_std") > 0)
+        .withColumn("z_score", F.round(z, 4))
+        .filter(F.abs(F.col("z_score")) >= z_threshold)
+        .select(
+            "vec_id",
+            "label",
+            F.col("dist").cast("double").alias("dist"),
+            "label_mean",
+            "label_std",
+            "z_score",
+        )
+    )

