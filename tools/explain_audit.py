@@ -114,6 +114,19 @@ HEADLINE = [
     "ann_sq8_state",
     "dsir_weights",
     "nation_profit",
+    # r14 adds: purchase_view_window must show the view/purchase
+    # pre-filter PUSHED to the events scan ahead of the single user_id
+    # window exchange (the r13 advisory's unpushed-filter fix);
+    # dsir_weights_hashed must show the bounded 10k-bucket feature
+    # join as a BroadcastHashJoin (the scale win over dsir_weights'
+    # vocab shuffle); bpe_tokenize must be ONE projection over the
+    # documents scan (chained replaces, zero Exchange, zero
+    # BatchEvalPython); prototype_outliers must broadcast both the
+    # prototype and moment frames (corpus scans, no corpus shuffle).
+    "purchase_view_window",
+    "dsir_weights_hashed",
+    "bpe_tokenize",
+    "prototype_outliers",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
