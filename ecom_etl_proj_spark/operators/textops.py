@@ -2630,6 +2630,34 @@ def dsir_weights_hashed(
     )
 
 
+def dsir_select_hashed(
+    t: dict[str, DataFrame],
+    top: int = 100,
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 10_000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Importance SELECTION over the hashed-bigram DSIR weights — the
+    ``dsir_select`` composition on the fidelity rung: top ``top``
+    non-target documents by phrase-level similarity to the target.
+    Same deterministic top-k contract as the unigram form (Gumbel
+    resampling documented there); same scale shape — TakeOrdered +
+    a rank window over the already-limited rows.
+
+    Output: (doc_id, source, n_bigrams, log_weight, rank).
+    """
+    pool = dsir_weights_hashed(
+        t, target_sources, n_buckets, hash_mode
+    ).filter(F.col("is_target") == 0)
+    top_docs = pool.orderBy(
+        F.col("log_weight").desc(), F.col("doc_id").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+    return top_docs.withColumn(
+        "rank", F.row_number().over(w)
+    ).select("doc_id", "source", "n_bigrams", "log_weight", "rank")
+
+
 def source_divergence(t: dict[str, DataFrame]) -> DataFrame:
     """Per-source unigram KL divergence from the corpus-wide
     distribution — the mixture-health gauge next to

@@ -6446,11 +6446,8 @@ register(
 # the bounded feature space makes
 # the log-ratio attach via BROADCAST join (10k rows); the unigram form
 # must shuffle on an unbounded vocabulary.
-register(
-    "dsir_weights_hashed",
-    lambda t: textops.dsir_weights_hashed(t, hash_mode="md5"),
-    """
-    WITH toks AS (
+_DSIR_HASHED_CTES = """
+    toks AS (
         SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS l
         FROM documents
     ),
@@ -6482,14 +6479,42 @@ register(
                      6) AS log_weight
         FROM bg b JOIN bf USING (bucket) CROSS JOIN totals tot
         GROUP BY 1, 2
+    ),
+    hweights AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.source IN ('src0', 'src1')
+                    THEN 1 ELSE 0 END AS is_target,
+               coalesce(p.n_bigrams, 0) AS n_bigrams,
+               coalesce(p.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    )"""
+
+register(
+    "dsir_weights_hashed",
+    lambda t: textops.dsir_weights_hashed(t, hash_mode="md5"),
+    "WITH "
+    + _DSIR_HASHED_CTES
+    + """
+    SELECT doc_id, source, is_target, n_bigrams, log_weight
+    FROM hweights ORDER BY doc_id
+    """,
+)
+
+register(
+    "dsir_select_hashed",
+    lambda t: textops.dsir_select_hashed(t, hash_mode="md5"),
+    "WITH "
+    + _DSIR_HASHED_CTES
+    + """,
+    htop AS (
+        SELECT doc_id, source, n_bigrams, log_weight
+        FROM hweights WHERE is_target = 0
+        ORDER BY log_weight DESC, doc_id ASC LIMIT 100
     )
-    SELECT d.doc_id, d.source,
-           CASE WHEN d.source IN ('src0', 'src1')
-                THEN 1 ELSE 0 END AS is_target,
-           coalesce(p.n_bigrams, 0) AS n_bigrams,
-           coalesce(p.log_weight, 0.0) AS log_weight
-    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
-    ORDER BY d.doc_id
+    SELECT doc_id, source, n_bigrams, log_weight,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY log_weight DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM htop
     """,
 )
 
