@@ -566,15 +566,25 @@ def main() -> None:
     calibration = min(calib_end["xxhash64"])
     calibration_hof = min(calib_end["hof"])
 
-    def _summary(series: str) -> dict[str, float]:
+    def _summary(series: str) -> dict[str, object]:
         all_s = sorted(
             s for p in calib_samples.values() for s in p[series]
         )
+        # per-pass warm-mins isolate HOST drift across the run from
+        # within-pass JIT (each pass's first run is systematically
+        # slower, so the all-samples spread sits ~1.5 even on a held
+        # host); warm_spread is the re-run/trust signal
+        pass_mins = [
+            min(calib_samples[k][series])
+            for k in ("post_cold", "mid", "end")
+        ]
         return {
             "min": all_s[0],
             "median": round(all_s[len(all_s) // 2], 3),
             "max": all_s[-1],
             "spread": round(all_s[-1] / all_s[0], 2),
+            "pass_mins": pass_mins,
+            "warm_spread": round(max(pass_mins) / min(pass_mins), 2),
         }
 
     calib_summary = {
@@ -787,6 +797,9 @@ def main() -> None:
         "calibration_ref": CALIBRATION_REF,
         "calibration_hof_sec": payload["calibration_hof_sec"],
         "calibration_spread": calib_summary["xxhash64"]["spread"],
+        "calibration_warm_spread": calib_summary["xxhash64"][
+            "warm_spread"
+        ],
         "normalized_value": payload["normalized_value"],
         "normalized_warm_value": payload["normalized_warm_value"],
         "loadavg": payload["loadavg"],
