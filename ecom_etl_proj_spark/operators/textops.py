@@ -2238,6 +2238,64 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each language's documents into head / middle / tail terciles by
+    LM score (here the corpus-unigram ``unigram_logprob`` — CCNet's
+    KenLM stands behind the same rule: rank within language, keep the
+    fluent head, drop or down-weight the tail), and report the bucket
+    boundary stats a mixture policy reads. The classic crawl-curation
+    stage between quality gating (absolute) and DSIR (relative to a
+    target): CCNet buckets are relative to the LANGUAGE's own score
+    distribution, so low-resource languages aren't wholesale dropped
+    by a global bar.
+
+    Scale shape: the per-doc score is ``unigram_logprob``'s one
+    explode + term-keyed join; bucketing is NTILE(3) over
+    (language, score) — a per-language sort whose skew follows the
+    language mix; at 100 TB the documented swap-in is two
+    percentile_approx thresholds per language (one pass, row-local
+    bucket assignment) at the cost of boundary-exactness, the same
+    exact-at-bench/sketch-at-scale trade as the quantile family.
+    Deterministic: NTILE over (avg_logprob DESC, doc_id ASC) — the
+    rounded score ties break on doc_id identically in both engines.
+    Output is bounded: |languages| x 3 rows.
+
+    Output: (lang, bucket, n_docs, n_tokens, avg_logprob,
+    best_logprob, worst_logprob) — bucket 1 = head (most fluent).
+    """
+    scores = unigram_logprob(t)
+    langs = t["documents"].select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    bucketed = (
+        scores.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+    )
+    # round-6 per-doc scores sum in exact DECIMAL (associative under
+    # any partitioning) before ONE double division — the corpus_report
+    # pattern, so the bucket mean can't flip a rounding boundary
+    # between engines
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("avg_logprob").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def bigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
     """Corpus-bigram log-probability per document with Laplace
     smoothing — the CCNet-shape LM-perplexity quality gate one rung up

@@ -6109,6 +6109,52 @@ register(
     """,
 )
 
+# CCNet-style per-language perplexity terciles (r14): head/middle/
+# tail split by unigram LM score WITHIN each language (Wenzek et al.
+# 2020 — relative-to-language bucketing so low-resource languages
+# aren't wholesale dropped by a global bar). NTILE over the rounded
+# score with doc_id ties — deterministic both engines; bucket means
+# sum round-6 DECIMAL terms before one double division (the
+# corpus_report pattern). Bounded output: |langs| x 3 rows.
+register(
+    "ccnet_buckets",
+    textops.ccnet_buckets,
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+    total AS (SELECT count(*) AS n_total FROM toks),
+    scores AS (
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(avg(ln(CAST(f.tf AS DOUBLE) / total.n_total)), 6)
+                   AS avg_logprob
+        FROM toks t
+        JOIN tf f ON t.term = f.term
+        CROSS JOIN total
+        GROUP BY t.doc_id
+    ),
+    b AS (
+        SELECT d.lang, s.doc_id, s.n_tokens, s.avg_logprob,
+               NTILE(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.avg_logprob DESC,
+                                       s.doc_id ASC) AS bucket
+        FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_logprob,
+           max(avg_logprob) AS best_logprob,
+           min(avg_logprob) AS worst_logprob
+    FROM b GROUP BY 1, 2
+    ORDER BY lang, bucket
+    """,
+)
+
 # Bigram-LM quality gate (r12): Laplace-smoothed ln P(w2|w1) averaged
 # per doc — the CCNet perplexity-filter shape; ln kept, exp skipped
 # (monotone, and ln is the cross-engine-reproducible one).

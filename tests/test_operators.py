@@ -3525,6 +3525,46 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert all(r["source"] not in ("src0", "src1") for r in sel)
 
 
+def test_ccnet_buckets_per_language_terciles(spark):
+    """Bucketing is WITHIN language: each language's docs split into
+    terciles of its own score distribution (head=1 gets the fluent
+    docs built from corpus-dominant words, tail=3 the rare-word junk),
+    and a language whose scores are globally much lower still fills
+    all three buckets instead of collapsing into a global tail."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = []
+    # lang en: 6 docs of common words, 3 of one-off junk
+    for i in range(6):
+        rows.append((i, "the quick brown fox " * 3, "en", "src0", 10))
+    for i in range(6, 9):
+        rows.append((i, f"zzq{i}a zzq{i}b zzq{i}c", "en", "src0", 10))
+    # lang xx: 6 docs over a disjoint (globally rarer) vocabulary
+    for i in range(9, 15):
+        rows.append((i, f"qqx common{i % 2} tongue", "xx", "src1", 10))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = textops.ccnet_buckets({"documents": docs}).collect()
+    by_key = {(r["lang"], r["bucket"]): r for r in out}
+    # en: 9 docs -> 3 per bucket; the junk docs' rare unigrams push
+    # them below every common-word doc, so the tail holds exactly them
+    assert all(by_key[("en", b)]["n_docs"] == 3 for b in (1, 2, 3))
+    assert (
+        by_key[("en", 3)]["best_logprob"]
+        < by_key[("en", 1)]["worst_logprob"]
+    )
+    # xx fills its own three buckets (2 docs each) despite lower
+    # global scores — the per-language property CCNet exists for
+    assert all(by_key[("xx", b)]["n_docs"] == 2 for b in (1, 2, 3))
+    # buckets are ordered: head mean >= middle mean >= tail mean
+    for lang in ("en", "xx"):
+        means = [by_key[(lang, b)]["avg_logprob"] for b in (1, 2, 3)]
+        assert means[0] >= means[1] >= means[2]
+
+
 def test_dsir_weights_hashed_sees_word_order(spark):
     """The hashed-bigram form separates two docs with IDENTICAL token
     bags but different phrasing (the target's phrase order must score
