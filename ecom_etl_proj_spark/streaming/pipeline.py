@@ -543,6 +543,77 @@ def view_purchase_join(
     ).select("purchase_id", "p_user", "p_ts", "view_id", "v_ts", "value")
 
 
+def purchase_view_window_stream(
+    events: DataFrame, horizon: str = "1 hour", lateness: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of ``operators.events.purchase_view_window``:
+    per purchase, how many same-user views landed in the preceding
+    ``horizon`` and what they were worth — the conversion-window
+    attribution, computed incrementally as events arrive instead of
+    over a table.
+
+    Two chained stateful operators (Spark 3.5+ watermark propagation):
+    a LEFT-OUTER time-interval stream-stream join (outer, unlike
+    ``view_purchase_join``, so a purchase with zero prior views still
+    emits — the batch operator's contract), then a per-purchase
+    event-time aggregation. Both sides watermark and the join
+    condition carries the time bound, so join state retains only
+    ``horizon + lateness`` of history and aggregation state evicts as
+    the watermark passes each purchase — bounded state forever, the
+    same discipline as every stream op here. Strictly-earlier
+    semantics match the batch RANGE frame exactly: v_ts < p_ts
+    (a view stamped at the purchase's own microsecond never counts),
+    v_ts >= p_ts - horizon inclusive.
+
+    Append-mode caveat (inherent to outer joins + aggregations): a
+    purchase emits only once the watermark passes it, so the tail of
+    a finite replay needs one later event to flush — the equivalence
+    test drives exactly that.
+
+    Output: (purchase_id, user_id, ts, n_prior_views,
+    prior_view_value) — the batch operator's schema.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("v_value"),
+        )
+        .withWatermark("v_ts", lateness)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", lateness)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    )
+    return (
+        joined.groupBy(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            F.col("p_ts").alias("ts"),
+        )
+        .agg(
+            F.count("view_id").alias("n_prior_views"),
+            F.round(
+                F.coalesce(F.sum("v_value"), F.lit(0.0)), 4
+            ).alias("prior_view_value"),
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     """Streaming deduplication by event_id within the watermark horizon.
 

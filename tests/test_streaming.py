@@ -180,6 +180,78 @@ def test_stream_stream_join_matches_batch_range_join(spark, tables, events_dir):
     assert got == expect
 
 
+def test_purchase_view_window_stream_matches_batch(spark, tables):
+    """The streaming interval-join attribution must equal the batch
+    purchase_view_window row-for-row: same strictly-earlier window,
+    zero-view purchases included (left-outer), values rounded the
+    same. A far-future sentinel file flushes the tail (outer joins and
+    aggregations emit only once the watermark passes), processed as
+    its own micro-batch via maxFilesPerTrigger=1."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from ecom_etl_proj_spark.operators import events as ev_ops
+
+    d = tempfile.mkdtemp(prefix="pvw_stream_")
+    ev = tables["events"]
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "a"))
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    # four sentinel files, each one its own micro-batch. Every file
+    # holds a far-future VIEW and PURCHASE for a reserved user: the
+    # watermark nodes sit AFTER the event_type filters (a click would
+    # never reach them) and the global watermark is the MIN across
+    # both sides, so both sides must see the sentinel. Several files
+    # because emission cascades one stateful operator per batch — the
+    # OUTER join releases its unmatched (zero-view) purchases a batch
+    # after the watermark passes, the aggregation a batch after that
+    # (watermarks update at batch END).
+    for i, name in enumerate(("b", "c", "d", "e")):
+        s_ts = hi + dt.timedelta(hours=3 + i)
+        sentinel = spark.createDataFrame(
+            [
+                (10**9 + 2 * i, s_ts, 999_999, "view", 0.0, "{}"),
+                (10**9 + 2 * i + 1, s_ts, 999_999, "purchase", 0.0, "{}"),
+            ],
+            ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, name)
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = pipeline.run_to_memory(
+        pipeline.purchase_view_window_stream(stream), "pvw_t", mode="append"
+    )
+    q.awaitTermination(180)
+    got = {
+        r["purchase_id"]: (
+            r["user_id"],
+            r["ts"],
+            r["n_prior_views"],
+            r["prior_view_value"],
+        )
+        for r in spark.sql(
+            "SELECT * FROM pvw_t WHERE user_id <> 999999"
+        ).collect()
+    }
+    expect = {
+        r["purchase_id"]: (
+            r["user_id"],
+            r["ts"],
+            r["n_prior_views"],
+            r["prior_view_value"],
+        )
+        for r in ev_ops.purchase_view_window({"events": ev}).collect()
+    }
+    assert got == expect
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_dedup_within_watermark(spark, tables, events_dir):
     """A duplicated source must come out exactly-once per event_id."""
     import os
