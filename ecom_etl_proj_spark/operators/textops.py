@@ -8,6 +8,8 @@ except the final projection; these run at scan speed at any scale.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2236,6 +2238,297 @@ def unigram_logprob(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _classifier_features(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...],
+    n_buckets: int,
+    hash_mode: str,
+) -> DataFrame:
+    """(doc_id, y, bucket, x): hashed-unigram features for the quality
+    classifier — per-doc term counts bucketed into a fixed ``n_buckets``
+    space (fasttext's hashing trick; md5_60 oracle / xxhash64
+    production, the dedup-family convention) and length-normalized
+    (x = count / doc_tokens, rounded to 1e-6 and held as DECIMAL so
+    every downstream sum is exact under any partitioning). y = 1 for
+    target-source docs, the training label."""
+    from ecom_etl_proj_spark.operators.dedup import hash64
+
+    toks = t["documents"].select(
+        "doc_id",
+        F.when(F.col("source").isin(*target_sources), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.explode(X.tokens()).alias("term"),
+    )
+    counts = toks.groupBy(
+        "doc_id",
+        "y",
+        F.pmod(hash64(F.col("term"), hash_mode), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    ).agg(F.count("*").alias("cnt"))
+    ndoc = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    return counts.join(ndoc, "doc_id").select(
+        "doc_id",
+        "y",
+        "bucket",
+        F.round(F.col("cnt") / F.col("n_tok"), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+    )
+
+
+def _classifier_fit_steps(
+    spark,
+    feats: DataFrame,
+    n_steps: int,
+    lr: str = "0.25",
+):
+    """The shared full-batch gradient loop: yields the weight vector
+    (bucket -> DECIMAL(18,6)) after every step, so the curve emitter
+    trains ONCE and reads each prefix.
+    Residuals are class-balanced (r = cw_y * (y - sigmoid(margin)),
+    cw_y = n/(2*n_y), the standard balanced-logistic reweighting) —
+    without it a 1:9 corpus like this one converges to the degenerate
+    all-negative model. All sums are exact DECIMAL; the driver update
+    quantizes HALF_UP at 1e-6, mirroring the oracle's decimal round
+    (Python float round is HALF_EVEN, and step-1 residuals land
+    gradients on 5e-7 boundaries routinely)."""
+    counts = (
+        feats.select("doc_id", "y")
+        .distinct()
+        .groupBy()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("n_pos"),
+        )
+        .collect()[0]
+    )
+    n_docs, n_pos = int(counts["n"]), int(counts["n_pos"])
+    n_neg = n_docs - n_pos
+    q6 = Decimal("0.000001")
+    pos_w = (Decimal(n_docs) / (2 * n_pos)).quantize(
+        q6, rounding=ROUND_HALF_UP
+    )
+    neg_w = (Decimal(n_docs) / (2 * n_neg)).quantize(
+        q6, rounding=ROUND_HALF_UP
+    )
+
+    w: dict[int, Decimal] = {}
+    for _ in range(n_steps):
+        if w:
+            w_df = spark.createDataFrame(
+                [(b, str(v)) for b, v in w.items()],
+                "bucket long, w_s string",
+            ).select(
+                "bucket", F.col("w_s").cast("decimal(18,6)").alias("w")
+            )
+            margins = (
+                feats.join(F.broadcast(w_df), "bucket", "left")
+                .groupBy("doc_id", "y")
+                .agg(
+                    F.sum(
+                        F.col("x")
+                        * F.coalesce(
+                            F.col("w"), F.lit(0).cast("decimal(18,6)")
+                        )
+                    ).alias("m")
+                )
+            )
+        else:
+            margins = feats.groupBy("doc_id", "y").agg(
+                F.lit(0).cast("decimal(38,12)").alias("m")
+            )
+        # one rounding site: r = round(cw * (y - sigmoid), 6) with cw
+        # as a DOUBLE — the exact form the oracle's SQL mirrors (the
+        # decimal cast then pins every downstream sum exact)
+        cw = F.when(
+            F.col("y") == 1, F.lit(float(pos_w))
+        ).otherwise(F.lit(float(neg_w)))
+        resid = margins.select(
+            "doc_id",
+            F.round(
+                cw
+                * (
+                    F.col("y")
+                    - F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-F.col("m").cast("double")))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("r"),
+        )
+        grad = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+            .collect()
+        )
+        lr_d = Decimal(lr)
+        for row in grad:
+            b = row["bucket"]
+            w[b] = (w.get(b, Decimal(0)) + lr_d * row["g"]).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+        yield dict(w)
+
+
+def _classifier_fit(
+    spark, feats: DataFrame, n_steps: int, lr: str = "0.25"
+) -> dict[int, Decimal]:
+    """Final weights after ``n_steps`` (the last yield of the loop)."""
+    w: dict[int, Decimal] = {}
+    for w in _classifier_fit_steps(spark, feats, n_steps, lr):
+        pass
+    return w
+
+
+def _classifier_margins(spark, feats: DataFrame, w: dict) -> DataFrame:
+    """(doc_id, y, m): exact decimal margins of the corpus under w."""
+    w_df = spark.createDataFrame(
+        [(b, str(v)) for b, v in w.items()], "bucket long, w_s string"
+    ).select("bucket", F.col("w_s").cast("decimal(18,6)").alias("w"))
+    return (
+        feats.join(F.broadcast(w_df), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+    )
+
+
+def quality_classifier_train(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 512,
+    n_steps: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Train a fasttext-style QUALITY CLASSIFIER in-engine: balanced
+    logistic regression over hashed unigram features, full-batch
+    gradient steps, labels = "does this doc come from a target
+    source" — the discriminative filter GPT-3/CCNet-class pipelines
+    pair with importance weighting (``dsir_weights`` scores docs
+    GENERATIVELY by two language models' ratio; this trains weights
+    that directly separate target from rest, the other standard
+    tool). Emits the training curve of the FINAL model after each
+    step; ``quality_classifier_score`` applies the trained weights per
+    document.
+
+    Spark-first shape — the bpe_train_merges pattern for iterative
+    algorithms: the (doc, bucket, x) feature frame is built ONCE and
+    localCheckpoint-ed (loop-invariant; Catalyst does not reuse
+    exchanges across loop iterations); each step is one broadcast join
+    of the B-row weight vector onto the features, a per-doc margin
+    aggregate, and a bucket-keyed gradient aggregate — two bounded
+    shuffles per step, no corpus re-scan; the weight vector itself is
+    bounded driver state (B rows per step, like the BPE trainer's
+    1-row merge collects).
+
+    Bit-exactness discipline: features and weights live in
+    DECIMAL(18,6), so margins (sum of x*w per doc) and gradients
+    (sum of r*x per bucket) are EXACT sums — order-independent, hash-
+    verifiable; the driver update quantizes HALF_UP at 1e-6 exactly
+    like the oracle's decimal round. The one irrational step is the
+    sigmoid residual (exp — the same accepted cross-engine trade as
+    unigram_logprob's ln). Residuals are class-balanced
+    (cw_y = n/(2*n_y)) so an imbalanced corpus cannot converge to the
+    degenerate all-majority model. Accuracy compares the exact
+    decimal margin against 0 — no float at all. No bias term (the
+    scores are rank-diagnostics; a bias shifts all margins equally).
+
+    Output: (step, n_correct, n_pos_correct, accuracy, weight_l1) —
+    model w_step evaluated on the corpus after each update;
+    n_pos_correct watches exactly the degeneracy balanced weighting
+    prevents; weight_l1 is the exact decimal L1 norm.
+    """
+    spark = t["documents"].sparkSession
+    feats = _classifier_features(
+        t, target_sources, n_buckets, hash_mode
+    ).localCheckpoint()
+    n_docs = feats.select("doc_id").distinct().count()
+    rows = []
+    for step, w in enumerate(
+        _classifier_fit_steps(spark, feats, n_steps), start=1
+    ):
+        ev = (
+            _classifier_margins(spark, feats, w)
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("m") >= 0) == (F.col("y") == 1), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+                F.sum(
+                    F.when(
+                        (F.col("y") == 1) & (F.col("m") >= 0), 1
+                    ).otherwise(0)
+                ).alias("n_pos_correct"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (
+                step,
+                int(ev["n_correct"]),
+                int(ev["n_pos_correct"]),
+                # HALF_UP quantize of the exact ratio — mirrors the
+                # oracle's round(double, 6) (Python's float round is
+                # HALF_EVEN)
+                float(
+                    (Decimal(int(ev["n_correct"])) / n_docs).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                ),
+                # sum of 6dp decimals is exact 6dp — no rounding needed
+                float(sum(abs(v) for v in w.values())),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, n_correct bigint, n_pos_correct bigint,"
+        " accuracy double, weight_l1 double",
+    )
+
+
+def quality_classifier_score(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 512,
+    n_steps: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Apply the trained quality classifier per document: the margin
+    (exact decimal dot product of the doc's hashed features with the
+    step-``n_steps`` weights) and the keep verdict (margin >= 0 —
+    "reads like the target sources"). The production path trains once
+    and broadcasts the weight table everywhere; the registered form
+    retrains in-process so the DuckDB oracle reproduces training AND
+    scoring from first principles (the bpe_tokenize convention).
+
+    Output: (doc_id, source, label, margin, predicted).
+    """
+    spark = t["documents"].sparkSession
+    feats = _classifier_features(
+        t, target_sources, n_buckets, hash_mode
+    ).localCheckpoint()
+    w = _classifier_fit(spark, feats, n_steps)
+    scored = _classifier_margins(spark, feats, w)
+    return (
+        t["documents"]
+        .select("doc_id", "source")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("y").alias("label"),
+            F.round(F.col("m").cast("double"), 6).alias("margin"),
+            (F.col("m") >= 0).alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )
+
 
 
 def ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:

@@ -6109,6 +6109,132 @@ register(
     """,
 )
 
+# In-engine trained quality classifier (r14): balanced logistic
+# regression over hashed unigram features — the discriminative filter
+# GPT-3/CCNet-class pipelines pair with DSIR's generative weighting.
+# The oracle UNROLLS the full-batch gradient loop (the bpe/pagerank
+# CTE pattern): every margin/gradient is an exact DECIMAL sum, the
+# driver-side weight update quantizes HALF_UP at 1e-6 exactly like
+# the SQL round, and the one irrational step (the sigmoid's exp) is
+# the same accepted trade as unigram_logprob's ln.
+def _quality_classifier_ctes(n_steps: int) -> list[str]:
+    ctes = [
+        """qtoks AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS y,
+               unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents
+    )""",
+        """qfeats AS MATERIALIZED (
+        SELECT doc_id, y, bucket,
+               CAST(round(cnt / CAST(n_tok AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS x
+        FROM (
+            SELECT doc_id, y,
+                   CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+                       % 512 AS bucket,
+                   count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS n_tok
+            FROM qtoks GROUP BY 1, 2, 3
+        )
+    )""",
+        """qcls AS MATERIALIZED (
+        SELECT count(*) AS n, sum(y) AS np, count(*) - sum(y) AS nn
+        FROM (SELECT DISTINCT doc_id, y FROM qfeats)
+    )""",
+        """qcw AS MATERIALIZED (
+        SELECT round(CAST(n AS DOUBLE) / (2 * np), 6) AS pw,
+               round(CAST(n AS DOUBLE) / (2 * nn), 6) AS nw
+        FROM qcls
+    )""",
+    ]
+    for r in range(1, n_steps + 2):
+        p = r - 1
+        if r == 1:
+            ctes.append("""qm1 AS MATERIALIZED (
+        SELECT DISTINCT doc_id, y, CAST(0 AS DECIMAL(38,12)) AS m
+        FROM qfeats
+    )""")
+        else:
+            ctes.append(f"""qm{r} AS MATERIALIZED (
+        SELECT f.doc_id, f.y, sum(f.x * w.wv) AS m
+        FROM qfeats f JOIN qw{p} w USING (bucket)
+        GROUP BY 1, 2
+    )""")
+        if r == n_steps + 1:
+            break
+        ctes.append(f"""qr{r} AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(round(
+                   (CASE WHEN y = 1 THEN (SELECT pw FROM qcw)
+                         ELSE (SELECT nw FROM qcw) END)
+                   * (y - 1.0 / (1.0 + exp(-CAST(m AS DOUBLE)))), 6)
+                   AS DECIMAL(18,6)) AS rr
+        FROM qm{r}
+    )""")
+        ctes.append(f"""qg{r} AS MATERIALIZED (
+        SELECT f.bucket, sum(rs.rr * f.x) AS g
+        FROM qfeats f JOIN qr{r} rs USING (doc_id)
+        GROUP BY 1
+    )""")
+        if r == 1:
+            ctes.append("""qw1 AS MATERIALIZED (
+        SELECT bucket, round(0.25 * g, 6) AS wv FROM qg1
+    )""")
+        else:
+            ctes.append(f"""qw{r} AS MATERIALIZED (
+        SELECT g.bucket, round(coalesce(w.wv, 0) + 0.25 * g.g, 6) AS wv
+        FROM qg{r} g LEFT JOIN qw{p} w USING (bucket)
+    )""")
+    return ctes
+
+
+def _quality_classifier_train_oracle(n_steps: int) -> str:
+    finals = [
+        f"""SELECT CAST({r} AS INT) AS step,
+        CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+        CAST(sum(CASE WHEN y = 1 AND m >= 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos_correct,
+        round(CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END)
+              AS DOUBLE) / (SELECT n FROM qcls), 6) AS accuracy,
+        CAST((SELECT sum(abs(wv)) FROM qw{r}) AS DOUBLE) AS weight_l1
+        FROM qm{r + 1}"""
+        for r in range(1, n_steps + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(_quality_classifier_ctes(n_steps))
+        + "\n    " + "\n    UNION ALL ".join(finals)
+    )
+
+
+def _quality_classifier_score_oracle(n_steps: int) -> str:
+    return (
+        "WITH " + ",\n    ".join(_quality_classifier_ctes(n_steps))
+        + f"""
+    SELECT d.doc_id, d.source,
+           CASE WHEN d.source IN ('src0', 'src1') THEN 1 ELSE 0 END
+               AS label,
+           round(CAST(m.m AS DOUBLE), 6) AS margin,
+           m.m >= 0 AS predicted
+    FROM documents d JOIN qm{n_steps + 1} m USING (doc_id)
+    ORDER BY d.doc_id
+    """
+    )
+
+
+register(
+    "quality_classifier_train",
+    lambda t: textops.quality_classifier_train(t, hash_mode="md5"),
+    _quality_classifier_train_oracle(4),
+)
+
+register(
+    "quality_classifier_score",
+    lambda t: textops.quality_classifier_score(t, hash_mode="md5"),
+    _quality_classifier_score_oracle(4),
+)
+
 # CCNet-style per-language perplexity terciles (r14): head/middle/
 # tail split by unigram LM score WITHIN each language (Wenzek et al.
 # 2020 — relative-to-language bucketing so low-resource languages

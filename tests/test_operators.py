@@ -3525,6 +3525,50 @@ def test_dsir_weights_favor_target_like_docs(spark):
     assert all(r["source"] not in ("src0", "src1") for r in sel)
 
 
+def test_quality_classifier_separates_planted_corpus(spark):
+    """On a corpus whose target source speaks a disjoint vocabulary,
+    the trained classifier must (a) improve monotonically on the
+    curve, (b) end with every document correctly classified, and
+    (c) agree between the curve's final step and the per-doc scorer;
+    production xxhash64 and oracle md5 feature hashing must reach the
+    same verdicts (bucket sets differ, separability doesn't)."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, "clean fluent prose sentence structure", "tgt", "x", 30)
+        )
+    for i in range(20, 60):
+        rows.append(
+            (i, f"spam{i % 7} junk{i % 5} noise{i % 3} blob", "web", "x", 30)
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    )
+    t = {"documents": docs}
+    for mode in ("md5", "xxhash64"):
+        curve = textops.quality_classifier_train(
+            t, target_sources=("tgt",), hash_mode=mode
+        ).collect()
+        accs = [r["accuracy"] for r in curve]
+        assert accs == sorted(accs), accs
+        assert curve[-1]["n_correct"] == 60
+        assert curve[-1]["n_pos_correct"] == 20
+        scored = textops.quality_classifier_score(
+            t, target_sources=("tgt",), hash_mode=mode
+        ).collect()
+        assert all(
+            r["predicted"] == (r["label"] == 1) for r in scored
+        ), mode
+        assert (
+            sum(r["predicted"] == (r["label"] == 1) for r in scored)
+            == curve[-1]["n_correct"]
+        )
+
+
 def test_ccnet_buckets_per_language_terciles(spark):
     """Bucketing is WITHIN language: each language's docs split into
     terciles of its own score distribution (head=1 gets the fluent
