@@ -2286,9 +2286,11 @@ def _classifier_fit_steps(
     n_steps: int,
     lr: str = "0.25",
 ):
-    """The shared full-batch gradient loop: yields the weight vector
-    (bucket -> DECIMAL(18,6)) after every step, so the curve emitter
-    trains ONCE and reads each prefix.
+    """The shared full-batch gradient loop: yields, after every step,
+    the weight vector (bucket -> DECIMAL(18,6)) AND the corpus margins
+    frame under it — the margins are what the NEXT step's residuals
+    need anyway, so the curve emitter and the scorer evaluate each
+    model for free instead of re-joining per step.
     Residuals are class-balanced (r = cw_y * (y - sigmoid(margin)),
     cw_y = n/(2*n_y), the standard balanced-logistic reweighting) —
     without it a 1:9 corpus like this one converges to the degenerate
@@ -2317,30 +2319,11 @@ def _classifier_fit_steps(
     )
 
     w: dict[int, Decimal] = {}
+    margins = feats.groupBy("doc_id", "y").agg(
+        F.lit(0).cast("decimal(38,12)").alias("m")
+    )
+    lr_d = Decimal(lr)
     for _ in range(n_steps):
-        if w:
-            w_df = spark.createDataFrame(
-                [(b, str(v)) for b, v in w.items()],
-                "bucket long, w_s string",
-            ).select(
-                "bucket", F.col("w_s").cast("decimal(18,6)").alias("w")
-            )
-            margins = (
-                feats.join(F.broadcast(w_df), "bucket", "left")
-                .groupBy("doc_id", "y")
-                .agg(
-                    F.sum(
-                        F.col("x")
-                        * F.coalesce(
-                            F.col("w"), F.lit(0).cast("decimal(18,6)")
-                        )
-                    ).alias("m")
-                )
-            )
-        else:
-            margins = feats.groupBy("doc_id", "y").agg(
-                F.lit(0).cast("decimal(38,12)").alias("m")
-            )
         # one rounding site: r = round(cw * (y - sigmoid), 6) with cw
         # as a DOUBLE — the exact form the oracle's SQL mirrors (the
         # decimal cast then pins every downstream sum exact)
@@ -2367,23 +2350,22 @@ def _classifier_fit_steps(
             .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
             .collect()
         )
-        lr_d = Decimal(lr)
         for row in grad:
             b = row["bucket"]
             w[b] = (w.get(b, Decimal(0)) + lr_d * row["g"]).quantize(
                 q6, rounding=ROUND_HALF_UP
             )
-        yield dict(w)
+        margins = _classifier_margins(spark, feats, w).localCheckpoint()
+        yield dict(w), margins
 
 
 def _classifier_fit(
     spark, feats: DataFrame, n_steps: int, lr: str = "0.25"
-) -> dict[int, Decimal]:
-    """Final weights after ``n_steps`` (the last yield of the loop)."""
-    w: dict[int, Decimal] = {}
-    for w in _classifier_fit_steps(spark, feats, n_steps, lr):
+) -> tuple[dict[int, Decimal], DataFrame]:
+    """Final (weights, margins-under-them) after ``n_steps``."""
+    for w, margins in _classifier_fit_steps(spark, feats, n_steps, lr):
         pass
-    return w
+    return w, margins
 
 
 def _classifier_margins(spark, feats: DataFrame, w: dict) -> DataFrame:
@@ -2449,11 +2431,11 @@ def quality_classifier_train(
     ).localCheckpoint()
     n_docs = feats.select("doc_id").distinct().count()
     rows = []
-    for step, w in enumerate(
+    for step, (w, margins) in enumerate(
         _classifier_fit_steps(spark, feats, n_steps), start=1
     ):
         ev = (
-            _classifier_margins(spark, feats, w)
+            margins
             .agg(
                 F.sum(
                     F.when(
@@ -2513,8 +2495,7 @@ def quality_classifier_score(
     feats = _classifier_features(
         t, target_sources, n_buckets, hash_mode
     ).localCheckpoint()
-    w = _classifier_fit(spark, feats, n_steps)
-    scored = _classifier_margins(spark, feats, w)
+    _, scored = _classifier_fit(spark, feats, n_steps)
     return (
         t["documents"]
         .select("doc_id", "source")
