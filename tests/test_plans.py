@@ -409,6 +409,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
                                 ranker and over the <= 2*top fused list
     - pq_search                 rank over .limit(top) ADC rows
     - dsir_select               rank over .limit(top) importance rows
+    - dsir_select_hashed        same shape on the hashed-bigram rung
     - key_skew_profile          rank/cum-share over .limit(top) rows
     """
     import re
@@ -428,6 +429,7 @@ def test_no_unbounded_single_partition_windows_registry_wide(spark, tables):
         "hybrid_search",
         "pq_search",
         "dsir_select",
+        "dsir_select_hashed",
         "key_skew_profile",
     }
     offenders = set()

@@ -127,6 +127,13 @@ HEADLINE = [
     "dsir_weights_hashed",
     "bpe_tokenize",
     "prototype_outliers",
+    # ccnet_buckets: the unigram-score join must stay a plain shuffle
+    # on the unbounded term key (no broadcast) and the NTILE window
+    # must be partitioned by lang, never global. The iterative
+    # quality_classifier pair is NOT audited here: like
+    # bpe_train_merges, its registered plan is checkpoint-backed
+    # driver-loop output (RDD scan ids, not a declarative tree).
+    "ccnet_buckets",
 ]
 
 SF_DIR = "/root/testdata/sf0.001"
