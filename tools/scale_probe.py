@@ -225,6 +225,31 @@ def probe(
     finally:
         if own_tmp:
             shutil.rmtree(scaled_dir, ignore_errors=True)
+        # r14: the bench state builders derive their table prefixes
+        # from the sf_dir basename (so revisiting a corpus can never
+        # probe another's index), which means THIS probe's unique
+        # scaled tempdir leaves behind its own state tables — drop
+        # them, or every bench run accumulates a scaled-corpus index
+        # (hundreds of MB at factor 10) in the warehouse forever.
+        token = "".join(
+            c if c.isalnum() else "_"
+            for c in os.path.basename(scaled_dir.rstrip("/"))
+        )
+        try:
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", ""
+            ).removeprefix("file:")
+            for row in spark.sql("SHOW TABLES").collect():
+                name = row["tableName"]
+                if token in name:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                    if warehouse:
+                        shutil.rmtree(
+                            os.path.join(warehouse, name),
+                            ignore_errors=True,
+                        )
+        except Exception:  # cleanup must never fail the probe
+            pass
 
 
 def main() -> None:
