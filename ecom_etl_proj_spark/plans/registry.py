@@ -7133,6 +7133,15 @@ _DRIVER_PRIORITY: list[str] = [
     "sales_geolocation",
     "sales_master_join",
     "seller_performance",
+    # NOTE for the r15 rotation: r14 registered SEVEN more rows after
+    # this head froze (dsir_weights_hashed, dsir_select_hashed,
+    # prototype_outliers, bpe_tokenize, ccnet_buckets,
+    # quality_classifier_train, quality_classifier_score) — never
+    # driver-verified, each locally oracle-verified at
+    # sf0.001/0.01/0.1 and included in the close-out 221/221 sweep at
+    # sf0.01. They should OPEN the r15 head, then the 14 remaining
+    # r10 rows below (stale 4 rounds by then), then r11 rows to fill
+    # 50 (7 + 14 + 29 r11 = 50).
     # --- remaining 14 r10-verified rows (lead the r15 head) ---
     "semantic_dedup_state",
     "session_duration_histogram",
