@@ -64,6 +64,7 @@ load on identical code):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -249,13 +250,18 @@ def _sf_prefix(prefix: str, sf_dir: str) -> str:
     their built-once memo by sf_dir but used to write every corpus
     into ONE shared table prefix, so a run that revisited an earlier
     sf_dir would silently probe the other corpus's index (r13 ADVICE).
-    Deriving the prefix from the sf_dir basename makes the memo key
-    and the physical tables agree."""
+    Deriving the prefix from the sf_dir makes the memo key and the
+    physical tables agree. The token folds in a short hash of the FULL
+    normalized path, not just the basename: two corpora whose dirs
+    share a basename (/a/sf0.01 vs /b/sf0.01) must not collide on the
+    same physical tables while the built-once memo keys by full path
+    (r14 ADVICE)."""
+    norm = os.path.normpath(os.path.abspath(sf_dir))
     token = "".join(
-        c if c.isalnum() else "_"
-        for c in os.path.basename(sf_dir.rstrip("/"))
+        c if c.isalnum() else "_" for c in os.path.basename(norm)
     )
-    return f"{prefix}_{token}"
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    return f"{prefix}_{token}_{digest}"
 
 
 def _ann_ivf_state_fn(prefix: str = "benchann"):
@@ -804,6 +810,19 @@ def main() -> None:
         "normalized_warm_value": payload["normalized_warm_value"],
         "loadavg": payload["loadavg"],
         "sf": payload["sf"],
+        # Self-gate (r14 verdict item #4): the close-out discipline —
+        # reject a record whose per-pass calibration warm-mins drifted
+        # more than 25% (host was measurably unstable mid-run) — used
+        # to live only in the builder's workflow, so a noisy driver
+        # run (BENCH_r14 at loadavg 8.66) could silently become a
+        # round's comparison point. Stamp the verdict at the source:
+        # "held" records are comparable round-over-round; "rejected"
+        # ones need a re-run or forensic normalization.
+        "record_quality": (
+            "held"
+            if calib_summary["xxhash64"]["warm_spread"] <= 1.25
+            else "rejected"
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

@@ -2297,7 +2297,18 @@ def _classifier_fit_steps(
     all-negative model. All sums are exact DECIMAL; the driver update
     quantizes HALF_UP at 1e-6, mirroring the oracle's decimal round
     (Python float round is HALF_EVEN, and step-1 residuals land
-    gradients on 5e-7 boundaries routinely)."""
+    gradients on 5e-7 boundaries routinely).
+
+    Raises ValueError (at first iteration — this is a generator) when
+    n_steps < 1 or the corpus is single-class: the registered forms
+    never hit either, but the public train/score params allow them and
+    the unguarded loop would surface as UnboundLocalError /
+    ZeroDivisionError instead of a legible message."""
+    if n_steps < 1:
+        raise ValueError(
+            f"n_steps must be >= 1, got {n_steps} (a 0-step fit has no"
+            " weights to return)"
+        )
     counts = (
         feats.select("doc_id", "y")
         .distinct()
@@ -2310,6 +2321,12 @@ def _classifier_fit_steps(
     )
     n_docs, n_pos = int(counts["n"]), int(counts["n_pos"])
     n_neg = n_docs - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            "quality classifier needs both classes present: corpus has"
+            f" {n_pos} target-source docs and {n_neg} others (check"
+            " target_sources against the documents table's source values)"
+        )
     q6 = Decimal("0.000001")
     pos_w = (Decimal(n_docs) / (2 * n_pos)).quantize(
         q6, rounding=ROUND_HALF_UP

@@ -5919,6 +5919,15 @@ register(
 # Johnson-Lindenstrauss random projection (r12): hash-seeded Rademacher
 # signs (md5 parity — both engines rebuild the matrix bit-identically),
 # row-local ordered folds; per-vector norm preservation check.
+#
+# ORACLE DIM CONVENTION (r14 ADVICE): this and every embedding-family
+# oracle below unroll vectors with a hard-coded range(1, 65) (19 sites;
+# the RP matrix additionally bakes 64 into its shape). The ENGINE is
+# dimension-agnostic (posexplode / size(embedding)); the oracles pin
+# the corpus's 64-dim convention so DuckDB's list unrolls constant-
+# fold. tests/test_oracle_parity.py::test_embedding_oracle_dim_convention
+# asserts every testdata corpus actually is 64-dim, so a dim change
+# fails loudly there instead of silently mis-verifying here.
 _RP_MAT_SQL = """
     cells AS (
         SELECT j.j, i.i,
@@ -7057,92 +7066,41 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. ROUND-13 ROTATION (pure oldest-first cycle, every query keeps a
-# driver row). Head composition this round — exactly the r13 verdict's
-# item #1:
-#   1) the FOURTEEN r13-continuation additions, never driver-verified
-#      (the sq8 family x5, ann_ivfpq_state_refined, dsir_weights,
-#      dsir_select, nation_profit, label_prototypes, dedup_keep_best,
-#      source_divergence, purchase_view_window, key_skew_profile) —
-#      each locally oracle-verified at sf0.001/0.01/0.1 AND
-#      independently re-verified by the r13 judge at sf0.01;
-#   2) the 36 stalest of the r10-verified cohort (stale 4 rounds).
-# 14 + 36 = 50 exactly. The remaining 14 r10 rows follow immediately
-# (they lead the r15 head), then r11, r12, and the r13-verified rows
-# (freshest: the head-3 trio plus the 47-query r9 cohort) go last.
-# Changed-code audit for r14: purchase_view_window's ENGINE gained an
-# output-identical event-type pre-filter (r13 verdict item #2; the
-# oracle text is unchanged and the parity identity is pytest-proven on
-# adversarial purchase-adjacent clicks). Max staleness at r14 check
-# time: the r10 tail at 4 rounds, back to <= 3 from r15 on. Rows
-# registered AFTER this head freezes (r14 additions) are appended at
-# the tail by _finalize_order: local oracle parity at sf0.001-0.1
-# gates them until their driver row lands in the r15 head (the
+# round. ROUND-15 ROTATION (pure oldest-first cycle, every query keeps a
+# driver row). Head composition this round — exactly the r14 verdict's
+# item #1 (plan recorded last round in this file):
+#   1) the SEVEN rows registered after the r14 head froze
+#      (dsir_weights_hashed, dsir_select_hashed, prototype_outliers,
+#      bpe_tokenize, ccnet_buckets, quality_classifier_train,
+#      quality_classifier_score) — never driver-verified; each locally
+#      oracle-verified at sf0.001/0.01/0.1 AND independently verified
+#      by the r14 judge at sf0.01;
+#   2) the 14 remaining r10-verified rows (stale 5 rounds at r15
+#      check time — the stale tail the r14 verdict's item #6 flags);
+#   3) the first 29 of the r11-verified cohort (alphabetical order,
+#      stale 4 rounds).
+# 7 + 14 + 29 = 50 exactly. The remaining 21 r11 rows follow
+# immediately (they lead the r16 head), then r12, r13, and the
+# r14-verified rows (freshest: the 14 r13-continuation additions plus
+# the 36 r10 rows rotated through the r14 driver head) go last.
+# Changed-code audit for r15: none of the head-50 engines or oracles
+# changed since their last verification except as noted in commits;
+# rows registered AFTER this head freezes (r15 additions) are appended
+# at the tail by _finalize_order: local oracle parity at sf0.001-0.1
+# gates them until their driver row lands in the r16 head (the
 # established r7+ pattern for post-freeze additions).
 _DRIVER_PRIORITY: list[str] = [
-    # --- head-50: the 14 r13-continuation additions (never
-    # driver-verified) ---
-    "sq8_encode",
-    "sq8_search",
-    "sq8_recall_audit",
-    "ann_sq8_state",
-    "ann_sq8_state_refined",
-    "ann_ivfpq_state_refined",
-    "dsir_weights",
-    "dsir_select",
-    "nation_profit",
-    "label_prototypes",
-    "dedup_keep_best",
-    "source_divergence",
-    "purchase_view_window",
-    "key_skew_profile",
-    # --- the 36 stalest r10-verified rows (stale 4 rounds) ---
-    "ann_ivf_state",
-    "ann_recall_audit",
-    "bpe_merge_candidates",
-    "cheapest_supplier_per_part",
-    "constraint_audit",
-    "copurchase_pagerank",
-    "corpus_report",
-    "cross_source_duplication",
-    "curated_pack_state",
-    "curation_funnel",
-    "customer_value_deciles",
-    "daily_sales",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_spans_removal",
-    "dwh_audit_load",
-    "embedding_dedup_clusters",
-    "event_transition_matrix",
-    "incremental_dedup",
-    "incremental_dedup_state",
-    "incremental_semantic_dedup",
-    "kpi_overview",
-    "langid_confusion",
-    "lsh_band_planner",
-    "lsh_bucket_profile",
-    "minhash_recall_audit",
-    "mixture_epochs",
-    "mixture_sample",
-    "ods_typed_load",
-    "order_fulfillment_span",
-    "quality_threshold_sweep",
-    "representative_selection",
-    "revenue_forecast",
-    "sales_geolocation",
-    "sales_master_join",
-    "seller_performance",
-    # NOTE for the r15 rotation: r14 registered SEVEN more rows after
-    # this head froze (dsir_weights_hashed, dsir_select_hashed,
-    # prototype_outliers, bpe_tokenize, ccnet_buckets,
-    # quality_classifier_train, quality_classifier_score) — never
-    # driver-verified, each locally oracle-verified at
-    # sf0.001/0.01/0.1 and included in the close-out 221/221 sweep at
-    # sf0.01. They should OPEN the r15 head, then the 14 remaining
-    # r10 rows below (stale 4 rounds by then), then r11 rows to fill
-    # 50 (7 + 14 + 29 r11 = 50).
-    # --- remaining 14 r10-verified rows (lead the r15 head) ---
+    # --- head-50 part 1: the 7 rows registered after the r14 head
+    # froze (never driver-verified) ---
+    "dsir_weights_hashed",
+    "dsir_select_hashed",
+    "prototype_outliers",
+    "bpe_tokenize",
+    "ccnet_buckets",
+    "quality_classifier_train",
+    "quality_classifier_score",
+    # --- head-50 part 2: the 14 remaining r10-verified rows (stale 5
+    # rounds) ---
     "semantic_dedup_state",
     "session_duration_histogram",
     "shard_manifest",
@@ -7157,7 +7115,7 @@ _DRIVER_PRIORITY: list[str] = [
     "top_event_paths",
     "training_order",
     "yoy_nation_revenue",
-    # --- r11-verified block ---
+    # --- head-50 part 3: the first 29 r11-verified rows ---
     "ann_ivfpq",
     "ann_lsh",
     "bpe_train_merges",
@@ -7187,6 +7145,7 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_counts",
     "pack_sequences",
     "packing_efficiency",
+    # --- remaining 21 r11-verified rows (lead the r16 head) ---
     "part_size_histogram",
     "pq_quantize",
     "pq_recall_audit",
@@ -7208,7 +7167,7 @@ _DRIVER_PRIORITY: list[str] = [
     "top_seller_nations",
     "topic_counters",
     "unigram_logprob",
-    # --- r12-verified block (freshest) ---
+    # --- r12-verified block ---
     "ann_ivf",
     "ann_ivfpq_refined",
     "ann_ivfpq_state",
@@ -7259,8 +7218,7 @@ _DRIVER_PRIORITY: list[str] = [
     "try_timestamp_parse",
     "user_activity",
     "weekly_sales_pattern",
-    # --- r13-verified block (freshest: the r13 head-3 trio plus the
-    # 47-query r9 cohort rotated through the r13 driver head) ---
+    # --- r13-verified block ---
     "knn_graph_recall",
     "ingest_quarantine_report",
     "curated_pack_semantic",
@@ -7311,6 +7269,58 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "token_count_bpe",
     "train_val_split",
+    # --- r14-verified block (freshest: the 14 r13-continuation
+    # additions plus the 36 r10 rows from the r14 driver head) ---
+    "sq8_encode",
+    "sq8_search",
+    "sq8_recall_audit",
+    "ann_sq8_state",
+    "ann_sq8_state_refined",
+    "ann_ivfpq_state_refined",
+    "dsir_weights",
+    "dsir_select",
+    "nation_profit",
+    "label_prototypes",
+    "dedup_keep_best",
+    "source_divergence",
+    "purchase_view_window",
+    "key_skew_profile",
+    "ann_ivf_state",
+    "ann_recall_audit",
+    "bpe_merge_candidates",
+    "cheapest_supplier_per_part",
+    "constraint_audit",
+    "copurchase_pagerank",
+    "corpus_report",
+    "cross_source_duplication",
+    "curated_pack_state",
+    "curation_funnel",
+    "customer_value_deciles",
+    "daily_sales",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_spans_removal",
+    "dwh_audit_load",
+    "embedding_dedup_clusters",
+    "event_transition_matrix",
+    "incremental_dedup",
+    "incremental_dedup_state",
+    "incremental_semantic_dedup",
+    "kpi_overview",
+    "langid_confusion",
+    "lsh_band_planner",
+    "lsh_bucket_profile",
+    "minhash_recall_audit",
+    "mixture_epochs",
+    "mixture_sample",
+    "ods_typed_load",
+    "order_fulfillment_span",
+    "quality_threshold_sweep",
+    "representative_selection",
+    "revenue_forecast",
+    "sales_geolocation",
+    "sales_master_join",
+    "seller_performance",
 ]
 
 

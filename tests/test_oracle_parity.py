@@ -49,3 +49,33 @@ def test_every_query_has_full_oracle():
         f"queries without oracle: {sorted(set(QUERIES) - set(ORACLES))}; "
         f"oracles without query: {sorted(set(ORACLES) - set(QUERIES))}"
     )
+
+
+def test_embedding_oracle_dim_convention():
+    """Every embedding-family oracle unrolls vectors with a hard-coded
+    ``range(1, 65)`` (the ENGINE is dimension-agnostic via posexplode /
+    size(embedding), but DuckDB's list unrolls are pinned to the
+    corpus's 64-dim convention so they constant-fold). A corpus with a
+    different dim would pass the engine yet silently mis-verify (r14
+    ADVICE) — this guard makes that loud: it asserts the testdata
+    corpora actually carry 64-dim embeddings, at every SF present."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for path in sorted(
+        glob.glob("/root/testdata/sf*/embeddings.parquet")
+    ):
+        first = pq.read_table(path, columns=["embedding"]).column(
+            "embedding"
+        )[0]
+        assert len(first) == 64, (
+            f"{path}: embedding dim {len(first)} != 64 — the oracle"
+            " family's range(1, 65) unrolls (registry.py, 19 sites)"
+            " no longer match this corpus; re-derive them from the"
+            " new dim before trusting parity"
+        )
+        checked += 1
+    assert checked > 0, "no testdata embeddings found to check"

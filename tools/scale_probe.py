@@ -223,33 +223,40 @@ def probe(
         ]
         return out
     finally:
-        if own_tmp:
-            shutil.rmtree(scaled_dir, ignore_errors=True)
         # r14: the bench state builders derive their table prefixes
-        # from the sf_dir basename (so revisiting a corpus can never
-        # probe another's index), which means THIS probe's unique
-        # scaled tempdir leaves behind its own state tables — drop
-        # them, or every bench run accumulates a scaled-corpus index
-        # (hundreds of MB at factor 10) in the warehouse forever.
-        token = "".join(
-            c if c.isalnum() else "_"
-            for c in os.path.basename(scaled_dir.rstrip("/"))
-        )
-        try:
-            warehouse = spark.conf.get(
-                "spark.sql.warehouse.dir", ""
-            ).removeprefix("file:")
-            for row in spark.sql("SHOW TABLES").collect():
-                name = row["tableName"]
-                if token in name:
-                    spark.sql(f"DROP TABLE IF EXISTS {name}")
-                    if warehouse:
-                        shutil.rmtree(
-                            os.path.join(warehouse, name),
-                            ignore_errors=True,
-                        )
-        except Exception:  # cleanup must never fail the probe
-            pass
+        # from the sf_dir (so revisiting a corpus can never probe
+        # another's index), which means THIS probe's unique scaled
+        # tempdir leaves behind its own state tables — drop them, or
+        # every bench run accumulates a scaled-corpus index (hundreds
+        # of MB at factor 10) in the warehouse forever. r15 (r14
+        # ADVICE): match on the exact delimiter-anchored bench suffix
+        # (bench._sf_prefix folds a full-path hash, so substring
+        # collisions between look-alike basenames can't happen), and
+        # ONLY when the probe owns the scaled dir — a caller-supplied
+        # persistent corpus may intend to reuse its state.
+        if own_tmp:
+            import bench
+
+            # "" prefix yields the bare "_{token}_{hash}" suffix every
+            # state table of this corpus carries (tables are named
+            # f"{_sf_prefix(ring_prefix, sf_dir)}_<part>").
+            suffix = bench._sf_prefix("", scaled_dir)
+            shutil.rmtree(scaled_dir, ignore_errors=True)
+            try:
+                warehouse = spark.conf.get(
+                    "spark.sql.warehouse.dir", ""
+                ).removeprefix("file:")
+                for row in spark.sql("SHOW TABLES").collect():
+                    name = row["tableName"]
+                    if name.endswith(suffix) or f"{suffix}_" in name:
+                        spark.sql(f"DROP TABLE IF EXISTS {name}")
+                        if warehouse:
+                            shutil.rmtree(
+                                os.path.join(warehouse, name),
+                                ignore_errors=True,
+                            )
+            except Exception:  # cleanup must never fail the probe
+                pass
 
 
 def main() -> None:
