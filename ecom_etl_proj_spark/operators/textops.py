@@ -2528,6 +2528,122 @@ def quality_classifier_score(
     )
 
 
+def quality_classifier_eval(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 512,
+    n_steps: int = 4,
+    train_pct: int = 90,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Held-out evaluation curve for the quality classifier (r14
+    verdict item #2): fit ONLY on the ``train_val_split`` train bucket
+    and report, after every gradient step, accuracy on BOTH the train
+    docs and the held-out val docs — the standard overfitting guard
+    for a fasttext-style filter. ``quality_classifier_train``'s curve
+    is in-sample by construction (a memorizing model looks perfect
+    there); this is the number a real pipeline gates deployment on.
+
+    Split membership is ``train_val_split``'s md5-bucket draw — a pure
+    function of doc_id, identical in any engine, so the oracle
+    reproduces the exact same partition. Training reuses
+    ``_classifier_fit_steps`` verbatim on the train-only feature
+    frame; val margins are ONE broadcast join of the B-row weight
+    vector per step with LEFT semantics (a val doc whose hashed
+    buckets never occurred in training scores 0 from those features
+    instead of silently dropping out — at 100 TB a disjoint-vocab val
+    doc is routine). All margins stay exact DECIMAL; accuracies are
+    HALF_UP quantizes of exact ratios, mirroring the oracle's rounds.
+
+    Scale shape: the split predicate is row-local (no shuffle added);
+    per step the val pass adds one bounded margin aggregate over the
+    ~10% val slice on top of the train loop's two bounded shuffles.
+
+    Output: (step, n_train, n_val, train_correct, val_correct,
+    train_accuracy, val_accuracy, weight_l1).
+    """
+    spark = t["documents"].sparkSession
+    cut = format(int(256 * train_pct / 100), "02x")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < F.lit(cut)
+    )
+    feats_all = _classifier_features(t, target_sources, n_buckets, hash_mode)
+    split = t["documents"].select("doc_id", is_train.alias("in_train"))
+    tr_feats = (
+        feats_all.join(split.filter("in_train").select("doc_id"), "doc_id")
+        .localCheckpoint()
+    )
+    val_feats = (
+        feats_all.join(
+            split.filter(~F.col("in_train")).select("doc_id"), "doc_id"
+        )
+        .localCheckpoint()
+    )
+    n_train = tr_feats.select("doc_id").distinct().count()
+    n_val = val_feats.select("doc_id").distinct().count()
+
+    def _acc(margins: DataFrame) -> int:
+        return int(
+            margins.agg(
+                F.sum(
+                    F.when(
+                        (F.col("m") >= 0) == (F.col("y") == 1), 1
+                    ).otherwise(0)
+                ).alias("c")
+            ).collect()[0]["c"]
+        )
+
+    def _q6_ratio(num: int, den: int) -> float:
+        return float(
+            (Decimal(num) / den).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rows = []
+    for step, (w, tr_margins) in enumerate(
+        _classifier_fit_steps(spark, tr_feats, n_steps), start=1
+    ):
+        w_df = spark.createDataFrame(
+            [(b, str(v)) for b, v in w.items()], "bucket long, w_s string"
+        ).select(
+            "bucket", F.col("w_s").cast("decimal(18,6)").alias("w")
+        )
+        val_margins = (
+            val_feats.join(F.broadcast(w_df), "bucket", "left")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum(
+                    F.col("x")
+                    * F.coalesce(
+                        F.col("w"), F.lit(0).cast("decimal(18,6)")
+                    )
+                ).alias("m")
+            )
+        )
+        tr_correct = _acc(tr_margins)
+        val_correct = _acc(val_margins)
+        rows.append(
+            (
+                step,
+                n_train,
+                n_val,
+                tr_correct,
+                val_correct,
+                _q6_ratio(tr_correct, n_train),
+                _q6_ratio(val_correct, n_val),
+                # sum of 6dp decimals is exact 6dp — no rounding needed
+                float(sum(abs(v) for v in w.values())),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, n_train bigint, n_val bigint, train_correct bigint,"
+        " val_correct bigint, train_accuracy double, val_accuracy double,"
+        " weight_l1 double",
+    )
+
 
 def ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split

@@ -6126,7 +6126,31 @@ register(
 # driver-side weight update quantizes HALF_UP at 1e-6 exactly like
 # the SQL round, and the one irrational step (the sigmoid's exp) is
 # the same accepted trade as unigram_logprob's ln.
-def _quality_classifier_ctes(n_steps: int) -> list[str]:
+def _quality_classifier_ctes(
+    n_steps: int, split_cut: str | None = None
+) -> list[str]:
+    """``split_cut`` (two hex digits, e.g. '0xe6' for 90%) switches the
+    fit to train-only: qfeats keeps docs whose md5 bucket is below the
+    cut (exactly ``train_val_split``'s row-local draw), a qvfeats CTE
+    carries the held-out rest, and each step r gains a qvm{r} CTE —
+    the val margins under that step's weights via a LEFT join, so a
+    val doc with no train-seen bucket scores 0 instead of dropping."""
+    feat_inner = """
+            SELECT doc_id, y,
+                   CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+                       % 512 AS bucket,
+                   count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS n_tok
+            FROM qtoks{where} GROUP BY 1, 2, 3"""
+    if split_cut is None:
+        tr_where = vl_where = ""
+    else:
+        pred = (
+            "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+            f" < '{split_cut}'"
+        )
+        tr_where = f" WHERE {pred}"
+        vl_where = f" WHERE NOT ({pred})"
     ctes = [
         """qtoks AS MATERIALIZED (
         SELECT doc_id,
@@ -6134,17 +6158,11 @@ def _quality_classifier_ctes(n_steps: int) -> list[str]:
                unnest(string_split(lower(trim(text)), ' ')) AS term
         FROM documents
     )""",
-        """qfeats AS MATERIALIZED (
+        f"""qfeats AS MATERIALIZED (
         SELECT doc_id, y, bucket,
                CAST(round(cnt / CAST(n_tok AS DOUBLE), 6)
                     AS DECIMAL(18,6)) AS x
-        FROM (
-            SELECT doc_id, y,
-                   CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
-                       % 512 AS bucket,
-                   count(*) AS cnt,
-                   sum(count(*)) OVER (PARTITION BY doc_id) AS n_tok
-            FROM qtoks GROUP BY 1, 2, 3
+        FROM ({feat_inner.format(where=tr_where)}
         )
     )""",
         """qcls AS MATERIALIZED (
@@ -6157,6 +6175,16 @@ def _quality_classifier_ctes(n_steps: int) -> list[str]:
         FROM qcls
     )""",
     ]
+    if split_cut is not None:
+        ctes.append(
+            f"""qvfeats AS MATERIALIZED (
+        SELECT doc_id, y, bucket,
+               CAST(round(cnt / CAST(n_tok AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS x
+        FROM ({feat_inner.format(where=vl_where)}
+        )
+    )"""
+        )
     for r in range(1, n_steps + 2):
         p = r - 1
         if r == 1:
@@ -6194,6 +6222,12 @@ def _quality_classifier_ctes(n_steps: int) -> list[str]:
             ctes.append(f"""qw{r} AS MATERIALIZED (
         SELECT g.bucket, round(coalesce(w.wv, 0) + 0.25 * g.g, 6) AS wv
         FROM qg{r} g LEFT JOIN qw{p} w USING (bucket)
+    )""")
+        if split_cut is not None:
+            ctes.append(f"""qvm{r} AS MATERIALIZED (
+        SELECT f.doc_id, f.y, sum(f.x * coalesce(w.wv, 0)) AS m
+        FROM qvfeats f LEFT JOIN qw{r} w USING (bucket)
+        GROUP BY 1, 2
     )""")
     return ctes
 
@@ -6242,6 +6276,55 @@ register(
     "quality_classifier_score",
     lambda t: textops.quality_classifier_score(t, hash_mode="md5"),
     _quality_classifier_score_oracle(4),
+)
+
+
+def _quality_classifier_eval_oracle(n_steps: int, split_cut: str) -> str:
+    finals = [
+        f"""SELECT CAST({r} AS INT) AS step,
+        (SELECT n FROM qtrn) AS n_train,
+        (SELECT n FROM qvn) AS n_val,
+        CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END)
+             AS BIGINT) AS train_correct,
+        (SELECT CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) FROM qvm{r}) AS val_correct,
+        round(CAST(sum(CASE WHEN (m >= 0) = (y = 1) THEN 1 ELSE 0 END)
+              AS DOUBLE) / (SELECT n FROM qtrn), 6) AS train_accuracy,
+        (SELECT round(CAST(sum(CASE WHEN (m >= 0) = (y = 1)
+                                    THEN 1 ELSE 0 END)
+               AS DOUBLE) / (SELECT n FROM qvn), 6)
+         FROM qvm{r}) AS val_accuracy,
+        CAST((SELECT sum(abs(wv)) FROM qw{r}) AS DOUBLE) AS weight_l1
+        FROM qm{r + 1}"""
+        for r in range(1, n_steps + 1)
+    ]
+    counts = [
+        """qtrn AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT DISTINCT doc_id FROM qfeats)
+    )""",
+        """qvn AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT DISTINCT doc_id FROM qvfeats)
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(
+            _quality_classifier_ctes(n_steps, split_cut=split_cut) + counts
+        )
+        + "\n    " + "\n    UNION ALL ".join(finals)
+    )
+
+
+# Held-out evaluation curve (r15, r14 verdict item #2): fit on the
+# md5-split train bucket only, report train AND val accuracy per step
+# — the overfitting guard quality_classifier_train's in-sample curve
+# cannot give. 'e6' = 230/256 = train_val_split's 90% cut.
+register(
+    "quality_classifier_eval",
+    lambda t: textops.quality_classifier_eval(t, hash_mode="md5"),
+    _quality_classifier_eval_oracle(4, "e6"),
 )
 
 # CCNet-style per-language perplexity terciles (r14): head/middle/

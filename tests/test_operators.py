@@ -4051,3 +4051,46 @@ def test_build_ann_state_rebuild_drops_stale_optional_tables(
         ).count() == batch.count()
     finally:
         drop()
+
+
+def test_quality_classifier_eval_exposes_memorization(spark):
+    """quality_classifier_train's curve is in-sample, so a model that
+    can only MEMORIZE looks perfect there; quality_classifier_eval's
+    held-out curve must expose it. Corpus: every doc speaks a unique
+    vocabulary and the label alternates independently of any reusable
+    feature — the classifier can push train accuracy high only by
+    memorizing per-doc hash buckets, and the md5-split val docs (whose
+    buckets it never saw) must stay near chance."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [
+        (
+            i,
+            f"u{i}a u{i}b u{i}c u{i}d",
+            "tgt" if i % 2 == 0 else "web",
+            "x",
+            20,
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    )
+    curve = textops.quality_classifier_eval(
+        {"documents": docs}, target_sources=("tgt",), hash_mode="md5"
+    ).collect()
+    last = curve[-1]
+    assert last["n_train"] + last["n_val"] == 120
+    assert last["n_val"] > 0
+    # memorization: train accuracy climbs well past val (observed
+    # deterministic values: train 0.9906, val 0.7857 — val sits above
+    # chance only through hash-bucket collisions and the zero-margin
+    # positive default, not generalization)
+    assert last["train_accuracy"] >= 0.9, last
+    assert last["val_accuracy"] <= 0.85, last
+    assert last["train_accuracy"] - last["val_accuracy"] >= 0.15, last
+    # and the counts are consistent with the accuracies
+    assert last["train_correct"] <= last["n_train"]
+    assert last["val_correct"] <= last["n_val"]
