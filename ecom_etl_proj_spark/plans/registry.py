@@ -6373,6 +6373,22 @@ register(
     """,
 )
 
+# The ccnet production path registered behind its own oracle (r15,
+# r14 verdict item #3): two percentile_approx thresholds per language
+# + row-local bucket assignment — no per-language sort of the corpus.
+# The rfm_segments_approx audit convention: exact anchors (lang,
+# n_docs) hash-verified, assignment shift vs the exact NTILE form a
+# within-bound boolean (<= max(1% of the language's docs, 6)).
+register(
+    "ccnet_buckets_approx",
+    textops.ccnet_buckets_approx,
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS within_bound
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+
 # Bigram-LM quality gate (r12): Laplace-smoothed ln P(w2|w1) averaged
 # per doc — the CCNet perplexity-filter shape; ln kept, exp skipped
 # (monotone, and ln is the cross-engine-reproducible one).

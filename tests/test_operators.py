@@ -4094,3 +4094,60 @@ def test_quality_classifier_eval_exposes_memorization(spark):
     # and the counts are consistent with the accuracies
     assert last["train_correct"] <= last["n_train"]
     assert last["val_correct"] <= last["n_val"]
+
+
+def test_ccnet_buckets_approx_production_path(spark):
+    """The production assignment (percentile_approx thresholds +
+    row-local compare) must put the same clear-cut docs in head/tail
+    as the exact NTILE form, and the registered audit must come back
+    within_bound for every language."""
+    from ecom_etl_proj_spark.operators import textops
+
+    # strictly distinct per-doc scores (doc i mixes 9-i common words
+    # with i one-off tokens, so fluency decreases monotonically with
+    # i) — with score ties at a threshold the two forms legitimately
+    # split a tied group differently, which is exactly the boundary
+    # slack the audit bound prices, not what this test pins
+    rows = [
+        (
+            i,
+            " ".join(["the"] * (9 - i) + [f"zzq{i}x{k}" for k in range(i)]),
+            "en",
+            "src0",
+            30,
+        )
+        for i in range(9)
+    ]
+    rows += [
+        (9 + i, f"qqx tongue {'qqx ' * (5 - i)}rare{i}", "xx", "src1", 20)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    t = {"documents": docs}
+    ex = {
+        r["doc_id"]: r["bucket"]
+        for r in textops._ccnet_bucketed(t).collect()
+    }
+    ap = {
+        r["doc_id"]: r["bucket"]
+        for r in textops._ccnet_bucketed(t, approx=True).collect()
+    }
+    # clear-cut extremes agree exactly: most fluent en doc is head,
+    # least fluent is tail
+    assert ex[0] == ap[0] == 1, (ex, ap)
+    assert ex[8] == ap[8] == 3, (ex, ap)
+    # and overall the production assignment tracks NTILE to within
+    # the audit's boundary slack: at n=9/6 per language the element-
+    # valued thresholds can each move ~1 doc, but every move must be
+    # between ADJACENT buckets — a head<->tail jump would mean the
+    # thresholds crossed, not boundary granularity
+    shifts = [(ex[d], ap[d]) for d in ex if ex[d] != ap[d]]
+    assert len(shifts) <= 6, (shifts, ex, ap)
+    assert all(abs(e - a) == 1 for e, a in shifts), shifts
+    audit = textops.ccnet_buckets_approx(t).collect()
+    assert {r["lang"] for r in audit} == {"en", "xx"}
+    assert all(r["within_bound"] for r in audit), audit
