@@ -1132,7 +1132,7 @@ def dedup_simhash(
 
 def connected_components(
     pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 100,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a pair list: (doc_id, component_id).
@@ -1146,14 +1146,30 @@ def connected_components(
     per round lets labels leap along already-discovered paths).
     Converged when no label changes. Each round is two joins + one
     min-aggregate — all shuffles on doc_id, state is one label per
-    node. With the shortcut, rounds needed are O(log diameter) instead
-    of O(diameter) — this matters precisely for the chain-shaped
-    components the over-cap bucket expansion in ``dedup_minhash_lsh``
-    produces (star edges that fail Jaccard verification leave a path
-    graph whose diameter is the group size). ``max_iterations`` bounds
-    runaway graphs; hitting it without convergence RAISES rather than
-    silently returning split components (wrong representatives would
-    silently diverge from the transitive-closure oracle).
+    node — plus an inner compose-to-fixpoint pass over the label
+    table (true pointer doubling: each pass squares the reach along
+    already-discovered pointer chains). Round count: compression
+    collapses chain-shaped LABEL structures in O(log) passes — this
+    matters for the path graphs the over-cap bucket expansion in
+    ``dedup_minhash_lsh`` produces — but information still enters a
+    node only through graph EDGES (one hop per round), so the outer
+    round count is bounded by the largest component's effective
+    diameter net of pointer shortcuts. Near-dup components (stars,
+    short chains) converge in a handful of rounds; a long-diameter
+    geometric graph (the mutual kNN graph of an embedding corpus: the
+    sf0.001 graph has a 317-node component needing >20 hop rounds)
+    is the realistic worst case, hence the 100-round default cap
+    with each round priced flat (see ``_reset_stats``).
+    ``max_iterations`` bounds runaway graphs; hitting it without
+    convergence RAISES rather than silently returning split
+    components (wrong representatives would silently diverge from
+    the transitive-closure oracle). Known scale ceiling: a component
+    whose diameter outruns pointer shortcuts costs one round per hop
+    — the published upgrade is alternating large-star/small-star
+    contraction (Kiveris et al. 2014, O(log^2 n) rounds on any
+    graph), which rewrites the EDGE set per round instead of labels;
+    worth switching to if a production graph ever shows round counts
+    growing with corpus size rather than staying O(log).
 
     Iteration state management (the part that decides whether this
     survives at scale): ``edges`` is persisted once — every round joins
@@ -1187,10 +1203,36 @@ def connected_components(
     cleanup of superseded ones, or clean the directory between runs.
     """
 
+    def _reset_stats(df: DataFrame) -> DataFrame:
+        # Rebuild the checkpointed frame around its own materialized
+        # RDD (JVM-side, zero data movement) so Catalyst's size
+        # estimate resets. Without this the loop is a time bomb: a
+        # checkpointed DataFrame CARRIES its pre-checkpoint plan's
+        # sizeInBytes, the stats visitor estimates a join as the
+        # PRODUCT of its children's sizes, and this loop self-joins
+        # the label table — so the carried estimate SQUARES every
+        # round (digit count doubles: measured 14 -> 2500 digits in 8
+        # rounds on a 454-row table), and from round ~8 the driver
+        # burns minutes per round multiplying million-digit
+        # BigIntegers inside join planning while every task sits
+        # idle. AQE re-plans from true runtime sizes, so the reset
+        # (to the unknown-size default) costs nothing at execution.
+        try:
+            jdf = df._jdf
+            jnew = df.sparkSession._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
+            return DataFrame(jnew, df.sparkSession)
+        except Exception:
+            # private-API seam moved: fall back to the plain
+            # checkpointed frame (correct, but long runs re-expose
+            # the quadratic-stats planning cost)
+            return df
+
     def _save(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint()
+            return _reset_stats(df.checkpoint(eager=True))
+        return _reset_stats(df.localCheckpoint())
 
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
@@ -1239,37 +1281,63 @@ def connected_components(
     # permitted round happens to reach convergence confirms instead of
     # raising spuriously (confirming costs one no-change round by
     # construction — the check can only observe the round it ran in).
+    # Inner path-compression cap: each pass composes the label map
+    # with itself (label <- label(label)), so reach doubles per pass —
+    # 30 passes cover pointer chains of 2^30 nodes, far past any real
+    # component, and the loop exits at the compression fixpoint long
+    # before the cap on real graphs.
+    compress_cap = 30
     for _ in range(max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        hopped = labels.join(
-            neighbor_min, labels["node"] == neighbor_min["src"], "left"
-        ).select(
-            "node",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-        )
-        # Pointer-doubling shortcut: adopt the label's own label. Labels
-        # are node ids, so this is one equi-join against the same round
-        # state — it compresses paths exponentially (O(log diameter)
-        # rounds), where the hop alone advances one edge per round.
-        lbl2 = hopped.select(
-            F.col("node").alias("l_node"), F.col("label").alias("l_label")
-        )
         updated = _save(
-            hopped.join(lbl2, hopped["label"] == lbl2["l_node"], "left").select(
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            ).select(
                 "node",
-                "old_label",
+                F.col("label").alias("old_label"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
         )
+        # Path compression TO FIXPOINT: adopt the label's own label
+        # until nothing moves. Labels are node ids, so each pass is one
+        # equi-join of the label table against itself — reach along
+        # already-discovered pointer chains doubles per pass (true
+        # pointer doubling). A single compose per round (the r11-r14
+        # shape) advances too slowly on long geometric chains: the
+        # sf0.001 mutual 3-NN graph's 317-node component was still
+        # churning after 24 hop rounds, while full compression
+        # converges the same graph in a handful. Each pass is
+        # checkpointed so per-pass cost stays flat.
+        for _ in range(compress_cap):
+            lbl2 = updated.select(
+                F.col("node").alias("l_node"), F.col("label").alias("l_label")
+            )
+            compressed = _save(
+                updated.join(
+                    lbl2, updated["label"] == lbl2["l_node"], "left"
+                ).select(
+                    "node",
+                    "old_label",
+                    F.col("label").alias("pre_label"),
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("l_label"), F.col("label")),
+                    ).alias("label"),
+                )
+            )
+            done = compressed.filter(
+                F.col("label") != F.col("pre_label")
+            ).isEmpty()
+            updated = compressed.select("node", "old_label", "label")
+            if done:
+                break
         labels = updated.select("node", "label")
         # Convergence check folded into the round's own state: the
         # pre-round label was carried through the update, so "did any
@@ -1286,7 +1354,8 @@ def connected_components(
             f"connected_components did not converge within {max_iterations} "
             "label-changing iterations — component labels would be split and "
             "representatives wrong; raise max_iterations (rounds needed are "
-            "~log2 of the largest component's diameter with pointer-doubling)"
+            "~log_2 of the largest component's diameter with per-round full "
+            "path compression)"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 

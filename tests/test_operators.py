@@ -1022,6 +1022,20 @@ def test_connected_components_long_chain_converges(spark):
     assert {r["component_id"] for r in rows} == {0}
 
 
+# A 24-node sparse graph whose min-label basins force the engine's
+# hop + full-path-compression loop through 8 label-changing rounds
+# (found by exhaustive simulation of the algorithm; a plain PATH now
+# converges in ONE round because the compression inner loop collapses
+# monotone pointer chains — the r15 upgrade the old path-64 boundary
+# tests predated).
+_CC_MULTI_ROUND_EDGES = [
+    (0, 18), (1, 4), (1, 23), (2, 21), (3, 6), (3, 20), (4, 22),
+    (5, 22), (6, 14), (6, 16), (6, 17), (7, 12), (7, 20), (8, 16),
+    (8, 20), (8, 22), (9, 20), (10, 13), (10, 14), (12, 14), (12, 21),
+    (13, 19), (14, 17), (14, 19), (18, 19), (20, 21),
+]
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """Hitting max_iterations without a fixpoint must RAISE, never
     silently return split components (ADVICE r4: split labels diverge
@@ -1031,7 +1045,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
     from ecom_etl_proj_spark.operators import dedup
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+        _CC_MULTI_ROUND_EDGES, "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iterations=1)
@@ -1545,7 +1559,7 @@ def test_connected_components_converges_at_exact_budget(spark):
     from ecom_etl_proj_spark.operators import dedup
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+        _CC_MULTI_ROUND_EDGES, "doc_a long, doc_b long"
     )
     k = None
     for cand in range(1, 12):
@@ -1557,7 +1571,8 @@ def test_connected_components_converges_at_exact_budget(spark):
             break
         except RuntimeError:
             continue
-    assert k is not None and k > 1, "path-64 should need >1 changing round"
+    assert k is not None and k > 1, \
+        "the multi-basin graph should need >1 changing round"
     assert {r["component_id"] for r in rows} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iterations=k - 1)
@@ -4151,3 +4166,46 @@ def test_ccnet_buckets_approx_production_path(spark):
     audit = textops.ccnet_buckets_approx(t).collect()
     assert {r["lang"] for r in audit} == {"en", "xx"}
     assert all(r["within_bound"] for r in audit), audit
+
+
+def test_connected_components_stats_stay_bounded(spark):
+    """Regression pin for the r15 planning-cost bomb: a checkpointed
+    DataFrame used to carry its pre-checkpoint plan's sizeInBytes, the
+    stats visitor multiplies children at joins, and the loop
+    self-joins the label table — so the carried estimate SQUARED per
+    round (digit count doubled; by round ~10 the driver spent minutes
+    per round in BigInteger multiplication inside join planning).
+    connected_components now rebuilds each round's frame around its
+    materialized RDD, so the final plan's size estimate stays a normal
+    number, not a ~2^rounds-digit monster."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        _CC_MULTI_ROUND_EDGES, "doc_a long, doc_b long"
+    )
+    out = dedup.connected_components(pairs)
+    digits = len(
+        str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    # 8 label-changing rounds: the unfixed loop reaches ~3500 digits
+    assert digits < 40, f"stats estimate has {digits} digits"
+
+
+def test_knn_graph_soft_candidate_recall(tables):
+    """The soft candidate side only ADDS candidates, so per-level
+    graph recall must dominate the home-only construction, and at the
+    default probe level it must strictly improve on this corpus (the
+    whole point of r14 verdict item #5)."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    home = {
+        r["n_probe"]: r["recall"]
+        for r in similarity.knn_graph_recall(tables, b_soft=1).collect()
+    }
+    soft = {
+        r["n_probe"]: r["recall"]
+        for r in similarity.knn_graph_recall(tables).collect()
+    }
+    assert set(home) == set(soft) == {1, 2, 3, 4}
+    assert all(soft[p] >= home[p] for p in home), (home, soft)
+    assert soft[2] > home[2], (home, soft)
