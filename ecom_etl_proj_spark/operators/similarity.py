@@ -2892,6 +2892,97 @@ def _soft_assign_cells(
     ).select("vec_id", "embedding", F.col("s")["cell"].alias("cell"))
 
 
+def soft_assign_profile(
+    t: dict[str, DataFrame],
+    n_soft: int = 3,
+    margin: float = 0.25,
+    n_centroids: int | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Price ``knn_graph``'s soft candidate side BEFORE running it:
+    one row reporting how many vectors' 2nd/3rd nearest cells fall
+    within the soft margin — i.e. the exact b-side inflation the
+    (n_soft, margin) knob buys, the way ``lsh_bucket_profile`` prices
+    the banding join before ``dedup_minhash_lsh`` pays it. On a
+    margin-diffuse corpus (the synthetic bench embeddings) inflation
+    sits near the n_soft bound; on a really clustered corpus it
+    tracks the boundary fraction, and a policy can tune the margin to
+    an inflation budget from this row alone.
+
+    Scale shape: one row-local broadcast-sort pass over the corpus
+    (the same expression ``_soft_assign_cells`` evaluates — no join,
+    no explode kept) and ONE global aggregate; zero data movement
+    beyond the 1-row result.
+
+    Output: (n_vectors, n_within_margin_2, n_within_margin_3,
+    n_assignments, inflation).
+    """
+    import math
+
+    emb = t["embeddings"]
+    if n_centroids is None:
+        n_centroids = max(16, int(math.sqrt(_corpus_size(emb, corpus_size))))
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    cent_arr = cent.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell"), F.col("c_emb"), V.norm("c_emb").alias("c_norm")
+            )
+        ).alias("cents")
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (
+                        -V.dot(F.col("embedding"), c["c_emb"]) / c["c_norm"]
+                    ).alias("dist"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_soft,
+    )
+    gaps = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .withColumn("pc", ranked)
+        .select(
+            *[
+                (
+                    (F.col("pc")[k]["dist"] - F.col("pc")[0]["dist"])
+                    < F.lit(margin)
+                ).alias(f"in{k + 1}")
+                for k in range(1, n_soft)
+            ]
+        )
+    )
+    agg = gaps.agg(
+        F.count("*").alias("n_vectors"),
+        *[
+            F.sum(F.col(f"in{k + 1}").cast("long")).alias(
+                f"n_within_margin_{k + 1}"
+            )
+            for k in range(1, n_soft)
+        ],
+    )
+    extra = sum(
+        (F.col(f"n_within_margin_{k + 1}") for k in range(1, n_soft)),
+        F.lit(0),
+    )
+    return agg.select(
+        "n_vectors",
+        *[f"n_within_margin_{k + 1}" for k in range(1, n_soft)],
+        (F.col("n_vectors") + extra).cast("bigint").alias("n_assignments"),
+        F.round(
+            (F.col("n_vectors") + extra) / F.col("n_vectors"), 6
+        ).alias("inflation"),
+    )
+
+
 def knn_graph(
     t: dict[str, DataFrame],
     k: int = 3,

@@ -4209,3 +4209,28 @@ def test_knn_graph_soft_candidate_recall(tables):
     assert set(home) == set(soft) == {1, 2, 3, 4}
     assert all(soft[p] >= home[p] for p in home), (home, soft)
     assert soft[2] > home[2], (home, soft)
+
+
+def test_soft_assign_profile_prices_inflation(tables):
+    """The profile's n_assignments must equal the actual soft
+    assignment's row count (the audit prices exactly what knn_graph's
+    candidate side pays), inflation in [1, n_soft], and a margin of 0
+    must collapse to home-only."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    row = similarity.soft_assign_profile(tables).collect()[0]
+    emb = tables["embeddings"]
+    import math
+
+    nc = max(16, int(math.sqrt(emb.count())))
+    cent = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    actual = similarity._soft_assign_cells(emb, cent, 3, 0.25).count()
+    assert row["n_assignments"] == actual, (row, actual)
+    assert 1.0 <= row["inflation"] <= 3.0
+    zero = similarity.soft_assign_profile(tables, margin=0.0).collect()[0]
+    assert zero["n_assignments"] == zero["n_vectors"]
+    assert zero["inflation"] == 1.0
