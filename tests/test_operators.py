@@ -1048,7 +1048,9 @@ def test_connected_components_raises_on_nonconvergence(spark):
         _CC_MULTI_ROUND_EDGES, "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iterations=1)
+        dedup.connected_components(
+            pairs, max_iterations=1, algorithm="label"
+        )
 
 
 def test_ann_ivf_lloyd_recall(spark, tables):
@@ -1565,7 +1567,7 @@ def test_connected_components_converges_at_exact_budget(spark):
     for cand in range(1, 12):
         try:
             rows = dedup.connected_components(
-                pairs, max_iterations=cand
+                pairs, max_iterations=cand, algorithm="label"
             ).collect()
             k = cand
             break
@@ -1575,7 +1577,9 @@ def test_connected_components_converges_at_exact_budget(spark):
         "the multi-basin graph should need >1 changing round"
     assert {r["component_id"] for r in rows} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iterations=k - 1)
+        dedup.connected_components(
+            pairs, max_iterations=k - 1, algorithm="label"
+        )
 
 
 def test_dedup_state_build_probe_append(spark, tables):
@@ -4234,3 +4238,57 @@ def test_soft_assign_profile_prices_inflation(tables):
     zero = similarity.soft_assign_profile(tables, margin=0.0).collect()[0]
     assert zero["n_assignments"] == zero["n_vectors"]
     assert zero["inflation"] == 1.0
+
+
+def test_connected_components_star_label_equivalence(spark):
+    """The two CC algorithms must produce IDENTICAL (doc_id,
+    component_id) sets on every graph shape: path (label's old worst
+    case), multiple components, the multi-basin graph, and a random
+    sparse graph. Star contraction is the r15 default; label stays
+    selectable, so divergence would silently split clusters for
+    whichever path a caller picks."""
+    import random
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    graphs = {
+        "path": [(i, i + 1) for i in range(40)],
+        "two_comps": [(0, 1), (2, 3), (4, 5), (1, 2)],
+        "multi_basin": _CC_MULTI_ROUND_EDGES,
+        "random": sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (random.Random(3).randrange(120),
+                     random.Random(i).randrange(120))
+                    for i in range(160)
+                )
+                if a != b
+            }
+        ),
+    }
+    for name, rows in graphs.items():
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        star = {
+            (r["doc_id"], r["component_id"])
+            for r in dedup.connected_components(
+                pairs, algorithm="star"
+            ).collect()
+        }
+        label = {
+            (r["doc_id"], r["component_id"])
+            for r in dedup.connected_components(
+                pairs, algorithm="label"
+            ).collect()
+        }
+        assert star == label, (name, sorted(star ^ label)[:6])
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    import pytest
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown connected-components"):
+        dedup.connected_components(pairs, algorithm="hash2min")
