@@ -3039,6 +3039,20 @@ def knn_graph(
     set is deduped before ranking (rows for a duplicated pair are
     identical — same two vectors — so the dedup is value-stable).
 
+    Measured factor-10 linearity (r15 probe, sf0.1 -> 10x): 2.73.
+    That is NOT a regression of the soft side (a constant <= b_soft
+    multiplier cannot bend a curve) — it is the documented ~n^1.5
+    asymptote of cell-local graph construction becoming visible:
+    sum over sqrt(n) balanced cells of |cell|^2 grows as n^1.5, so a
+    pure-asymptote operator reads 3.16 at factor 10, and r14's 0.49
+    reading was the same construction still overhead-dominated at
+    1/3 the work. The n^1.5 shape is the deliberate trade that
+    avoids the n^2 all-pairs graph; for corpora past ~10^7 vectors
+    the linear-cost paths are (a) build the graph from the PERSISTED
+    ANN state (probe_ann_state per shard — bounded per-batch cost),
+    or (b) compress first (embedding_rp / sq8) so the same n^1.5
+    lands on 4-16x cheaper arithmetic.
+
     Deterministic: seeded centroids (the lloyd_iters=0 oracle
     contract), rounded cosines, (cosine desc, neighbor asc) ties.
     At ``n_probe=1`` with ``b_soft<=1`` vectors alone in their cell

@@ -7319,6 +7319,19 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_counts",
     "pack_sequences",
     "packing_efficiency",
+    # NOTE for the r16 rotation: r15 registered THREE more rows after
+    # this head froze (quality_classifier_eval, ccnet_buckets_approx,
+    # soft_assign_profile) — never driver-verified, each locally
+    # oracle-verified at sf0.001/0.01/0.1 and included in the r15
+    # close-out 224/224 sweep at sf0.01. They should OPEN the r16
+    # head, then the 21 remaining r11 rows below (stale 5 rounds by
+    # then), then the first 26 r12 rows to fill 50 (3 + 21 + 26 = 50).
+    # ALSO for r16: four rows changed engine+oracle in r15 (knn_graph,
+    # knn_graph_recall, mutual_knn_clusters, curated_pack_semantic —
+    # the soft candidate side + CC algorithm change); they sit in the
+    # r12/r13 blocks — pull them into the r16/r17 heads ahead of
+    # unchanged same-age rows so the driver re-verifies the changed
+    # code first.
     # --- remaining 21 r11-verified rows (lead the r16 head) ---
     "part_size_histogram",
     "pq_quantize",
