@@ -2743,6 +2743,99 @@ def _ann_ivf_state(t: Tables) -> DataFrame:
 register("ann_ivf_state", _ann_ivf_state, _ANN_IVF_ORACLE)
 
 
+def _knn_graph_state(t: Tables) -> DataFrame:
+    """Registered steady-state GRAPH maintenance (r15): top-3
+    neighbors for an arriving batch served from the PERSISTED IVF
+    index — the LINEAR growth path ``knn_graph``'s ~n^1.5 full-corpus
+    construction defers to past ~10^7 vectors: a growing corpus
+    builds its graph batch by batch, each batch one bounded state
+    probe (state side never shuffled, zero corpus scans — the
+    probe_ann_state cost shape). Candidates come from the inverted
+    file's HOME cells (the index stores each vector once), so
+    per-batch recall follows knn_graph_recall's home-only frontier
+    rather than the in-memory soft-candidate one — the documented
+    trade for state-serving; n_probe=2 mirrors the graph default.
+    Shares the 'annst' index with ann_ivf_state — zero extra build.
+    Output: (vec_id, neighbor_id, cosine_sim, rank), the knn_graph
+    contract restricted to the batch."""
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("annst", corpus)
+    if ("annst", corpus) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark, t, prefix, lloyd_iters=0, location=_state_location()
+        )
+        _STATE_BUILT.add(("annst", corpus))
+    batch = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    return similarity.probe_ann_state(
+        spark, prefix, batch, n_probe=2, k=3
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+register(
+    "knn_graph_state",
+    _knn_graph_state,
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    kdists AS (
+        SELECT e.vec_id, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM ranked_cells
+        WHERE rn <= 2 AND vec_id < 50
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+    ),
+    av AS (
+        SELECT p.vec_id, p.cell, e.embedding
+        FROM probed p JOIN embeddings e USING (vec_id)
+    ),
+    bv AS (
+        SELECT a.vec_id, a.cell, e.embedding
+        FROM assigned a JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               round({_COSINE_SQL.format(a='x.embedding', b='y.embedding')},
+                     6) AS cosine_sim
+        FROM av x JOIN bv y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    WHERE rank <= 3
+    """,
+)
+
+
 def _ann_ivfpq_state(t: Tables) -> DataFrame:
     """Registered steady-state IVF-PQ: build the persisted index ONCE
     per corpus — centroids + bucketed inverted file + PQ codebook +
@@ -7343,14 +7436,15 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_counts",
     "pack_sequences",
     "packing_efficiency",
-    # NOTE for the r16 rotation: r15 registered FOUR more rows after
+    # NOTE for the r16 rotation: r15 registered FIVE more rows after
     # this head froze (quality_classifier_eval, ccnet_buckets_approx,
-    # soft_assign_profile, quality_classifier_calibration) — never
-    # driver-verified, each locally oracle-verified at
-    # sf0.001/0.01/0.1 (the first three also in the r15 close-out
-    # 224/224 sweep at sf0.01). They should OPEN the r16 head, then
-    # the 21 remaining r11 rows below (stale 5 rounds by then), then
-    # the first 25 r12 rows to fill 50 (4 + 21 + 25 = 50).
+    # soft_assign_profile, quality_classifier_calibration,
+    # knn_graph_state) — never driver-verified, each locally
+    # oracle-verified at sf0.001/0.01/0.1 (the first three also in
+    # the r15 close-out 224/224 sweep at sf0.01). They should OPEN
+    # the r16 head, then the 21 remaining r11 rows below (stale 5
+    # rounds by then), then the first 24 r12 rows to fill 50
+    # (5 + 21 + 24 = 50).
     # ALSO for r16: four rows changed engine+oracle in r15 (knn_graph,
     # knn_graph_recall, mutual_knn_clusters, curated_pack_semantic —
     # the soft candidate side + CC algorithm change); they sit in the
