@@ -7351,107 +7351,46 @@ register(
 # Registration order
 # --------------------------------------------------------------------------
 # The driver's correctness harness checks the FIRST 50 registry entries per
-# round. ROUND-15 ROTATION (pure oldest-first cycle, every query keeps a
-# driver row). Head composition this round — exactly the r14 verdict's
-# item #1 (plan recorded last round in this file):
-#   1) the SEVEN rows registered after the r14 head froze
-#      (dsir_weights_hashed, dsir_select_hashed, prototype_outliers,
-#      bpe_tokenize, ccnet_buckets, quality_classifier_train,
-#      quality_classifier_score) — never driver-verified; each locally
+# round. ROUND-16 ROTATION — exactly the r15 verdict's item #1 (plan
+# recorded last round in this file). Head composition:
+#   1) the FIVE rows registered after the r15 head froze
+#      (quality_classifier_eval, ccnet_buckets_approx,
+#      soft_assign_profile, quality_classifier_calibration,
+#      knn_graph_state) — never driver-verified; each locally
 #      oracle-verified at sf0.001/0.01/0.1 AND independently verified
-#      by the r14 judge at sf0.01;
-#   2) the 14 remaining r10-verified rows (stale 5 rounds at r15
-#      check time — the stale tail the r14 verdict's item #6 flags);
-#   3) the first 29 of the r11-verified cohort (alphabetical order,
-#      stale 4 rounds).
-# 7 + 14 + 29 = 50 exactly. The remaining 21 r11 rows follow
-# immediately (they lead the r16 head), then r12, r13, and the
-# r14-verified rows (freshest: the 14 r13-continuation additions plus
-# the 36 r10 rows rotated through the r14 driver head) go last.
-# Changed-code audit for r15: none of the head-50 engines or oracles
-# changed since their last verification. OUTSIDE the head, four rows
-# changed engine+oracle together this round (r14 verdict item #5):
-# knn_graph / knn_graph_recall (soft candidate side), and their
-# consumers mutual_knn_clusters / curated_pack_semantic (denser graph
-# + the connected_components convergence/stats fixes) — each
-# re-verified locally at sf0.001/0.01/0.1 after the change; they sit
-# in the r12/r13 blocks and rotate into a driver head by r17. Rows
-# registered AFTER this head freezes (r15 additions) are appended at
-# the tail by _finalize_order: local oracle parity at sf0.001-0.1
-# gates them until their driver row lands in the r16 head (the
-# established r7+ pattern for post-freeze additions).
+#      by the r15 judge at sf0.01;
+#   2) the FOUR rows whose engine+oracle both changed in r15
+#      (knn_graph, knn_graph_recall, mutual_knn_clusters,
+#      curated_pack_semantic — soft candidate side + star-contraction
+#      CC default) — pulled ahead of unchanged same-age rows so the
+#      driver re-verifies the changed code first (r15 item #1);
+#   3) the 21 remaining r11-verified rows (stale 5 rounds at r16
+#      check time);
+#   4) the first 20 of the r12-verified cohort (alphabetical order,
+#      excluding the two already pulled forward in part 2).
+# 5 + 4 + 21 + 20 = 50 exactly. The remaining 28 r12 rows follow
+# immediately (they lead the r17 head), then r13 (minus the two
+# pulled forward), r14, and the r15-verified rows (freshest: the old
+# r15 head-50) go last. Rows registered AFTER this head freezes (r16
+# additions) are appended at the tail by _finalize_order: local
+# oracle parity at sf0.001-0.1 gates them until their driver row
+# lands in the r17 head (the established r7+ pattern).
 _DRIVER_PRIORITY: list[str] = [
-    # --- head-50 part 1: the 7 rows registered after the r14 head
-    # froze (never driver-verified) ---
-    "dsir_weights_hashed",
-    "dsir_select_hashed",
-    "prototype_outliers",
-    "bpe_tokenize",
-    "ccnet_buckets",
-    "quality_classifier_train",
-    "quality_classifier_score",
-    # --- head-50 part 2: the 14 remaining r10-verified rows (stale 5
-    # rounds) ---
-    "semantic_dedup_state",
-    "session_duration_histogram",
-    "shard_manifest",
-    "shingle_df_profile",
-    "stg_dedup_rownumber",
-    "stg_dim_key_map",
-    "stg_mean_imputation",
-    "stg_sentinel_timestamps",
-    "suppliers_kept_waiting",
-    "temperature_mixture",
-    "term_cooccurrence",
-    "top_event_paths",
-    "training_order",
-    "yoy_nation_revenue",
-    # --- head-50 part 3: the first 29 r11-verified rows ---
-    "ann_ivfpq",
-    "ann_lsh",
-    "bpe_train_merges",
-    "category_translation",
-    "contrastive_pairs",
-    "corpus_alignment",
-    "covisitation_pairs",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_threshold_sweep",
-    "doc_fingerprint",
-    "embedding_knn",
-    "embedding_knn_classify",
-    "embedding_near_dup",
-    "embedding_outliers",
-    "event_value_stats",
-    "geo_fallback_join",
-    "hybrid_search",
-    "lang_id",
-    "market_segment_share",
-    "monthly_sales",
-    "multimodal_decode",
-    "multimodal_decode_bmp",
-    "multimodal_meta",
-    "ngram_novelty",
-    "order_priority_counts",
-    "pack_sequences",
-    "packing_efficiency",
-    # NOTE for the r16 rotation: r15 registered FIVE more rows after
-    # this head froze (quality_classifier_eval, ccnet_buckets_approx,
-    # soft_assign_profile, quality_classifier_calibration,
-    # knn_graph_state) — never driver-verified, each locally
-    # oracle-verified at sf0.001/0.01/0.1 (the first three also in
-    # the r15 close-out 224/224 sweep at sf0.01). They should OPEN
-    # the r16 head, then the 21 remaining r11 rows below (stale 5
-    # rounds by then), then the first 24 r12 rows to fill 50
-    # (5 + 21 + 24 = 50).
-    # ALSO for r16: four rows changed engine+oracle in r15 (knn_graph,
-    # knn_graph_recall, mutual_knn_clusters, curated_pack_semantic —
-    # the soft candidate side + CC algorithm change); they sit in the
-    # r12/r13 blocks — pull them into the r16/r17 heads ahead of
-    # unchanged same-age rows so the driver re-verifies the changed
-    # code first.
-    # --- remaining 21 r11-verified rows (lead the r16 head) ---
+    # --- head-50 part 1: the 5 rows registered after the r15 head
+    # froze (never driver-verified; judge-verified at sf0.01) ---
+    "quality_classifier_eval",
+    "ccnet_buckets_approx",
+    "soft_assign_profile",
+    "quality_classifier_calibration",
+    "knn_graph_state",
+    # --- head-50 part 2: the 4 rows whose engine+oracle changed in
+    # r15 (soft candidate side + star-contraction CC) ---
+    "knn_graph",
+    "knn_graph_recall",
+    "mutual_knn_clusters",
+    "curated_pack_semantic",
+    # --- head-50 part 3: the 21 remaining r11-verified rows (stale
+    # 5 rounds) ---
     "part_size_histogram",
     "pq_quantize",
     "pq_recall_audit",
@@ -7473,7 +7412,7 @@ _DRIVER_PRIORITY: list[str] = [
     "top_seller_nations",
     "topic_counters",
     "unigram_logprob",
-    # --- r12-verified block ---
+    # --- head-50 part 4: the first 20 r12-verified rows ---
     "ann_ivf",
     "ann_ivfpq_refined",
     "ann_ivfpq_state",
@@ -7494,12 +7433,11 @@ _DRIVER_PRIORITY: list[str] = [
     "events_minutely",
     "hourly_activity",
     "idle_high_balance_customers",
+    # --- remaining 28 r12-verified rows (lead the r17 head) ---
     "important_parts",
     "ivf_cell_balance",
-    "knn_graph",
     "kpi_overview_approx",
     "market_share_by_nation",
-    "mutual_knn_clusters",
     "oov_rate_by_source",
     "pq_recall_floor",
     "price_band_stats",
@@ -7524,10 +7462,8 @@ _DRIVER_PRIORITY: list[str] = [
     "try_timestamp_parse",
     "user_activity",
     "weekly_sales_pattern",
-    # --- r13-verified block ---
-    "knn_graph_recall",
+    # --- r13-verified block (minus the two pulled into part 2) ---
     "ingest_quarantine_report",
-    "curated_pack_semantic",
     "bm25_search",
     "brand_supplier_counts",
     "category_counters",
@@ -7575,8 +7511,7 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "token_count_bpe",
     "train_val_split",
-    # --- r14-verified block (freshest: the 14 r13-continuation
-    # additions plus the 36 r10 rows from the r14 driver head) ---
+    # --- r14-verified block ---
     "sq8_encode",
     "sq8_search",
     "sq8_recall_audit",
@@ -7627,6 +7562,57 @@ _DRIVER_PRIORITY: list[str] = [
     "sales_geolocation",
     "sales_master_join",
     "seller_performance",
+    # --- r15-verified block (freshest: the old r15 head-50) ---
+    "dsir_weights_hashed",
+    "dsir_select_hashed",
+    "prototype_outliers",
+    "bpe_tokenize",
+    "ccnet_buckets",
+    "quality_classifier_train",
+    "quality_classifier_score",
+    "semantic_dedup_state",
+    "session_duration_histogram",
+    "shard_manifest",
+    "shingle_df_profile",
+    "stg_dedup_rownumber",
+    "stg_dim_key_map",
+    "stg_mean_imputation",
+    "stg_sentinel_timestamps",
+    "suppliers_kept_waiting",
+    "temperature_mixture",
+    "term_cooccurrence",
+    "top_event_paths",
+    "training_order",
+    "yoy_nation_revenue",
+    "ann_ivfpq",
+    "ann_lsh",
+    "bpe_train_merges",
+    "category_translation",
+    "contrastive_pairs",
+    "corpus_alignment",
+    "covisitation_pairs",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+    "doc_fingerprint",
+    "embedding_knn",
+    "embedding_knn_classify",
+    "embedding_near_dup",
+    "embedding_outliers",
+    "event_value_stats",
+    "geo_fallback_join",
+    "hybrid_search",
+    "lang_id",
+    "market_segment_share",
+    "monthly_sales",
+    "multimodal_decode",
+    "multimodal_decode_bmp",
+    "multimodal_meta",
+    "ngram_novelty",
+    "order_priority_counts",
+    "pack_sequences",
+    "packing_efficiency",
 ]
 
 
