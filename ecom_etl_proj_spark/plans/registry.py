@@ -5951,13 +5951,20 @@ register(
 # generated once at max_probe with the probe rank carried; each level
 # ranks its own prefix. Fully deterministic (seeded centroids, rounded
 # cosines, fixed ties) -> exact full-oracle values, no tolerance bound.
+# r16: the query sample is a corpus-wide STRIDE (vec_id % (n//50) = 0)
+# — the old vec_id < 50 sample coincided with the seeded centroid set,
+# whose queries are systematically easy for cell-local search (their
+# own cell's members ARE the corpus vectors most similar to them);
+# see the engine docstring for the measured bias (0.92 vs ~0.39 at
+# sf0.1 probe 2).
 register(
     "knn_graph_recall",
     lambda t: similarity.knn_graph_recall(t),
     f"""
     WITH params AS (
         SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
-               AS nc
+               AS nc,
+               greatest(1, count(*) // 50) AS st
         FROM embeddings
     ),
     cent AS (
@@ -5983,7 +5990,7 @@ register(
     ),
     qprobes AS (
         SELECT vec_id, cell, rn AS pr FROM rcells
-        WHERE vec_id < 50 AND rn <= 4
+        WHERE vec_id % (SELECT st FROM params) = 0 AND rn <= 4
     ),
     bv AS (
         SELECT a.vec_id AS neighbor_id, a.cell, e.embedding AS n_emb
@@ -6024,7 +6031,219 @@ register(
                            a='q.embedding', b='e.embedding')}, 6) DESC,
                                 e.vec_id ASC) AS rn
             FROM (SELECT vec_id, embedding FROM embeddings
-                  WHERE vec_id < 50) q
+                  WHERE vec_id % (SELECT st FROM params) = 0) q
+            JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= 3
+    ),
+    exn AS (SELECT count(*) AS n_exact_pairs FROM exact),
+    hits AS (
+        SELECT f.n_probe, count(*) AS n_found
+        FROM found f JOIN exact x USING (vec_id, neighbor_id)
+        GROUP BY 1
+    )
+    SELECT CAST(l.n_probe AS INTEGER) AS n_probe,
+           CAST(3 AS INTEGER) AS k,
+           exn.n_exact_pairs,
+           CAST(coalesce(h.n_found, 0) AS BIGINT) AS n_found,
+           round(CAST(coalesce(h.n_found, 0) AS DOUBLE)
+                 / CAST(exn.n_exact_pairs AS DOUBLE), 6) AS recall
+    FROM levels l CROSS JOIN exn
+    LEFT JOIN hits h ON h.n_probe = l.n_probe
+    ORDER BY n_probe
+    """,
+)
+
+# Capped scale-path graph (r16, r15 verdict item #2): knn_graph's
+# mode="capped" — the LINEAR construction the auto default switches to
+# past scale_threshold vectors. Home-only b-side with the per-cell
+# core cap (dist-to-centroid asc, vec_id asc — deterministic, no
+# hash-mode split) and a 4-cell a-side probe. cell_cap pins to 16 here
+# so the cap BINDS at every test SF (cells average ~23 members at
+# sf0.01) and the oracle exercises the capped branch, not a no-op cap.
+register(
+    "knn_graph_capped",
+    lambda t: similarity.knn_graph(t, mode="capped", cell_cap=16),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    kdists AS (
+        SELECT e.vec_id, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cell, dist, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM ranked_cells WHERE rn <= 4
+    ),
+    home AS (
+        SELECT vec_id, cell, dist FROM ranked_cells WHERE rn = 1
+    ),
+    capped AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY cell ORDER BY dist ASC, vec_id ASC) AS crank
+            FROM home)
+        WHERE crank <= 16
+    ),
+    av AS (
+        SELECT p.vec_id, p.cell, e.embedding
+        FROM probed p JOIN embeddings e USING (vec_id)
+    ),
+    bv AS (
+        SELECT c.vec_id, c.cell, e.embedding
+        FROM capped c JOIN embeddings e USING (vec_id)
+    ),
+    -- home-only b-side: each pair surfaces through exactly one cell,
+    -- so no DISTINCT is needed (mirrors the engine's dedup-free join)
+    sims AS (
+        SELECT x.vec_id, y.vec_id AS neighbor_id,
+               round({_COSINE_SQL.format(a='x.embedding', b='y.embedding')},
+                     6) AS cosine_sim
+        FROM av x JOIN bv y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM sims)
+    WHERE rank <= 3
+    """,
+)
+
+# Cap pricing audit (r16): how much candidate mass the per-cell core
+# cap drops on THIS corpus — the no-silent-caps companion to
+# knn_graph_capped, the soft_assign_profile convention. cell_cap=16
+# matches the registered capped graph so the two rows price the same
+# configuration.
+register(
+    "knn_graph_cap_profile",
+    lambda t: similarity.knn_graph_cap_profile(t, cell_cap=16),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    kdists AS (
+        SELECT e.vec_id, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked AS (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists
+    ),
+    home AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    cc AS (SELECT cell, count(*) AS n_members FROM home GROUP BY cell)
+    SELECT CAST(sum(n_members) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(16 AS INTEGER) AS cell_cap,
+           CAST(sum(least(n_members, 16)) AS BIGINT) AS n_kept,
+           CAST(sum(greatest(n_members - 16, 0)) AS BIGINT) AS n_dropped,
+           round(CAST(sum(greatest(n_members - 16, 0)) AS DOUBLE)
+                 / sum(n_members), 6) AS dropped_fraction,
+           CAST(max(n_members) AS BIGINT) AS max_cell
+    FROM cc
+    """,
+)
+
+# Capped-frontier recall audit (r16): knn_graph_recall with the capped
+# b-side — prices what the registered cap (16) costs in edges at each
+# probe level, against the same exact ground truth and the same stride
+# sample as the in-plan audit.
+register(
+    "knn_graph_capped_recall",
+    lambda t: similarity.knn_graph_recall(t, mode="capped", cell_cap=16),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc,
+               greatest(1, count(*) // 50) AS st
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    kdists AS (
+        SELECT e.vec_id, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    rcells AS (
+        SELECT vec_id, cell, dist, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists
+    ),
+    home AS (SELECT vec_id, cell, dist FROM rcells WHERE rn = 1),
+    capped AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY cell ORDER BY dist ASC, vec_id ASC) AS crank
+            FROM home)
+        WHERE crank <= 16
+    ),
+    qprobes AS (
+        SELECT vec_id, cell, rn AS pr FROM rcells
+        WHERE vec_id % (SELECT st FROM params) = 0 AND rn <= 4
+    ),
+    bv AS (
+        SELECT a.vec_id AS neighbor_id, a.cell, e.embedding AS n_emb
+        FROM capped a JOIN embeddings e USING (vec_id)
+    ),
+    qv AS (
+        SELECT p.vec_id, p.pr, p.cell, e.embedding
+        FROM qprobes p JOIN embeddings e USING (vec_id)
+    ),
+    -- home-only b: a pair arises in exactly one cell, so min(pr) is
+    -- the pair's own probe rank (kept in the shared audit shape)
+    cand AS (
+        SELECT vec_id, neighbor_id, min(pr) AS pr, cosine_sim
+        FROM (
+            SELECT q.vec_id, b.neighbor_id, q.pr,
+                   round({_COSINE_SQL.format(a='q.embedding', b='b.n_emb')},
+                         6) AS cosine_sim
+            FROM qv q JOIN bv b ON q.cell = b.cell
+                               AND q.vec_id <> b.neighbor_id
+        ) GROUP BY vec_id, neighbor_id, cosine_sim
+    ),
+    levels AS (SELECT * FROM (VALUES (1), (2), (3), (4)) l(n_probe)),
+    found AS (
+        SELECT n_probe, vec_id, neighbor_id FROM (
+            SELECT l.n_probe, c.vec_id, c.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l.n_probe, c.vec_id
+                       ORDER BY c.cosine_sim DESC, c.neighbor_id ASC) AS rnk
+            FROM levels l JOIN cand c ON c.pr <= l.n_probe)
+        WHERE rnk <= 3
+    ),
+    exact AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT q.vec_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COSINE_SQL.format(
+                           a='q.embedding', b='e.embedding')}, 6) DESC,
+                                e.vec_id ASC) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % (SELECT st FROM params) = 0) q
             JOIN embeddings e ON e.vec_id <> q.vec_id)
         WHERE rn <= 3
     ),

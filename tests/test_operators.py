@@ -2813,7 +2813,10 @@ def test_knn_graph_recall_consistent_with_operator(spark, tables):
     assert audit[1]["n_exact_pairs"] == audit[2]["n_exact_pairs"]
 
     emb = tables["embeddings"]
-    q = emb.filter(F.col("vec_id") < nq).select(
+    # the audit's r16 sample: a corpus-wide stride (vec_id % (n//nq)),
+    # not the centroid-biased head (see the engine docstring)
+    stride = max(1, emb.count() // nq)
+    q = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
     from pyspark.sql import Window
@@ -2836,7 +2839,7 @@ def test_knn_graph_recall_consistent_with_operator(spark, tables):
     assert audit[1]["n_exact_pairs"] == exact.count()
     for p in (1, 2):
         g = similarity.knn_graph(tables, k=k, n_probe=p).filter(
-            F.col("vec_id") < nq
+            F.col("vec_id") % stride == 0
         )
         n_found = g.join(exact, ["vec_id", "neighbor_id"]).count()
         assert n_found == audit[p]["n_found"], p
@@ -4238,6 +4241,109 @@ def test_soft_assign_profile_prices_inflation(tables):
     zero = similarity.soft_assign_profile(tables, margin=0.0).collect()[0]
     assert zero["n_assignments"] == zero["n_vectors"]
     assert zero["inflation"] == 1.0
+
+
+def test_knn_graph_auto_mode_switch(tables):
+    """mode='auto' must serve the in-plan graph below scale_threshold
+    and the capped construction above it (r15 verdict item #2), with
+    both forced modes staying selectable at any size."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    auto_small = similarity.knn_graph(tables)  # 500 vectors < 8192
+    inplan = similarity.knn_graph(tables, mode="inplan")
+    assert sorted(map(tuple, auto_small.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+    auto_big = similarity.knn_graph(tables, scale_threshold=100)
+    capped = similarity.knn_graph(tables, mode="capped")
+    assert sorted(map(tuple, auto_big.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.knn_graph(tables, mode="bogus")
+
+
+def test_knn_graph_capped_bounds_candidates(tables):
+    """The capped construction's per-query candidate mass is bounded
+    by capped_n_probe * cell_cap regardless of corpus size — with
+    cell_cap=1 and capped_n_probe=2 every vector can see at most 2
+    candidates, so no vector gets more than 2 edges even at k=3, and
+    no edge may ever point at the vector itself."""
+    from collections import Counter
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    rows = similarity.knn_graph(
+        tables, k=3, mode="capped", cell_cap=1, capped_n_probe=2
+    ).collect()
+    per_vec = Counter(r["vec_id"] for r in rows)
+    assert rows and max(per_vec.values()) <= 2
+    assert all(r["vec_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_knn_graph_cap_profile_prices_capped_b_side(tables):
+    """The profile must price exactly the candidate mass the capped
+    b-side keeps (the soft_assign_profile convention): n_kept equals
+    the actual post-cap row count, kept + dropped covers every home
+    assignment, and the fraction is their ratio."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    cap = 16
+    row = similarity.knn_graph_cap_profile(tables, cell_cap=cap).collect()[0]
+    assert row["n_kept"] + row["n_dropped"] == row["n_vectors"]
+    assert row["dropped_fraction"] == round(
+        row["n_dropped"] / row["n_vectors"], 6
+    )
+    emb = tables["embeddings"]
+    nc = max(16, int(math.sqrt(emb.count())))
+    cent = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    wcap = Window.partitionBy("cell").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    actual_kept = (
+        similarity._assign_cells(emb, cent, with_dist=True)
+        .withColumn("crank", F.row_number().over(wcap))
+        .filter(F.col("crank") <= cap)
+        .count()
+    )
+    assert row["n_kept"] == actual_kept, (row, actual_kept)
+    assert row["max_cell"] >= row["n_vectors"] // row["n_cells"]
+
+
+def test_knn_graph_recall_honest_frontier_pinned(tables):
+    """Pin the corrected (stride-sample) cost-recall frontier on the
+    test corpus — the numbers the operator docstrings document (r16;
+    the old vec_id<50 sample coincided with the centroid set and read
+    0.76-0.92 at probe 2 where representative queries read 0.42-0.53).
+    Deterministic end to end, so exact equality."""
+    from ecom_etl_proj_spark.operators import similarity
+
+    soft = {
+        r["n_probe"]: r["recall"]
+        for r in similarity.knn_graph_recall(tables).collect()
+    }
+    assert soft == {1: 0.393333, 2: 0.546667, 3: 0.653333, 4: 0.746667}, soft
+    capped = {
+        r["n_probe"]: r["recall"]
+        for r in similarity.knn_graph_recall(
+            tables, mode="capped", cell_cap=16
+        ).collect()
+    }
+    assert capped == {
+        1: 0.193333,
+        2: 0.273333,
+        3: 0.353333,
+        4: 0.393333,
+    }, capped
 
 
 def test_connected_components_star_label_equivalence(spark):

@@ -89,6 +89,13 @@ HEADLINE = [
     # the cell id, bounded per-vector window) and the RP shortlist +
     # exact-refine pipeline (row-local projection, bounded refine).
     "knn_graph",
+    # r16: the capped scale path the auto default switches to past
+    # scale_threshold — the plan must show row-local probe/assignment
+    # folds, the per-cell cap window as the only b-side exchange (at
+    # audit SF the capped b-side then broadcasts; at scale the cell
+    # join reuses its hash(cell) partitioning), and no dedup exchange
+    # (home-only b-side generates each pair once).
+    "knn_graph_capped",
     "ann_rp_refined",
     # r13 adds: the graph-recall audit (one max-probe candidate pass,
     # per-level bounded windows, one broadcast exact side), the
