@@ -2716,6 +2716,22 @@ def _state_location() -> str:
     return _STATE_LOCATION[0]
 
 
+def _home_graph_prefix(t: Tables) -> str:
+    """Build (once per corpus per process) and return the HOME-ONLY
+    seeded IVF index ('annst' — shared by ann_ivf_state and the
+    state-recall audit's home baseline)."""
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("annst", corpus)
+    if ("annst", corpus) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark, t, prefix, lloyd_iters=0, location=_state_location()
+        )
+        _STATE_BUILT.add(("annst", corpus))
+    return prefix
+
+
 def _ann_ivf_state(t: Tables) -> DataFrame:
     """Registered steady-state ANN: build the persisted IVF index once
     per corpus (first invocation in this process — eager, like any
@@ -2726,13 +2742,7 @@ def _ann_ivf_state(t: Tables) -> DataFrame:
     ann_ivf_state_prod and A/B-asserted in tests."""
     emb = t["embeddings"]
     spark = emb.sparkSession
-    corpus = _corpus_key(emb)
-    prefix = _state_prefix("annst", corpus)
-    if ("annst", corpus) not in _STATE_BUILT:
-        similarity.build_ann_state(
-            spark, t, prefix, lloyd_iters=0, location=_state_location()
-        )
-        _STATE_BUILT.add(("annst", corpus))
+    prefix = _home_graph_prefix(t)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2743,6 +2753,25 @@ def _ann_ivf_state(t: Tables) -> DataFrame:
 register("ann_ivf_state", _ann_ivf_state, _ANN_IVF_ORACLE)
 
 
+def _soft_graph_prefix(t: Tables) -> str:
+    """Build (once per corpus per process) and return the SOFT
+    graph-serving index: the r16 inverted file whose cells carry the
+    boundary-aware multi-assignment (b_soft=3, margin=0.25 — the
+    knn_graph in-plan candidate side), so state probes reach the
+    in-plan soft recall frontier instead of home-only."""
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+    corpus = _corpus_key(emb)
+    prefix = _state_prefix("annsft", corpus)
+    if ("annsft", corpus) not in _STATE_BUILT:
+        similarity.build_ann_state(
+            spark, t, prefix, lloyd_iters=0, location=_state_location(),
+            b_soft=3, soft_margin=0.25,
+        )
+        _STATE_BUILT.add(("annsft", corpus))
+    return prefix
+
+
 def _knn_graph_state(t: Tables) -> DataFrame:
     """Registered steady-state GRAPH maintenance (r15): top-3
     neighbors for an arriving batch served from the PERSISTED IVF
@@ -2750,23 +2779,19 @@ def _knn_graph_state(t: Tables) -> DataFrame:
     construction defers to past ~10^7 vectors: a growing corpus
     builds its graph batch by batch, each batch one bounded state
     probe (state side never shuffled, zero corpus scans — the
-    probe_ann_state cost shape). Candidates come from the inverted
-    file's HOME cells (the index stores each vector once), so
-    per-batch recall follows knn_graph_recall's home-only frontier
-    rather than the in-memory soft-candidate one — the documented
-    trade for state-serving; n_probe=2 mirrors the graph default.
-    Shares the 'annst' index with ann_ivf_state — zero extra build.
+    probe_ann_state cost shape). r16 (r15 verdict item #3): served
+    from the SOFT inverted file ('annsft' — build_ann_state with
+    b_soft=3, soft_margin=0.25), so per-batch recall now equals the
+    in-plan soft frontier instead of home-only (the equality is
+    re-proved against the oracle every round by
+    knn_graph_state_recall); the probe's sim DISTINCT collapses a
+    pair that surfaces through several probed cells. n_probe=2
+    mirrors the in-plan graph default.
     Output: (vec_id, neighbor_id, cosine_sim, rank), the knn_graph
     contract restricted to the batch."""
     emb = t["embeddings"]
     spark = emb.sparkSession
-    corpus = _corpus_key(emb)
-    prefix = _state_prefix("annst", corpus)
-    if ("annst", corpus) not in _STATE_BUILT:
-        similarity.build_ann_state(
-            spark, t, prefix, lloyd_iters=0, location=_state_location()
-        )
-        _STATE_BUILT.add(("annst", corpus))
+    prefix = _soft_graph_prefix(t)
     batch = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2800,7 +2825,7 @@ register(
         FROM embeddings e CROSS JOIN cent c
     ),
     ranked_cells AS (
-        SELECT vec_id, cell, ROW_NUMBER() OVER (
+        SELECT vec_id, cell, dist, ROW_NUMBER() OVER (
             PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
         FROM kdists
     ),
@@ -2808,8 +2833,14 @@ register(
         SELECT vec_id, cell FROM ranked_cells
         WHERE rn <= 2 AND vec_id < 50
     ),
+    -- r16: the SOFT inverted file — home cell always, 2nd/3rd cells
+    -- when the centroid-distance gap clears the 0.25 margin (mirrors
+    -- build_ann_state(b_soft=3, soft_margin=0.25))
     assigned AS (
-        SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+        SELECT r.vec_id, r.cell
+        FROM ranked_cells r
+        JOIN ranked_cells h ON h.vec_id = r.vec_id AND h.rn = 1
+        WHERE r.rn = 1 OR (r.rn <= 3 AND r.dist - h.dist < 0.25)
     ),
     av AS (
         SELECT p.vec_id, p.cell, e.embedding
@@ -2819,8 +2850,10 @@ register(
         SELECT a.vec_id, a.cell, e.embedding
         FROM assigned a JOIN embeddings e USING (vec_id)
     ),
+    -- a soft pair can surface through several shared cells: DISTINCT
+    -- mirrors probe_ann_state's sim dedup
     sims AS (
-        SELECT x.vec_id, y.vec_id AS neighbor_id,
+        SELECT DISTINCT x.vec_id, y.vec_id AS neighbor_id,
                round({_COSINE_SQL.format(a='x.embedding', b='y.embedding')},
                      6) AS cosine_sim
         FROM av x JOIN bv y ON x.cell = y.cell AND x.vec_id <> y.vec_id
@@ -2832,6 +2865,129 @@ register(
             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
         FROM sims)
     WHERE rank <= 3
+    """,
+)
+
+# State-recall audit (r16, r15 verdict item #3's "Done" row): recall
+# of the soft-index state probe vs exact ground truth on the stride
+# sample, side by side with the home-only index and the in-plan soft
+# graph at the same n_probe=2 — state_soft equals inplan_soft by
+# construction (the soft inverted file persists exactly the in-plan
+# candidate multi-assignment) and both dominate state_home; the row
+# re-proves that against the oracle every round.
+register(
+    "knn_graph_state_recall",
+    lambda t: similarity.knn_graph_state_recall(
+        t["embeddings"].sparkSession,
+        t,
+        _soft_graph_prefix(t),
+        _home_graph_prefix(t),
+    ),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc,
+               greatest(1, count(*) // 50) AS st
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    kdists AS (
+        SELECT e.vec_id, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    rcells AS (
+        SELECT vec_id, cell, dist, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+        FROM kdists
+    ),
+    qprobes AS (
+        SELECT vec_id, cell FROM rcells
+        WHERE vec_id % (SELECT st FROM params) = 0 AND rn <= 2
+    ),
+    soft AS (
+        SELECT r.vec_id, r.cell
+        FROM rcells r
+        JOIN rcells h ON h.vec_id = r.vec_id AND h.rn = 1
+        WHERE r.rn = 1 OR (r.rn <= 3 AND r.dist - h.dist < 0.25)
+    ),
+    home AS (SELECT vec_id, cell FROM rcells WHERE rn = 1),
+    qv AS (
+        SELECT p.vec_id, p.cell, e.embedding
+        FROM qprobes p JOIN embeddings e USING (vec_id)
+    ),
+    bv_soft AS (
+        SELECT a.vec_id AS neighbor_id, a.cell, e.embedding AS n_emb
+        FROM soft a JOIN embeddings e USING (vec_id)
+    ),
+    bv_home AS (
+        SELECT a.vec_id AS neighbor_id, a.cell, e.embedding AS n_emb
+        FROM home a JOIN embeddings e USING (vec_id)
+    ),
+    f_soft AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY vec_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+            FROM (
+                SELECT DISTINCT q.vec_id, b.neighbor_id,
+                       round({_COSINE_SQL.format(
+                           a='q.embedding', b='b.n_emb')}, 6) AS cosine_sim
+                FROM qv q JOIN bv_soft b ON q.cell = b.cell
+                                        AND q.vec_id <> b.neighbor_id))
+        WHERE rnk <= 3
+    ),
+    f_home AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT vec_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY vec_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+            FROM (
+                SELECT DISTINCT q.vec_id, b.neighbor_id,
+                       round({_COSINE_SQL.format(
+                           a='q.embedding', b='b.n_emb')}, 6) AS cosine_sim
+                FROM qv q JOIN bv_home b ON q.cell = b.cell
+                                        AND q.vec_id <> b.neighbor_id))
+        WHERE rnk <= 3
+    ),
+    exact AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT q.vec_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COSINE_SQL.format(
+                           a='q.embedding', b='e.embedding')}, 6) DESC,
+                                e.vec_id ASC) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % (SELECT st FROM params) = 0) q
+            JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= 3
+    ),
+    exn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM exact),
+    h_soft AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_found
+        FROM f_soft JOIN exact USING (vec_id, neighbor_id)
+    ),
+    h_home AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_found
+        FROM f_home JOIN exact USING (vec_id, neighbor_id)
+    )
+    SELECT v.variant, CAST(2 AS INTEGER) AS n_probe,
+           CAST(3 AS INTEGER) AS k,
+           exn.n_exact_pairs,
+           CASE WHEN v.variant = 'state_home' THEN h_home.n_found
+                ELSE h_soft.n_found END AS n_found,
+           round(CAST(CASE WHEN v.variant = 'state_home'
+                           THEN h_home.n_found
+                           ELSE h_soft.n_found END AS DOUBLE)
+                 / exn.n_exact_pairs, 6) AS recall
+    FROM (SELECT * FROM (VALUES ('inplan_soft'), ('state_home'),
+                                ('state_soft')) t(variant)) v
+    CROSS JOIN exn CROSS JOIN h_soft CROSS JOIN h_home
+    ORDER BY variant
     """,
 )
 

@@ -2737,7 +2737,7 @@ def test_append_ann_state_equals_full_build(spark, tables):
     )
 
     def drop(prefix):
-        for suffix in ("centroids", "cells"):
+        for suffix in ("centroids", "cells", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
             if warehouse:
                 shutil.rmtree(
@@ -2788,6 +2788,104 @@ def test_append_ann_state_equals_full_build(spark, tables):
     finally:
         drop("apA")
         drop("apB")
+
+
+def test_append_soft_ann_state_equals_full_build(spark, tables):
+    """The r16 soft-index extension of the build/append/probe
+    equivalence contract: a SOFT build (b_soft=3) on corpus A +
+    append_ann_state(batch B) must probe exactly like one soft build
+    over A∪B with A's centroids — append reads (b_soft, soft_margin)
+    from the index's own {prefix}_meta table, so the appended batch
+    gets the same boundary-aware multi-assignment without the caller
+    re-supplying knobs. Also pins the soft inverted file's size
+    contract (home-only < soft <= b_soft * n — the bounded inflation
+    soft_assign_profile prices) and the pq/sq8 incompatibility
+    guard."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+        "file:"
+    )
+
+    def drop(prefix):
+        for suffix in ("centroids", "cells", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+            if warehouse:
+                shutil.rmtree(
+                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                )
+
+    emb = tables["embeddings"]
+    total = emb.count()
+    split = total - max(1, total // 5)
+    nc = max(16, int(split ** 0.5))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    for p in ("sfA", "sfB", "sfH"):
+        drop(p)
+    try:
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb.filter(F.col("vec_id") < split)},
+            "sfA",
+            n_centroids=nc,
+            lloyd_iters=0,
+            n_buckets=4,
+            corpus_size=split,
+            b_soft=3,
+            soft_margin=0.25,
+        )
+        meta = spark.table("sfA_meta").collect()[0]
+        assert (meta["b_soft"], meta["soft_margin"]) == (3, 0.25)
+        similarity.append_ann_state(
+            spark, "sfA", emb.filter(F.col("vec_id") >= split)
+        )
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb},
+            "sfB",
+            n_centroids=nc,
+            lloyd_iters=0,
+            n_buckets=4,
+            corpus_size=total,
+            b_soft=3,
+            soft_margin=0.25,
+        )
+        got = sorted(map(tuple, similarity.probe_ann_state(
+            spark, "sfA", queries).collect()))
+        want = sorted(map(tuple, similarity.probe_ann_state(
+            spark, "sfB", queries).collect()))
+        assert got == want
+        assert len(got) == 50
+        # the soft inverted file must inflate candidate mass (bounded
+        # by b_soft) and dominate the home-only index's edges
+        similarity.build_ann_state(
+            spark,
+            {"embeddings": emb},
+            "sfH",
+            n_centroids=nc,
+            lloyd_iters=0,
+            n_buckets=4,
+            corpus_size=total,
+        )
+        n_soft = spark.table("sfB_cells").count()
+        n_home = spark.table("sfH_cells").count()
+        assert total == n_home < n_soft <= 3 * total
+        import pytest
+
+        with pytest.raises(ValueError):
+            similarity.build_ann_state(
+                spark, {"embeddings": emb}, "sfA", b_soft=3, pq_m=8
+            )
+    finally:
+        for p in ("sfA", "sfB", "sfH"):
+            drop(p)
 
 
 def test_knn_graph_recall_consistent_with_operator(spark, tables):
