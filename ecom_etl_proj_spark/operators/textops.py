@@ -2284,7 +2284,7 @@ def _classifier_fit_steps(
     spark,
     feats: DataFrame,
     n_steps: int,
-    lr: str = "0.25",
+    lr: str = "128",
 ):
     """The shared full-batch gradient loop: yields, after every step,
     the weight vector (bucket -> DECIMAL(18,6)) AND the corpus margins
@@ -2294,10 +2294,24 @@ def _classifier_fit_steps(
     Residuals are class-balanced (r = cw_y * (y - sigmoid(margin)),
     cw_y = n/(2*n_y), the standard balanced-logistic reweighting) —
     without it a 1:9 corpus like this one converges to the degenerate
-    all-negative model. All sums are exact DECIMAL; the driver update
-    quantizes HALF_UP at 1e-6, mirroring the oracle's decimal round
-    (Python float round is HALF_EVEN, and step-1 residuals land
-    gradients on 5e-7 boundaries routinely).
+    all-negative model.
+
+    **Mean-normalized gradient (r16, r15 verdict item #4).** The
+    update is w += lr * round(g / n_docs, 6): through r15 it was
+    w += lr * g with g the RAW gradient sum over the corpus, so the
+    effective step size scaled linearly with corpus size — stable at
+    the 500-doc bench corpus, but at sf0.1 (5k docs) the loop
+    oscillated between the all-negative and all-positive models every
+    step (margins +-15 flipping sign), and at 100 TB it would diverge
+    on step one. Normalizing by n makes the step size scale-free (the
+    textbook full-batch mean gradient); lr re-tunes from 0.25 to 128
+    to keep per-example movement comparable at the bench corpus (the
+    r16 sweep: lr 128 is monotone at sf0.01 AND sf0.1; 256 begins to
+    oscillate). The mean divides in DOUBLE and rounds half-away at
+    1e-6 (the residual convention — DuckDB's decimal/int division
+    promotes to DOUBLE, so round(g / n, 6) is the exact oracle
+    mirror); every other sum stays exact DECIMAL with the driver
+    update quantizing HALF_UP at 1e-6 like the oracle's round.
 
     Raises ValueError (at first iteration — this is a generator) when
     n_steps < 1 or the corpus is single-class: the registered forms
@@ -2369,7 +2383,17 @@ def _classifier_fit_steps(
         )
         for row in grad:
             b = row["bucket"]
-            w[b] = (w.get(b, Decimal(0)) + lr_d * row["g"]).quantize(
+            # mean gradient in DOUBLE + half-up round at 1e-6 of the
+            # SHORTEST decimal repr — the exact mirror of DuckDB's
+            # round(g / n, 6) (decimal/int division promotes to
+            # DOUBLE; DuckDB rounds the shortest representation, e.g.
+            # round(2.675, 2) = 2.68 where the exact binary value
+            # 2.67499...98 would give 2.67 — Python repr() is that
+            # same shortest form)
+            gm = Decimal(repr(float(row["g"]) / n_docs)).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+            w[b] = (w.get(b, Decimal(0)) + lr_d * gm).quantize(
                 q6, rounding=ROUND_HALF_UP
             )
         margins = _classifier_margins(spark, feats, w).localCheckpoint()
@@ -2377,7 +2401,7 @@ def _classifier_fit_steps(
 
 
 def _classifier_fit(
-    spark, feats: DataFrame, n_steps: int, lr: str = "0.25"
+    spark, feats: DataFrame, n_steps: int, lr: str = "128"
 ) -> tuple[dict[int, Decimal], DataFrame]:
     """Final (weights, margins-under-them) after ``n_steps``."""
     for w, margins in _classifier_fit_steps(spark, feats, n_steps, lr):
@@ -2583,17 +2607,6 @@ def quality_classifier_eval(
     n_train = tr_feats.select("doc_id").distinct().count()
     n_val = val_feats.select("doc_id").distinct().count()
 
-    def _acc(margins: DataFrame) -> int:
-        return int(
-            margins.agg(
-                F.sum(
-                    F.when(
-                        (F.col("m") >= 0) == (F.col("y") == 1), 1
-                    ).otherwise(0)
-                ).alias("c")
-            ).collect()[0]["c"]
-        )
-
     def _q6_ratio(num: int, den: int) -> float:
         return float(
             (Decimal(num) / den).quantize(
@@ -2605,25 +2618,9 @@ def quality_classifier_eval(
     for step, (w, tr_margins) in enumerate(
         _classifier_fit_steps(spark, tr_feats, n_steps), start=1
     ):
-        w_df = spark.createDataFrame(
-            [(b, str(v)) for b, v in w.items()], "bucket long, w_s string"
-        ).select(
-            "bucket", F.col("w_s").cast("decimal(18,6)").alias("w")
-        )
-        val_margins = (
-            val_feats.join(F.broadcast(w_df), "bucket", "left")
-            .groupBy("doc_id", "y")
-            .agg(
-                F.sum(
-                    F.col("x")
-                    * F.coalesce(
-                        F.col("w"), F.lit(0).cast("decimal(18,6)")
-                    )
-                ).alias("m")
-            )
-        )
-        tr_correct = _acc(tr_margins)
-        val_correct = _acc(val_margins)
+        val_margins = _classifier_margins_left(spark, val_feats, w)
+        tr_correct = _n_correct(tr_margins)
+        val_correct = _n_correct(val_margins)
         rows.append(
             (
                 step,
@@ -2645,14 +2642,81 @@ def quality_classifier_eval(
     )
 
 
+def _classifier_margins_left(
+    spark, feats: DataFrame, w: dict
+) -> DataFrame:
+    """(doc_id, y, m): exact decimal margins with LEFT semantics — a
+    doc whose hashed buckets never occurred in training scores 0 from
+    those features instead of dropping out (the eval convention; at
+    100 TB a disjoint-vocab doc is routine)."""
+    w_df = spark.createDataFrame(
+        [(b, str(v)) for b, v in w.items()], "bucket long, w_s string"
+    ).select("bucket", F.col("w_s").cast("decimal(18,6)").alias("w"))
+    return (
+        feats.join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum(
+                F.col("x")
+                * F.coalesce(F.col("w"), F.lit(0).cast("decimal(18,6)"))
+            ).alias("m")
+        )
+    )
+
+
+def _n_correct(margins: DataFrame) -> int:
+    """Exact-decimal correct count: predicted (m >= 0) vs label.
+    Empty frame counts 0 (mirrors the oracle's coalesce(sum, 0))."""
+    return int(
+        margins.agg(
+            F.sum(
+                F.when(
+                    (F.col("m") >= 0) == (F.col("y") == 1), 1
+                ).otherwise(0)
+            ).alias("c")
+        ).collect()[0]["c"]
+        or 0
+    )
+
+
+def quality_classifier_fit_auto(
+    spark,
+    tr_feats: DataFrame,
+    val_feats: DataFrame,
+    max_steps: int = 12,
+    lr: str = "128",
+) -> tuple[int, dict]:
+    """Early-stopped fit (r16, r15 verdict item #4): run the gradient
+    loop on the train slice and stop at the LAST step whose held-out
+    val correct-count still strictly improved — the first step s >= 2
+    with val(s) <= val(s-1) selects s-1; a curve that improves through
+    ``max_steps`` selects max_steps (the bound that keeps the
+    unrolled-CTE oracle finite). Patience-1 on the exact integer
+    val-correct count: deterministic, engine-order-free, and
+    SQL-expressible (the oracle reproduces the same argmin over its
+    per-step qvm counts). Returns (stop_step, weights)."""
+    prev_vc: int | None = None
+    prev_w: dict = {}
+    for step, (w, _) in enumerate(
+        _classifier_fit_steps(spark, tr_feats, max_steps, lr), start=1
+    ):
+        vc = _n_correct(_classifier_margins_left(spark, val_feats, w))
+        if prev_vc is not None and vc <= prev_vc:
+            return step - 1, prev_w
+        prev_vc, prev_w = vc, w
+    return max_steps, prev_w
+
+
 def quality_classifier_calibration(
     t: dict[str, DataFrame],
     target_sources: tuple[str, ...] = ("src0", "src1"),
     n_buckets: int = 512,
-    n_steps: int = 4,
+    n_steps: int | str = 4,
     band_width: str = "0.1",
     max_band: int = 10,
     hash_mode: str = "xxhash64",
+    max_steps: int = 12,
+    train_pct: int = 90,
 ) -> DataFrame:
     """Calibration histogram for the trained quality classifier: how
     the observed positive rate tracks the margin — the diagnostic a
@@ -2668,18 +2732,21 @@ def quality_classifier_calibration(
     bounded groupBy (<= 2*max_band+1 rows), so calibrating a 100 TB
     corpus costs a scan. The trade: band populations are uneven where
     rank deciles would be exact-n/10 — for a threshold diagnostic the
-    margin AXIS is the one that matters. The 0.1 default width gives
-    the registered corpus a 6-band monotone curve (pos_rate 0.0 ->
-    0.033 -> 0.058 -> 0.146 -> 0.292 -> 0.75 at sf0.01) — the
-    separation evidence a keep-threshold reads. Margin magnitude
-    SHRINKS with corpus size at the registered fixed
-    steps/learning-rate (per-doc features are 1/n_tok-normalized and
-    4 full-batch steps move weights less per example on more
-    examples), so sf0.1 collapses into a single near-zero band at
-    the class prior — the histogram faithfully reporting that THAT
-    model carries no threshold signal yet; a deployment trains
-    further (or raises lr) until the curve spreads before gating on
-    a margin.
+    margin AXIS is the one that matters.
+
+    ``n_steps="auto"`` (r16, r15 verdict item #4 — the registered
+    mode): instead of a fixed step count, train on the
+    ``train_val_split`` train slice and stop where the held-out val
+    curve plateaus (``quality_classifier_fit_auto`` — patience-1 on
+    the exact val-correct count, bounded by ``max_steps`` so the
+    unrolled-CTE oracle stays finite), then band the FULL corpus's
+    margins under the chosen weights (LEFT join — an unseen-bucket
+    doc scores 0, the eval convention). With the r16 mean-normalized
+    gradient the margin scale is corpus-size-free, so the curve
+    spreads at every SF instead of collapsing to one prior-rate band
+    at sf0.1 the way the r15 fixed-4-step sum-gradient model did:
+    the registered auto row reads 5-7 occupied monotone bands at
+    sf0.001-0.1.
 
     Exactness: margins are exact decimals (see the trainer); the band
     edge comparison happens on the canonical double cast both engines
@@ -2694,7 +2761,25 @@ def quality_classifier_calibration(
     feats = _classifier_features(
         t, target_sources, n_buckets, hash_mode
     ).localCheckpoint()
-    _, scored = _classifier_fit(spark, feats, n_steps)
+    if n_steps == "auto":
+        cut = format(int(256 * train_pct / 100), "02x")
+        is_train = (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < F.lit(cut)
+        )
+        split = t["documents"].select("doc_id", is_train.alias("in_train"))
+        tr_feats = feats.join(
+            split.filter("in_train").select("doc_id"), "doc_id"
+        ).localCheckpoint()
+        val_feats = feats.join(
+            split.filter(~F.col("in_train")).select("doc_id"), "doc_id"
+        ).localCheckpoint()
+        _, w = quality_classifier_fit_auto(
+            spark, tr_feats, val_feats, max_steps
+        )
+        scored = _classifier_margins_left(spark, feats, w)
+    else:
+        _, scored = _classifier_fit(spark, feats, n_steps)
     bw = float(band_width)
     band = F.greatest(
         F.lit(-max_band),

@@ -6666,12 +6666,31 @@ register(
 def _quality_classifier_ctes(
     n_steps: int, split_cut: str | None = None
 ) -> list[str]:
-    """``split_cut`` (two hex digits, e.g. '0xe6' for 90%) switches the
-    fit to train-only: qfeats keeps docs whose md5 bucket is below the
-    cut (exactly ``train_val_split``'s row-local draw), a qvfeats CTE
-    carries the held-out rest, and each step r gains a qvm{r} CTE —
-    the val margins under that step's weights via a LEFT join, so a
-    val doc with no train-seen bucket scores 0 instead of dropping."""
+    """``split_cut`` (two BARE hex digits, e.g. 'e6' for 90% — the
+    predicate compares the raw 2-char md5 prefix, so a '0x'-prefixed
+    value would silently mis-split) switches the fit to train-only:
+    qfeats keeps docs whose md5 bucket is below the cut (exactly
+    ``train_val_split``'s row-local draw), a qvfeats CTE carries the
+    held-out rest, and each step r gains a qvm{r} CTE — the val
+    margins under that step's weights via a LEFT join, so a val doc
+    with no train-seen bucket scores 0 instead of dropping.
+
+    Weight update (r16): wv += 128 * round(g / n, 6) — the
+    mean-normalized gradient (see _classifier_fit_steps); the mean
+    divides in DOUBLE (DuckDB decimal/int promotes) and the outer
+    round recovers the exact 1e-6 grid value (wv and 128*gmean are
+    both exact grid multiples; 128 is a power of two so the double
+    scaling is exact), re-cast to DECIMAL so margins stay exact sums.
+    """
+    import re
+
+    if split_cut is not None and not re.fullmatch(
+        "[0-9a-f]{2}", split_cut
+    ):
+        raise ValueError(
+            f"split_cut must be two bare lowercase hex digits"
+            f" (e.g. 'e6'), got {split_cut!r}"
+        )
     feat_inner = """
             SELECT doc_id, y,
                    CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
@@ -6753,11 +6772,17 @@ def _quality_classifier_ctes(
     )""")
         if r == 1:
             ctes.append("""qw1 AS MATERIALIZED (
-        SELECT bucket, round(0.25 * g, 6) AS wv FROM qg1
+        SELECT bucket,
+               CAST(round(128 * round(g / (SELECT n FROM qcls), 6), 6)
+                    AS DECIMAL(18,6)) AS wv
+        FROM qg1
     )""")
         else:
             ctes.append(f"""qw{r} AS MATERIALIZED (
-        SELECT g.bucket, round(coalesce(w.wv, 0) + 0.25 * g.g, 6) AS wv
+        SELECT g.bucket,
+               CAST(round(coalesce(w.wv, 0)
+                          + 128 * round(g.g / (SELECT n FROM qcls), 6), 6)
+                    AS DECIMAL(18,6)) AS wv
         FROM qg{r} g LEFT JOIN qw{p} w USING (bucket)
     )""")
         if split_cut is not None:
@@ -6864,28 +6889,102 @@ register(
     _quality_classifier_eval_oracle(4, "e6"),
 )
 
-# Calibration histogram (r15): positive rate per fixed-width margin
-# band — row-local banding (floor(margin/0.1) clamped to +-10), one
-# bounded groupBy; deliberately NOT rank deciles (a corpus-wide NTILE
-# is a global sort). Reuses the trainer's unrolled CTE chain; qm5 =
-# margins under the step-4 weights.
-register(
-    "quality_classifier_calibration",
-    lambda t: textops.quality_classifier_calibration(t, hash_mode="md5"),
-    "WITH " + ",\n    ".join(_quality_classifier_ctes(4)) + """
-    SELECT band, round(band * 0.1, 6) AS band_lo,
+def _quality_classifier_calibration_auto_oracle(
+    max_steps: int, split_cut: str, band_width: str = "0.05",
+    max_band: int = 2,
+) -> str:
+    """The early-stopped calibration oracle (r16): unroll
+    ``max_steps`` training rounds on the train slice, reproduce the
+    engine's patience-1 stop rule in SQL (qstop = the first step whose
+    successor's val-correct count fails to strictly improve, else
+    max_steps), then band the FULL corpus's margins under the chosen
+    step's weights (LEFT join — unseen-bucket docs score 0). The
+    per-step qfm CTEs are deliberately NOT MATERIALIZED: only the
+    chosen branch's rows survive the stop filter."""
+    qvc = "\n        UNION ALL ".join(
+        f"""SELECT CAST({r} AS INT) AS step,
+            (SELECT coalesce(sum(CASE WHEN (m >= 0) = (y = 1)
+                                      THEN 1 ELSE 0 END), 0)
+             FROM qvm{r}) AS vc"""
+        for r in range(1, max_steps + 1)
+    )
+    extra = [
+        f"""qafeats AS MATERIALIZED (
+        SELECT doc_id, y, bucket,
+               CAST(round(cnt / CAST(n_tok AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS x
+        FROM (
+            SELECT doc_id, y,
+                   CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
+                       % 512 AS bucket,
+                   count(*) AS cnt,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS n_tok
+            FROM qtoks GROUP BY 1, 2, 3
+        )
+    )""",
+        f"""qvc AS MATERIALIZED (
+        {qvc}
+    )""",
+        f"""qstop AS MATERIALIZED (
+        SELECT coalesce(min(a.step), {max_steps}) AS stop
+        FROM qvc a JOIN qvc b ON b.step = a.step + 1 AND b.vc <= a.vc
+    )""",
+    ]
+    for r in range(1, max_steps + 1):
+        extra.append(f"""qfm{r} AS (
+        SELECT f.doc_id, f.y, sum(f.x * coalesce(w.wv, 0)) AS m
+        FROM qafeats f LEFT JOIN qw{r} w USING (bucket)
+        GROUP BY 1, 2
+    )""")
+    chosen = "\n        UNION ALL ".join(
+        f"SELECT y, m FROM qfm{r}"
+        f" WHERE (SELECT stop FROM qstop) = {r}"
+        for r in range(1, max_steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(
+            _quality_classifier_ctes(max_steps, split_cut=split_cut) + extra
+        )
+        + f"""
+    SELECT band, round(band * {band_width}, 6) AS band_lo,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(y) AS BIGINT) AS n_pos,
            round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
            round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS avg_margin
     FROM (
         SELECT y, m,
-               greatest(-10, least(10,
-                   CAST(floor(CAST(m AS DOUBLE) / 0.1) AS INT))) AS band
-        FROM qm5
+               greatest(-{max_band}, least({max_band},
+                   CAST(floor(CAST(m AS DOUBLE) / {band_width}) AS INT)))
+                   AS band
+        FROM ({chosen})
     )
     GROUP BY band ORDER BY band
-    """,
+    """
+    )
+
+
+# Calibration histogram (r15; r16 = the r15 verdict item #4 "Done"
+# row): positive rate per fixed-width margin band — row-local banding
+# (floor(margin/0.1) clamped to +-10), one bounded groupBy;
+# deliberately NOT rank deciles (a corpus-wide NTILE is a global
+# sort). r16: n_steps="auto" — train on the md5-split train slice,
+# early-stop where the held-out val curve plateaus (patience-1,
+# max_steps=12 bounds the unrolled oracle), band the full corpus
+# under the chosen weights; with the mean-normalized gradient the
+# margin scale is corpus-size-free, so the curve spreads at every SF
+# instead of collapsing to one prior-rate band at sf0.1.
+# Band config (0.05-width, clamp +-2): the r16 grid over
+# (width, clamp) x sf0.001-0.1 — the one configuration whose curve is
+# monotone with >= 4 occupied bands at ALL three SFs (wider bands or
+# looser clamps leave a statistically-thin tail band whose 2-of-17
+# label-noise blip breaks monotonicity at sf0.01).
+register(
+    "quality_classifier_calibration",
+    lambda t: textops.quality_classifier_calibration(
+        t, hash_mode="md5", n_steps="auto", band_width="0.05", max_band=2
+    ),
+    _quality_classifier_calibration_auto_oracle(12, "e6"),
 )
 
 # CCNet-style per-language perplexity terciles (r14): head/middle/

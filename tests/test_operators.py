@@ -4498,6 +4498,97 @@ def test_connected_components_rejects_unknown_algorithm(spark):
         dedup.connected_components(pairs, algorithm="hash2min")
 
 
+def test_quality_classifier_auto_early_stop(spark):
+    """quality_classifier_fit_auto's contract (r16, r15 verdict item
+    #4): patience-1 on the held-out val-correct count — the returned
+    step is the last one whose val count still strictly improved (the
+    first s with val(s) <= val(s-1) selects s-1; a curve improving
+    through max_steps selects max_steps), and the returned weights are
+    exactly that step's weights from the underlying generator. The
+    memorizing corpus (unique per-doc vocabulary, labels independent
+    of any reusable feature) plateaus early: train accuracy climbs on
+    memorized buckets while val stays near chance, so auto must stop
+    well before max_steps."""
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [
+        (
+            i,
+            f"u{i}a u{i}b u{i}c u{i}d",
+            "tgt" if i % 2 == 0 else "web",
+            "x",
+            20,
+        )
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    )
+    t = {"documents": docs}
+    feats = textops._classifier_features(
+        t, ("tgt",), 512, "md5"
+    ).localCheckpoint()
+    cut = format(int(256 * 90 / 100), "02x")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < F.lit(cut)
+    )
+    split = docs.select("doc_id", is_train.alias("in_train"))
+    tr = feats.join(
+        split.filter("in_train").select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    vl = feats.join(
+        split.filter(~F.col("in_train")).select("doc_id"), "doc_id"
+    ).localCheckpoint()
+    max_steps = 6
+    vals, weights = [], []
+    for w, _ in textops._classifier_fit_steps(spark, tr, max_steps):
+        vals.append(
+            textops._n_correct(
+                textops._classifier_margins_left(spark, vl, w)
+            )
+        )
+        weights.append(w)
+    expected = max_steps
+    for s in range(1, max_steps):
+        if vals[s] <= vals[s - 1]:
+            expected = s
+            break
+    stop, w_auto = textops.quality_classifier_fit_auto(
+        spark, tr, vl, max_steps
+    )
+    assert stop == expected, (stop, expected, vals)
+    assert stop < max_steps, vals  # the memorizer must plateau early
+    assert w_auto == weights[stop - 1]
+
+
+def test_quality_classifier_calibration_auto_monotone(tables):
+    """The registered auto-calibration configuration (n_steps='auto',
+    0.05-width bands clamped to +-2) must produce the r15 verdict item
+    #4 'Done' shape on the test corpus: at least 4 occupied bands,
+    monotone non-decreasing positive rate, and counts that reconcile
+    with the corpus."""
+    from ecom_etl_proj_spark.operators import textops
+
+    out = textops.quality_classifier_calibration(
+        tables,
+        hash_mode="md5",
+        n_steps="auto",
+        band_width="0.05",
+        max_band=2,
+    ).collect()
+    n_docs = tables["documents"].count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    assert len(out) >= 4, out
+    rates = [r["pos_rate"] for r in out]
+    assert rates == sorted(rates), rates
+    assert all(-2 <= r["band"] <= 2 for r in out)
+
+
 def test_quality_classifier_calibration_separable_corpus(spark):
     """On the planted separable corpus the calibration histogram must
     put the target docs in the high-margin bands and the junk in the
