@@ -261,6 +261,7 @@ def copy_into(
     on_error: str = "abort",
     required: list[str] | None = None,
     dedup_key: list[str] | None = None,
+    max_files_per_load: int | None = 100_000,
 ) -> dict[str, int]:
     """Snowflake-style COPY INTO: load ONLY files not yet loaded,
     tracked in a load-history ledger — the reference's ODS ingestion
@@ -297,6 +298,23 @@ def copy_into(
     load reads exactly the new files, so a 100 TB table ingesting a
     daily shard pays for the shard plus O(files) link metadata — the
     same manifest-commit cost a lakehouse format pays in its log.
+
+    **Bounded cold start (r16, r15 verdict item #5).** Steady-state
+    arrival batches are naturally bounded, but the FIRST load of a
+    millions-of-files stage used to collect every (file_name, path)
+    row driver-side in one batch. ``max_files_per_load`` (default
+    100k) caps the files per COMMIT: each iteration anti-joins the
+    ledger, takes the first ``max_files_per_load`` new files in
+    file_name order (deterministic), commits them through one
+    generation swap, and loops until the stage is drained — so driver
+    memory is bounded by the cap, every commit stays individually
+    atomic/exactly-once (a crash mid-drain leaves the completed
+    generations committed and the re-run resumes from the ledger),
+    and the report accumulates the totals across commits with the
+    same shape as a single-commit load. ``None`` disables the cap.
+    ``force=True`` ignores the cap (FORCE bypasses the ledger, so a
+    capped re-load could never make progress past the first batch —
+    it is the manual whole-stage escape hatch).
 
     **Row-level validation (r13 — Snowflake's ON_ERROR option,
     composing the reference's process_csv_file checks into the COPY
@@ -346,203 +364,217 @@ def copy_into(
         stage = stage.filter(F.col("file_name").rlike(f"^(?:{pattern})$"))
     n_stage = stage.count()
 
-    # 2) anti-join against the committed ledger (skipped under FORCE).
-    # A pre-r12 table keeps its ledger OUTSIDE the table at
-    # <table>__load_history; honor it so an upgraded table doesn't
-    # silently reload its whole history, and fold it into the new
-    # in-generation ledger at this load's commit (migration below).
-    legacy_hist = base + "__load_history"
-    legacy_df = None
-    if os.path.isdir(legacy_hist):
-        try:
-            legacy_df = spark.read.parquet(legacy_hist)
-        except Exception:
-            legacy_df = None
-    new_df = stage
-    if not force:
-        ledgers = []
-        try:
-            ledgers.append(load_history(spark, base).select("file_name"))
-        except Exception:  # no in-generation ledger yet
-            pass
-        if legacy_df is not None:
-            ledgers.append(legacy_df.select("file_name"))
-        if ledgers:
-            loaded = ledgers[0]
-            for extra in ledgers[1:]:
-                loaded = loaded.unionByName(extra)
-            new_df = stage.join(loaded, "file_name", "left_anti")
-    new_rows = new_df.select("file_name", "path").collect()
-    if not new_rows:
-        empty = {
-            "files_loaded": 0,
-            "rows_loaded": 0,
-            "files_skipped": n_stage,
-        }
+    # 2-4) BOUNDED batches (r16): anti-join the ledger, take the first
+    # max_files_per_load new files by name, commit one generation,
+    # loop until the stage is drained — driver memory is bounded by
+    # the cap and each commit is individually atomic/exactly-once.
+    cap = None if force else max_files_per_load
+    if cap is not None and cap < 1:
+        raise ValueError(f"max_files_per_load must be >= 1, got {cap}")
+    totals = {"files_loaded": 0, "rows_loaded": 0, "rows_quarantined": 0}
+    while True:
+        # 2) anti-join against the committed ledger (skipped under FORCE).
+        # A pre-r12 table keeps its ledger OUTSIDE the table at
+        # <table>__load_history; honor it so an upgraded table doesn't
+        # silently reload its whole history, and fold it into the new
+        # in-generation ledger at this load's commit (migration below).
+        legacy_hist = base + "__load_history"
+        legacy_df = None
+        if os.path.isdir(legacy_hist):
+            try:
+                legacy_df = spark.read.parquet(legacy_hist)
+            except Exception:
+                legacy_df = None
+        new_df = stage
+        if not force:
+            ledgers = []
+            try:
+                ledgers.append(load_history(spark, base).select("file_name"))
+            except Exception:  # no in-generation ledger yet
+                pass
+            if legacy_df is not None:
+                ledgers.append(legacy_df.select("file_name"))
+            if ledgers:
+                loaded = ledgers[0]
+                for extra in ledgers[1:]:
+                    loaded = loaded.unionByName(extra)
+                new_df = stage.join(loaded, "file_name", "left_anti")
+        if cap is not None:
+            # deterministic batch: first `cap` new files by name —
+            # ONLY the bounded batch is ever collected driver-side
+            new_df = new_df.orderBy("file_name").limit(cap)
+        new_rows = new_df.select("file_name", "path").collect()
+        if not new_rows:
+            # nothing (left) to load — the final report below covers
+            # both the all-skipped first pass and a drain whose last
+            # batch landed exactly on the cap boundary
+            break
+
+        # 3) read exactly the new files: typed read normally, RAW
+        # (all-string) when validation rules are declared — the rules run
+        # on the raw values (the reference validates pre-cast strings) and
+        # the valid rows cast to the declared schema afterwards
+        paths = [r["path"] for r in new_rows]
         if validating:
-            empty["rows_quarantined"] = 0
-        return empty
+            df = spark.read.option("header", "true").csv(paths)
+        elif fmt == "csv":
+            df = spark.read.schema(schema).option("header", "true").csv(paths)
+        elif fmt == "json":
+            df = spark.read.schema(schema).json(paths)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
+        df = lowercase_columns(df)
+        # one batch-sized cache: the slice is read twice (per-file counts,
+        # then write_fn's data write) — without it the stage files would be
+        # parsed twice AND a file mutated between the two jobs could make
+        # the committed data disagree with the just-recorded ledger counts.
+        # input_file_name() is captured as a real column FIRST: file-source
+        # metadata does not survive the InMemory cache (it would read back
+        # empty), and the column is dropped before the data write.
+        df = df.withColumn("_src_file", F.input_file_name()).persist()
 
-    # 3) read exactly the new files: typed read normally, RAW
-    # (all-string) when validation rules are declared — the rules run
-    # on the raw values (the reference validates pre-cast strings) and
-    # the valid rows cast to the declared schema afterwards
-    paths = [r["path"] for r in new_rows]
-    if validating:
-        df = spark.read.option("header", "true").csv(paths)
-    elif fmt == "csv":
-        df = spark.read.schema(schema).option("header", "true").csv(paths)
-    elif fmt == "json":
-        df = spark.read.schema(schema).json(paths)
-    else:
-        df = spark.read.schema(schema).parquet(*paths)
-    df = lowercase_columns(df)
-    # one batch-sized cache: the slice is read twice (per-file counts,
-    # then write_fn's data write) — without it the stage files would be
-    # parsed twice AND a file mutated between the two jobs could make
-    # the committed data disagree with the just-recorded ledger counts.
-    # input_file_name() is captured as a real column FIRST: file-source
-    # metadata does not survive the InMemory cache (it would read back
-    # empty), and the column is dropped before the data write.
-    df = df.withColumn("_src_file", F.input_file_name()).persist()
+        bad = None
+        n_quarantined = 0
+        if validating:
+            from ecom_etl_proj_spark.operators.cleaning import (
+                validation_errors,
+            )
 
-    bad = None
-    n_quarantined = 0
-    if validating:
-        from ecom_etl_proj_spark.operators.cleaning import (
-            validation_errors,
-        )
-
-        typed_map = {
-            f.name.lower(): f.dataType.simpleString()
-            for f in schema.fields
-            if not f.dataType.simpleString().startswith("string")
-        }
-        marked = validation_errors(
-            df,
-            [c.lower() for c in (required or [])],
-            typed_map,
-            [c.lower() for c in dedup_key] if dedup_key else None,
-        )
-        bad = marked.filter(F.col("_error").isNotNull())
-        n_quarantined = bad.count()
-        if n_quarantined and on_error == "abort":
-            df.unpersist()
-            raise ValueError(
-                f"COPY INTO aborted: {n_quarantined} invalid row(s) "
-                f"(ON_ERROR=ABORT); first reasons: "
-                + str(
-                    [r["_error"] for r in bad.select("_error")
-                     .distinct().limit(3).collect()]
+            typed_map = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in schema.fields
+                if not f.dataType.simpleString().startswith("string")
+            }
+            marked = validation_errors(
+                df,
+                [c.lower() for c in (required or [])],
+                typed_map,
+                [c.lower() for c in dedup_key] if dedup_key else None,
+            )
+            bad = marked.filter(F.col("_error").isNotNull())
+            n_quarantined = bad.count()
+            if n_quarantined and on_error == "abort":
+                df.unpersist()
+                raise ValueError(
+                    f"COPY INTO aborted: {n_quarantined} invalid row(s) "
+                    f"(ON_ERROR=ABORT); first reasons: "
+                    + str(
+                        [r["_error"] for r in bad.select("_error")
+                         .distinct().limit(3).collect()]
+                    )
                 )
+            # the committed slice: valid rows cast to the declared schema
+            df_valid = marked.filter(F.col("_error").isNull())
+            for f_ in schema.fields:
+                c = f_.name.lower()
+                df_valid = df_valid.withColumn(
+                    c, F.expr(f"try_cast({c} AS {f_.dataType.simpleString()})")
+                )
+            df_valid = df_valid.drop("_error")
+        else:
+            df_valid = df
+
+        # per-file LOADED-row counts for the ledger (the reference's COPY
+        # report): one aggregate over the committed slice, URL-decoded on
+        # the driver so names with spaces/percent-escapes match the
+        # listing names. Under validation a fully-invalid file records 0
+        # rows but IS recorded — the stage file is consumed either way.
+        per_file = {
+            unquote(os.path.basename(r["f"])): r["n"]
+            for r in df_valid.groupBy(F.col("_src_file").alias("f"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+        names = [r["file_name"] for r in new_rows]
+        n_rows = sum(per_file.get(nm, 0) for nm in names)
+        hist_df = spark.createDataFrame(
+            [(nm, per_file.get(nm, 0)) for nm in names],
+            "file_name string, n_rows long",
+        ).withColumn("loaded_at", F.current_timestamp())
+
+        # 4) one atomic commit: prev data+ledger hard-linked forward, new
+        # slice + ledger shard added, single pointer swap publishes both
+        def write_fn(gen_dir: str) -> None:
+            from ecom_etl_proj_spark.pipelines.swap import (
+                adopt_staged,
+                carry_previous_flat,
+                link_or_copy,
             )
-        # the committed slice: valid rows cast to the declared schema
-        df_valid = marked.filter(F.col("_error").isNull())
-        for f_ in schema.fields:
-            c = f_.name.lower()
-            df_valid = df_valid.withColumn(
-                c, F.expr(f"try_cast({c} AS {f_.dataType.simpleString()})")
+
+            tag = os.path.basename(gen_dir)
+            hist_dir = os.path.join(gen_dir, _HISTORY_DIR)
+            stage_data = os.path.join(gen_dir, "_stage_data")
+            stage_hist = os.path.join(gen_dir, "_stage_hist")
+            stage_quar = os.path.join(gen_dir, "_stage_quar")
+            df_valid.drop("_src_file").write.parquet(stage_data)
+            hist_df.coalesce(1).write.parquet(stage_hist)
+            if n_quarantined:
+                # quarantined rows + reason + source file, committed by the
+                # SAME swap as data and ledger (ON_ERROR=CONTINUE).
+                # input_file_name() is percent-ENCODED (unlike binaryFile's
+                # raw path column) — decode it so the recorded name matches
+                # the ledger's raw names. url_decode is FORM decoding
+                # ('+' -> space) while the ledger uses Python unquote ('+'
+                # preserved); pre-escaping literal '+' to %2B makes the two
+                # agree for names like 'daily+extra.csv' (r13 self-review).
+                bad.withColumn(
+                    "_src_file",
+                    F.url_decode(
+                        F.regexp_replace(
+                            F.element_at(
+                                F.split(F.col("_src_file"), "/"), -1
+                            ),
+                            r"\+",
+                            "%2B",
+                        )
+                    ),
+                ).write.parquet(stage_quar)
+            os.makedirs(hist_dir, exist_ok=True)
+            # r12 ADVICE #3 closed the flat-*.parquet silent row drop; the
+            # r13 self-review added the flat-layout refusal for partitioned
+            # previous generations. Both now live in the shared
+            # carry_previous_flat (swap.py) alongside the ingest_validated
+            # append path that used to duplicate this loop.
+            carry_previous_flat(gen_dir, base, "COPY INTO")
+            # pre-r12 ledger migration: fold <table>__load_history into the
+            # in-generation ledger (generation-unique prefix avoids name
+            # collisions with carried-forward shards)
+            if legacy_df is not None and os.path.isdir(legacy_hist):
+                for f in os.listdir(legacy_hist):
+                    if f.endswith(".parquet"):
+                        link_or_copy(
+                            os.path.join(legacy_hist, f),
+                            os.path.join(hist_dir, f"{tag}-legacy-{f}"),
+                        )
+            # adopt the staged writes under generation-unique names
+            adopt_staged(
+                gen_dir,
+                [
+                    (stage_data, gen_dir),
+                    (stage_hist, hist_dir),
+                    (stage_quar, os.path.join(gen_dir, _QUARANTINE_DIR)),
+                ],
             )
-        df_valid = df_valid.drop("_error")
-    else:
-        df_valid = df
 
-    # per-file LOADED-row counts for the ledger (the reference's COPY
-    # report): one aggregate over the committed slice, URL-decoded on
-    # the driver so names with spaces/percent-escapes match the
-    # listing names. Under validation a fully-invalid file records 0
-    # rows but IS recorded — the stage file is consumed either way.
-    per_file = {
-        unquote(os.path.basename(r["f"])): r["n"]
-        for r in df_valid.groupBy(F.col("_src_file").alias("f"))
-        .agg(F.count("*").alias("n")).collect()
-    }
-    names = [r["file_name"] for r in new_rows]
-    n_rows = sum(per_file.get(nm, 0) for nm in names)
-    hist_df = spark.createDataFrame(
-        [(nm, per_file.get(nm, 0)) for nm in names],
-        "file_name string, n_rows long",
-    ).withColumn("loaded_at", F.current_timestamp())
+        generation_swap(base, write_fn)
+        df.unpersist()
+        if legacy_df is not None:
+            # migrated into the committed generation above; retire the old
+            # location so future loads read one ledger
+            import shutil as _sh
 
-    # 4) one atomic commit: prev data+ledger hard-linked forward, new
-    # slice + ledger shard added, single pointer swap publishes both
-    def write_fn(gen_dir: str) -> None:
-        from ecom_etl_proj_spark.pipelines.swap import (
-            adopt_staged,
-            carry_previous_flat,
-            link_or_copy,
-        )
-
-        tag = os.path.basename(gen_dir)
-        hist_dir = os.path.join(gen_dir, _HISTORY_DIR)
-        stage_data = os.path.join(gen_dir, "_stage_data")
-        stage_hist = os.path.join(gen_dir, "_stage_hist")
-        stage_quar = os.path.join(gen_dir, "_stage_quar")
-        df_valid.drop("_src_file").write.parquet(stage_data)
-        hist_df.coalesce(1).write.parquet(stage_hist)
-        if n_quarantined:
-            # quarantined rows + reason + source file, committed by the
-            # SAME swap as data and ledger (ON_ERROR=CONTINUE).
-            # input_file_name() is percent-ENCODED (unlike binaryFile's
-            # raw path column) — decode it so the recorded name matches
-            # the ledger's raw names. url_decode is FORM decoding
-            # ('+' -> space) while the ledger uses Python unquote ('+'
-            # preserved); pre-escaping literal '+' to %2B makes the two
-            # agree for names like 'daily+extra.csv' (r13 self-review).
-            bad.withColumn(
-                "_src_file",
-                F.url_decode(
-                    F.regexp_replace(
-                        F.element_at(
-                            F.split(F.col("_src_file"), "/"), -1
-                        ),
-                        r"\+",
-                        "%2B",
-                    )
-                ),
-            ).write.parquet(stage_quar)
-        os.makedirs(hist_dir, exist_ok=True)
-        # r12 ADVICE #3 closed the flat-*.parquet silent row drop; the
-        # r13 self-review added the flat-layout refusal for partitioned
-        # previous generations. Both now live in the shared
-        # carry_previous_flat (swap.py) alongside the ingest_validated
-        # append path that used to duplicate this loop.
-        carry_previous_flat(gen_dir, base, "COPY INTO")
-        # pre-r12 ledger migration: fold <table>__load_history into the
-        # in-generation ledger (generation-unique prefix avoids name
-        # collisions with carried-forward shards)
-        if legacy_df is not None and os.path.isdir(legacy_hist):
-            for f in os.listdir(legacy_hist):
-                if f.endswith(".parquet"):
-                    link_or_copy(
-                        os.path.join(legacy_hist, f),
-                        os.path.join(hist_dir, f"{tag}-legacy-{f}"),
-                    )
-        # adopt the staged writes under generation-unique names
-        adopt_staged(
-            gen_dir,
-            [
-                (stage_data, gen_dir),
-                (stage_hist, hist_dir),
-                (stage_quar, os.path.join(gen_dir, _QUARANTINE_DIR)),
-            ],
-        )
-
-    generation_swap(base, write_fn)
-    df.unpersist()
-    if legacy_df is not None:
-        # migrated into the committed generation above; retire the old
-        # location so future loads read one ledger
-        import shutil as _sh
-
-        _sh.rmtree(legacy_hist, ignore_errors=True)
+            _sh.rmtree(legacy_hist, ignore_errors=True)
+        totals["files_loaded"] += len(names)
+        totals["rows_loaded"] += n_rows
+        totals["rows_quarantined"] += n_quarantined
+        if force or cap is None or len(new_rows) < cap:
+            break
     report = {
-        "files_loaded": len(names),
-        "rows_loaded": n_rows,
-        "files_skipped": n_stage - len(names),
+        "files_loaded": totals["files_loaded"],
+        "rows_loaded": totals["rows_loaded"],
+        "files_skipped": n_stage - totals["files_loaded"],
     }
     if validating:
-        report["rows_quarantined"] = n_quarantined
+        report["rows_quarantined"] = totals["rows_quarantined"]
     return report
 
 
