@@ -1545,6 +1545,55 @@ def test_executor_push_parity_with_driver_path(
     )
 
 
+def test_serve_consumer_metrics_auto_cardinality_switch(spark, tables):
+    """The r16 auto default (r15 verdict item #6) must pick the path
+    by batch key cardinality: with the threshold above the batch's
+    4*rows bound the epoch applies through the driver (one atomic op
+    batch markered under the run namespace), with it below, through
+    the executor push (per-partition markers + the /drv scalar tail,
+    and NO driver-path marker) — and both land the identical counter
+    surface."""
+    batch = tables["events"].limit(400)
+    n = batch.count()
+
+    def run(threshold):
+        server = serving.KVServer().start()
+        src = tempfile.mkdtemp(prefix="auto_src_")
+        ckpt = tempfile.mkdtemp(prefix="auto_ckpt_")
+        try:
+            batch.repartition(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema(batch.schema).parquet(src)
+            q = serving.serve_consumer_metrics(
+                stream,
+                None,
+                ckpt,
+                store_url=server.url,
+                auto_executor_keys=threshold,
+            )
+            q.awaitTermination(120)
+            ns = serving._run_namespace(ckpt, "consumer_metrics")
+            return server.store, ns
+        finally:
+            server.stop()
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    drv_store, drv_ns = run(4 * n + 1)   # bound <= threshold: driver
+    exc_store, exc_ns = run(1)           # bound > threshold: executor
+    assert drv_store.was_applied(drv_ns, 0)
+    assert not drv_store.was_applied(f"{drv_ns}/drv", 0)
+    assert not exc_store.was_applied(exc_ns, 0)
+    assert exc_store.was_applied(f"{exc_ns}/drv", 0)
+    for key in ["metrics:totals", "revenue:minutely", "user:views"]:
+        assert exc_store.hgetall(key) == drv_store.hgetall(key), key
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # auto with neither store nor store_url: validation fires
+        # before the stream is even touched
+        serving.serve_consumer_metrics(batch, None, "/tmp/ckpt_none")
+
+
 def test_executor_push_replay_and_partial_crash_idempotent(spark, tables):
     """The per-(epoch, partition) marker contract: re-pushing a whole
     epoch is a no-op, and a crash that applied the counter partitions
