@@ -106,6 +106,21 @@ def main() -> None:
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     spark.stop()
+    # certify-count sync (r16, r15 verdict item #7): a FULL sweep's
+    # pass count must equal the registry size, so a round close-out
+    # can never state a stale total (the r15 "225 queries" drift —
+    # the certify sweep predated the last registration). CERTIFIED
+    # prints only when the whole registry was swept and all passed.
+    if not only:
+        total = len(registry._REGISTRY)
+        if n_pass == total and n_fail == 0:
+            print(f"CERTIFIED: {n_pass}/{total} registry queries green")
+        else:
+            print(
+                f"NOT CERTIFIED: {n_pass} green of {total} registered"
+                f" ({n_fail} fail)"
+            )
+            sys.exit(1)
     sys.exit(1 if n_fail else 0)
 
 
