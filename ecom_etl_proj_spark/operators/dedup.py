@@ -1131,6 +1131,9 @@ def dedup_simhash(
 
 
 
+_RESET_STATS_WARNED: list[bool] = []
+
+
 def _reset_stats(df: DataFrame) -> DataFrame:
     """Rebuild a checkpointed frame around its own materialized RDD
     (JVM-side, zero data movement) so Catalyst's size estimate resets.
@@ -1152,10 +1155,25 @@ def _reset_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jnew, df.sparkSession)
-    except Exception:
-        # private-API seam moved: fall back to the plain checkpointed
-        # frame (correct, but long runs re-expose the quadratic-stats
-        # planning cost)
+    except Exception as exc:
+        # private-API seam moved (a Spark upgrade): fall back to the
+        # plain checkpointed frame — correct, but long self-join loops
+        # re-expose the quadratic-stats planning cost, so say it ONCE
+        # per process instead of degrading silently (r15 ADVICE: an
+        # unobservable 10x planning slowdown after an upgrade is
+        # undiagnosable)
+        if not _RESET_STATS_WARNED:
+            _RESET_STATS_WARNED.append(True)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_reset_stats: internalCreateDataFrame seam unavailable"
+                " (%s: %s) — iterative self-join loops will pay"
+                " Catalyst's quadratic size-estimate growth; re-pin the"
+                " seam for this Spark version",
+                type(exc).__name__,
+                exc,
+            )
         return df
 
 
@@ -1182,7 +1200,23 @@ def _cc_star(
     loop. Convergence = edge set unchanged over a full (large,
     small) round: checked as count equality + one-sided except —
     a distinct-set equality.
+
+    Self-loop contract (r16, r15 ADVICE): a node appearing ONLY as a
+    self-pair (doc_a == doc_b) is an isolated single-node component
+    and is emitted labeled with itself — the contraction loop drops
+    self-loops up front (they carry no connectivity), so those nodes
+    are collected separately and unioned back unless a real edge
+    already covers them. This matches the label path, where the
+    symmetric explode keeps (n, n) and min-propagation labels the
+    node with itself; before r16 the star path silently omitted such
+    nodes, contradicting the identical-output claim (no in-repo
+    caller emits self-pairs — the guard is for the public API).
     """
+    self_nodes = (
+        pairs.filter(F.col("doc_a") == F.col("doc_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
     edges = _save(
         pairs.select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
@@ -1242,14 +1276,23 @@ def _cc_star(
             "or a truly astronomical component; raise max_iterations"
         )
     # fixpoint edges are one-level stars (leaf -> root); roots appear
-    # only on the b side and label themselves
+    # only on the b side and label themselves; self-pair-only nodes
+    # come back as their own singleton components (see docstring)
     leaves = edges.select(
         F.col("a").alias("doc_id"), F.col("b").alias("component_id")
     )
     roots = edges.select(
         F.col("b").alias("doc_id"), F.col("b").alias("component_id")
     ).distinct()
-    return leaves.union(roots)
+    singles = (
+        self_nodes.join(
+            leaves.select("doc_id").union(roots.select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+    )
+    return leaves.union(roots).union(singles)
 
 
 def connected_components(
@@ -1269,8 +1312,10 @@ def connected_components(
     sf0.001 mutual-kNN graph (454 nodes, a 317-node long-diameter
     component): star 4.3s vs label-propagation 19.3s; on easy
     star/chain near-dup graphs the two are within noise. Both
-    algorithms produce identical output (equivalence pytest over
-    path / multi-component / multi-basin / random / mutual graphs).
+    algorithms produce identical output — including for nodes that
+    appear only as self-pairs, which come back as singleton
+    components (equivalence pytest over path / multi-component /
+    multi-basin / random / self-loop / mutual graphs).
 
     ``algorithm="label"``: min-label propagation WITH PATH
     COMPRESSION: every node starts labeled with itself; each round

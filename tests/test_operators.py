@@ -4459,17 +4459,23 @@ def test_connected_components_star_label_equivalence(spark):
         "path": [(i, i + 1) for i in range(40)],
         "two_comps": [(0, 1), (2, 3), (4, 5), (1, 2)],
         "multi_basin": _CC_MULTI_ROUND_EDGES,
+        # one rng drawing both endpoints (r15 ADVICE: a fresh
+        # Random(3) per element made the first endpoint a constant,
+        # degenerating this case to a star graph)
         "random": sorted(
             {
                 (min(a, b), max(a, b))
                 for a, b in (
-                    (random.Random(3).randrange(120),
-                     random.Random(i).randrange(120))
-                    for i in range(160)
+                    (_rng.randrange(120), _rng.randrange(120))
+                    for _rng in [random.Random(3)]
+                    for _ in range(160)
                 )
                 if a != b
             }
         ),
+        # self-loop contract (r16): a node appearing ONLY as a
+        # self-pair is a singleton component in BOTH algorithms
+        "self_loops": [(0, 1), (7, 7), (3, 3), (1, 3)],
     }
     for name, rows in graphs.items():
         pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
