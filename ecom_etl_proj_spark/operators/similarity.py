@@ -2381,9 +2381,18 @@ def probe_ann_state(
     cent_n = spark.table(f"{prefix}_centroids").select(
         "cell", "c_emb", V.norm("c_emb").alias("c_norm")
     )
-    cells = spark.table(f"{prefix}_cells")
+    # norms hoisted out of the pair projection (r16): the state side
+    # computes one fold per scanned row instead of two per candidate
+    # pair (pairs = batch x probes x cell mass >> scan rows at scale);
+    # dot/(q_norm * n_norm) is V.cosine's float ops in V.cosine's
+    # order — bit-identical, oracle unchanged.
+    cells = spark.table(f"{prefix}_cells").select(
+        "vec_id", "embedding", "cell", V.norm("embedding").alias("n_norm")
+    )
     q = queries.select(F.col("query_id"), F.col("q_emb"))
-    probes = _rank_probe_cells(q, cent_n, n_probe)
+    probes = _rank_probe_cells(q, cent_n, n_probe).withColumn(
+        "q_norm", V.norm("q_emb")
+    )
     # state side LEFT and streamed; probes broadcast — the bucketed
     # inverted file sort-merges nothing and shuffles nothing.
     cand = cells.join(F.broadcast(probes), "cell").filter(
@@ -2392,7 +2401,11 @@ def probe_ann_state(
     sim = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(V.cosine("q_emb", "embedding"), 6).alias("cosine_sim"),
+        F.round(
+            V.dot("q_emb", "embedding")
+            / (F.col("q_norm") * F.col("n_norm")),
+            6,
+        ).alias("cosine_sim"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -3308,12 +3321,20 @@ def knn_graph(
     # soft cells (b_soft>1), so a pair can surface through more than
     # one shared cell and is deduped below; with b_soft<=1 (home-only)
     # a pair is generated at most once.
+    # norms are projected ONCE PER SIDE ROW before the cell join (r16):
+    # V.cosine folds both norms per PAIR, and the pair count is
+    # side-rows x cell mass, so hoisting the two norm folds out of the
+    # join cuts ~2/3 of the per-pair HOF arithmetic; dot/(a_norm *
+    # n_norm) is the same float ops in the same order as V.cosine, so
+    # results (and the oracle) are bit-identical.
     a = (
         _probe_cells_local(emb, cent, n_probe).select(
             "vec_id", "embedding", "cell"
         )
         if n_probe > 1
         else _assign_cells(emb, cent).select("vec_id", "embedding", "cell")
+    ).select(
+        "vec_id", "embedding", V.norm("embedding").alias("a_norm"), "cell"
     )
     b_src = (
         _soft_assign_cells(emb, cent, b_soft, soft_margin)
@@ -3323,6 +3344,7 @@ def knn_graph(
     b = b_src.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
+        V.norm("embedding").alias("n_norm"),
         "cell",
     )
     pairs = a.join(b, "cell").filter(
@@ -3332,14 +3354,20 @@ def knn_graph(
         # repartition on vec_id FIRST: hash(vec_id) satisfies the
         # dedup aggregate's clustering (vec_id is a key subset) AND
         # the ranking window's partitioning below, so the pair set
-        # shuffles exactly once instead of once for each
+        # shuffles exactly once instead of once for each; duplicate
+        # pair rows are identical (same vectors, same norms), so the
+        # key-subset dedup stays value-stable
         pairs = pairs.repartition("vec_id").dropDuplicates(
             ["vec_id", "neighbor_id"]
         )
     sim = pairs.select(
         "vec_id",
         "neighbor_id",
-        F.round(V.cosine("embedding", "n_emb"), 6).alias("cosine_sim"),
+        F.round(
+            V.dot("embedding", "n_emb")
+            / (F.col("a_norm") * F.col("n_norm")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

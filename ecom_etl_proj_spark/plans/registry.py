@@ -7849,6 +7849,18 @@ register(
 # additions) are appended at the tail by _finalize_order: local
 # oracle parity at sf0.001-0.1 gates them until their driver row
 # lands in the r17 head (the established r7+ pattern).
+#
+# NOTE for the r17 rotation: r16 registered FOUR rows after this head
+# froze (knn_graph_capped, knn_graph_cap_profile,
+# knn_graph_capped_recall, knn_graph_state_recall — each locally
+# oracle-verified at sf0.001/0.01/0.1); they should OPEN the r17
+# head. ALSO: the r16 mean-gradient trainer change (r15 verdict item
+# #4) changed engine+oracle for the whole quality_classifier family —
+# eval and calibration sit in THIS head (driver-verified r16), but
+# quality_classifier_train and quality_classifier_score sit in the
+# r15-verified tail block: pull BOTH into the r17 head ahead of
+# unchanged same-age rows (the changed-code-first rule). After those
+# 6, continue with the 28 remaining r12 rows below.
 _DRIVER_PRIORITY: list[str] = [
     # --- head-50 part 1: the 5 rows registered after the r15 head
     # froze (never driver-verified; judge-verified at sf0.01) ---
