@@ -65,7 +65,7 @@ def _hyperplanes(n: int = N_PLANES) -> list[list[float]]:
 
 def embedding_knn(
     t: dict[str, DataFrame], n_queries: int = 10, k: int = 5,
-    impl: str = "expr",
+    impl: str = "expr", query_stride: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
@@ -76,11 +76,24 @@ def embedding_knn(
     side) as ``_assign_cells_arrow``; top-k selection stays in Spark.
     Production mode for large query batches; the default expression
     form remains the oracle-pinned registry entry.
+
+    ``query_stride`` (r16): sample queries as ``vec_id % stride == 0``
+    instead of the ``vec_id < n_queries`` head — the head coincides
+    with the IVF seeded-centroid set, so audits comparing an exact
+    head-query run against a cell-pruned one inherit a strong
+    optimistic bias (see ``ann_recall_audit``); stride queries are
+    corpus-representative. Exact search itself is query-agnostic —
+    the knob exists for the audits that compose it.
     """
     if impl == "arrow":
-        return _embedding_knn_arrow(t, n_queries, k)
+        return _embedding_knn_arrow(t, n_queries, k, query_stride)
     emb = t["embeddings"]
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
+    qpred = (
+        F.col("vec_id") % query_stride == 0
+        if query_stride is not None
+        else F.col("vec_id") < n_queries
+    )
+    queries = emb.filter(qpred).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         V.norm("embedding").alias("q_norm"),
@@ -107,7 +120,8 @@ def embedding_knn(
 
 
 def _embedding_knn_arrow(
-    t: dict[str, DataFrame], n_queries: int, k: int
+    t: dict[str, DataFrame], n_queries: int, k: int,
+    query_stride: int | None = None,
 ) -> DataFrame:
     """Vectorized brute-force kNN: the bounded query block (n_queries x
     dim floats) is collected once and closure-captured; each corpus
@@ -117,7 +131,12 @@ def _embedding_knn_arrow(
     arithmetic moves from interpreted HOF folds to C. Same result
     contract as ``embedding_knn`` (A/B-tested)."""
     emb = t["embeddings"]
-    q_rows = emb.filter(F.col("vec_id") < n_queries).select(
+    qpred = (
+        F.col("vec_id") % query_stride == 0
+        if query_stride is not None
+        else F.col("vec_id") < n_queries
+    )
+    q_rows = emb.filter(qpred).select(
         "vec_id", "embedding"
     ).collect()
     q_rows.sort(key=lambda r: r["vec_id"])
@@ -1463,6 +1482,7 @@ def ann_ivf(
     n_queries: int = 10, k: int = 5, corpus_size: int | None = None,
     lloyd_iters: int = 2, assign_impl: str = "expr",
     cache_registry: list[DataFrame] | None = None,
+    query_stride: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -1509,7 +1529,12 @@ def ann_ivf(
     # norm is constant within each window partition, so the ranking is
     # unchanged and each centroid's norm is computed once on the tiny
     # broadcast side instead of per (query, cell) pair)
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
+    qpred = (
+        F.col("vec_id") % query_stride == 0
+        if query_stride is not None
+        else F.col("vec_id") < n_queries
+    )
+    queries = emb.filter(qpred).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     cent_n = cent.select("cell", "c_emb", V.norm("c_emb").alias("c_norm"))
@@ -2681,25 +2706,44 @@ def ann_recall_audit(
     t: dict[str, DataFrame],
     n_queries: int = 10,
     k: int = 5,
-    min_recall: float = 0.6,
+    min_recall: float = 0.15,
     lloyd_iters: int = 2,
+    corpus_size: int | None = None,
 ) -> DataFrame:
-    """One (metric, n_exact_pairs, within_bound) row: PRODUCTION-mode
-    IVF (Lloyd-refined centroids) recall@k vs the exact brute-force
-    top-k, computed in ONE plan — the same audit-twin pattern as
-    operators/sketches.py, giving the driver a hash-verifiable recall
-    guarantee instead of a pytest-only one. Deterministic end to end:
-    the exact side is deterministic, and Lloyd refinement accumulates
-    in decimal (order-independent), so the approx side is bit-stable
-    under any partitioning. ``min_recall`` = 0.6 against observed
-    0.88-0.98 across sf0.001-0.1 in both Lloyd modes (the pytest floor
-    is 0.3); the hold-or-improve Lloyd test keeps refinement from
-    degrading it silently. Cost = one exact kNN over
-    the bounded query batch + one IVF run — audit-scale, not a
-    corpus-wide all-pairs."""
-    ex = embedding_knn(t, n_queries, k).select("query_id", "neighbor_id")
+    """One (metric, n_exact_pairs, recall, within_bound) row:
+    PRODUCTION-mode IVF (Lloyd-refined centroids) recall@k vs the
+    exact brute-force top-k, computed in ONE plan — the same
+    audit-twin pattern as operators/sketches.py, giving the driver a
+    hash-verifiable recall number instead of a pytest-only one.
+    Deterministic end to end: the exact side is deterministic, and
+    Lloyd refinement accumulates in decimal (order-independent), so
+    the approx side is bit-stable under any partitioning.
+
+    **Sample-bias fix (r16, the knn_graph_recall finding applied to
+    the IVF audit).** Through r15 the query sample was the
+    ``vec_id < 10`` head — a subset of the SEEDED CENTROID set, whose
+    queries are systematically easy for cell-pruned search (a seed
+    query's cell holds the corpus vectors most similar to it; Lloyd
+    refinement moves the centers but the cell structure stays
+    anchored): the audit read 0.88-0.98 where corpus-representative
+    queries read ~0.22-0.28 on this near-orthogonal i.i.d. corpus.
+    The sample is now a corpus-wide stride (``vec_id % (n //
+    n_queries) == 0``), and the row reports the RAW recall alongside
+    the bound verdict. ``min_recall`` = 0.15 guards collapse, not
+    quality — the honest probe-2 frontier on an adversarial random
+    corpus IS low (cell membership carries little signal when exact
+    top-k cosines sit barely above the background); a clustered real
+    embedding corpus reads far higher at the same knobs, and the dial
+    that buys recall back at bounded cost is ``n_probe``. Cost = one
+    exact kNN over the bounded query batch + one IVF run —
+    audit-scale, not a corpus-wide all-pairs."""
+    stride = max(1, _corpus_size(t["embeddings"], corpus_size) // n_queries)
+    ex = embedding_knn(t, n_queries, k, query_stride=stride).select(
+        "query_id", "neighbor_id"
+    )
     ap = ann_ivf(
-        t, n_queries=n_queries, k=k, lloyd_iters=lloyd_iters
+        t, n_queries=n_queries, k=k, lloyd_iters=lloyd_iters,
+        query_stride=stride,
     ).select(
         F.col("query_id").alias("q2"),
         F.col("neighbor_id").alias("n2"),
@@ -2713,6 +2757,11 @@ def ann_recall_audit(
     return j.agg(
         F.lit("ivf_recall_at_k").alias("metric"),
         F.count("*").alias("n_exact_pairs"),
+        F.round(
+            F.sum(F.when(F.col("hit0"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("recall"),
         (
             F.sum(F.when(F.col("hit0"), 1).otherwise(0))
             / F.count("*").cast("double")

@@ -3300,18 +3300,92 @@ register(
     """,
 )
 
-# IVF recall audit: production-mode (Lloyd-refined) ANN recall@k vs the
-# exact brute-force top-k as a hash-verified within-bound row — n_exact
-# = n_queries * min(k, corpus-1) since row_number caps each query's
-# exact list.
+# IVF recall audit. r16 rebuild (the knn_graph_recall sample-bias
+# finding applied here): (a) the query sample is a corpus-wide STRIDE
+# — the old vec_id<10 head was a subset of the seeded centroids, whose
+# queries are systematically easy for cell-pruned search (audit read
+# 0.88-0.98 where representative queries read ~0.22-0.28 on this
+# i.i.d. corpus); (b) the registered row pins lloyd_iters=0 like the
+# rest of the ANN family, which upgrades the oracle from a
+# shape+bound pin (within_bound hardcoded TRUE) to a FULL-value
+# oracle that recomputes the raw recall from first principles; the
+# Lloyd-refined production mode keeps its hold-or-improve pytest and
+# the prod bench series. min_recall=0.15 guards collapse, not
+# quality — see the engine docstring for the honest-frontier story.
 register(
     "ann_recall_audit",
-    similarity.ann_recall_audit,
-    """
+    lambda t: similarity.ann_recall_audit(t, lloyd_iters=0),
+    f"""
+    WITH params AS (
+        SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT))
+               AS nc,
+               greatest(1, count(*) // 10) AS st
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+        WHERE vec_id < (SELECT nc FROM params)
+    ),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               {_CELL_DIST_SQL.format(a='e.embedding', b='c.c_emb')} AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+            FROM dists)
+        WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q_emb, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_CELL_DIST_SQL.format(
+                           a='q.embedding', b='c.c_emb')} ASC,
+                                c.cell ASC) AS rnk
+            FROM embeddings q CROSS JOIN cent c
+            WHERE q.vec_id % (SELECT st FROM params) = 0)
+        WHERE rnk <= 2
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+            FROM (
+                SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+                       round({_COSINE_SQL.format(
+                           a='p.q_emb', b='a.embedding')}, 6) AS cosine_sim
+                FROM probes p JOIN assigned a ON p.cell = a.cell
+                WHERE p.query_id <> a.vec_id))
+        WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COSINE_SQL.format(
+                           a='q.embedding', b='e.embedding')}, 6) DESC,
+                                e.vec_id ASC) AS rn
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id % (SELECT st FROM params) = 0) q
+            JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= 5
+    ),
+    exn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact),
+    hits AS (
+        SELECT count(*) AS h
+        FROM exact JOIN approx USING (query_id, neighbor_id)
+    )
     SELECT 'ivf_recall_at_k' AS metric,
-           CAST(10 * least(5, (SELECT count(*) FROM embeddings) - 1)
-                AS BIGINT) AS n_exact_pairs,
-           TRUE AS within_bound
+           exn.n AS n_exact_pairs,
+           round(CAST(hits.h AS DOUBLE) / exn.n, 6) AS recall,
+           (CAST(hits.h AS DOUBLE) / exn.n) >= 0.15 AS within_bound
+    FROM exn CROSS JOIN hits
     """,
 )
 
@@ -7859,8 +7933,10 @@ register(
 # eval and calibration sit in THIS head (driver-verified r16), but
 # quality_classifier_train and quality_classifier_score sit in the
 # r15-verified tail block: pull BOTH into the r17 head ahead of
-# unchanged same-age rows (the changed-code-first rule). After those
-# 6, continue with the 28 remaining r12 rows below.
+# unchanged same-age rows (the changed-code-first rule), and so does
+# ann_recall_audit (r14 block — r16 rebuilt it: stride sample,
+# lloyd_iters=0 registered form, full-value oracle). After those 7,
+# continue with the 28 remaining r12 rows below.
 _DRIVER_PRIORITY: list[str] = [
     # --- head-50 part 1: the 5 rows registered after the r15 head
     # froze (never driver-verified; judge-verified at sf0.01) ---
