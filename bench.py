@@ -631,6 +631,11 @@ def main() -> None:
                     prefix="spsem"
                 ),
                 "incremental_dedup": registry.queries()["incremental_dedup"],
+                # r16: the soft-index graph-serving path (registry
+                # callable — its first call per corpus builds the
+                # 'annsft' soft inverted file, untimed under this
+                # protocol; the timed call is the bounded batch probe)
+                "knn_graph_state": registry.queries()["knn_graph_state"],
                 "incremental_dedup_state": _incremental_dedup_state_fn(
                     prefix="spidds"
                 ),

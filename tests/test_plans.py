@@ -49,6 +49,28 @@ def test_knn_broadcasts_queries(tables):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_knn_graph_capped_plan_shape(tables):
+    """The capped scale path's plan contract (r16): exactly two hash
+    exchanges — the per-cell cap window's hash(cell) and the final
+    per-vector top-k's hash(vec_id) — and NO dedup aggregation
+    (home-only b-side generates each pair once, unlike the soft
+    in-plan form whose pair set needs a dropDuplicates exchange);
+    probe/assignment stay row-local broadcast folds."""
+    import re
+
+    from ecom_etl_proj_spark.operators import similarity
+
+    plan = plan_of(similarity.knn_graph(tables, mode="capped"))
+    hash_ex = re.findall(r"hashpartitioning\((\w+)#", plan)
+    assert sorted(set(hash_ex)) == ["cell", "vec_id"], hash_ex
+    assert len(hash_ex) == 2, hash_ex
+    assert "SortMergeJoin" not in plan  # both joins broadcast at test SF
+    # the soft in-plan form pays a pair-dedup aggregate; capped's pair
+    # stream must reach its top-k window with no dedup operator
+    assert "dropDuplicates" not in plan
+    assert plan.count("WindowGroupLimit") >= 2  # cap + top-k pushdown
+
+
 def test_no_python_udfs_in_analytics(tables):
     for fn in (
         analytics.pricing_summary,
