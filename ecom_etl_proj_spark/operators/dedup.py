@@ -1212,13 +1212,28 @@ def _cc_star(
     nodes, contradicting the identical-output claim (no in-repo
     caller emits self-pairs — the guard is for the public API).
     """
+    # Materialize the incoming pair plan ONCE (r16, guide §5/§1.2):
+    # ``self_nodes`` and ``edges`` are two separate consumers of
+    # ``pairs``, and with only ``edges`` checkpointed the final
+    # leaves∪roots∪singles frame re-executed the ENTIRE upstream pair
+    # plan at action time just to look for self-pairs — for
+    # LSH-derived pairs that meant a second full candidate
+    # generation + Jaccard verification per connected_components
+    # call (measured: dedup_clusters' output plan carried the whole
+    # Scan-parquet→minhash→verify lineage in its anti-join branch;
+    # star CC over a 224-edge sf0.1 survivor graph cost 4.4s warm of
+    # which ~2.3s was this replay). One localCheckpoint of the raw
+    # (doc_a, doc_b) projection bounds every re-read to the
+    # materialized blocks. At 100 TB the checkpoint is edge-scale —
+    # the same storage class the per-round state already uses.
+    base = _save(pairs.select("doc_a", "doc_b"))
     self_nodes = (
-        pairs.filter(F.col("doc_a") == F.col("doc_b"))
+        base.filter(F.col("doc_a") == F.col("doc_b"))
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
     edges = _save(
-        pairs.select(
+        base.select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
