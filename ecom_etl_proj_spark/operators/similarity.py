@@ -1310,6 +1310,37 @@ def _assign_cells_arrow(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _cent_arr(cent: DataFrame) -> DataFrame:
+    """The centroid table folded into ONE (cents: array<struct<cell,
+    c_emb, c_norm>>) row — the broadcast shape `_assign_cells`'s
+    argmin fold consumes."""
+    return cent.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cell"), F.col("c_emb"), V.norm("c_emb").alias("c_norm")
+            )
+        ).alias("cents")
+    )
+
+
+def _probe_cells(
+    queries: DataFrame, cent: DataFrame, n_probe: int
+) -> DataFrame:
+    """(query_id, q_emb, cell): each query's ``n_probe`` nearest cells,
+    ranked by the same query-norm-free ``-dot/||c||`` metric as cell
+    assignment — a crossJoin against the broadcast centroid ROWS (the
+    bounded ~sqrt(n) frame) plus one per-query window. An r16
+    experiment derived this from the assignment fold's
+    array-of-structs broadcast instead (one shared BroadcastExchange,
+    guide §2.4); the measured plan was WORSE — the probe side gained
+    the collect_list ObjectHashAggregate + SinglePartition exchange,
+    Catalyst's initial plan showed no reuse, and the build-side flip
+    pushed an extra Exchange under the final top-k window — so the
+    row-broadcast form stays (OPTIMIZATION_r16.md)."""
+    cent_n = cent.select("cell", "c_emb", V.norm("c_emb").alias("c_norm"))
+    return _rank_probe_cells(queries, cent_n, n_probe)
+
+
 def _assign_cells(
     emb: DataFrame, cent: DataFrame, with_dist: bool = False
 ) -> DataFrame:
@@ -1340,13 +1371,7 @@ def _assign_cells(
     The DuckDB oracle mirrors this exact expression so FP comparisons
     agree engine-to-engine.
     """
-    cent_arr = cent.agg(
-        F.collect_list(
-            F.struct(
-                F.col("cell"), F.col("c_emb"), V.norm("c_emb").alias("c_norm")
-            )
-        ).alias("cents")
-    )
+    cent_arr = _cent_arr(cent)
     nearest = F.array_min(
         F.transform(
             F.col("cents"),
@@ -1528,7 +1553,9 @@ def ann_ivf(
     # query-norm-free metric as cell assignment (-dot / ||c||: the query
     # norm is constant within each window partition, so the ranking is
     # unchanged and each centroid's norm is computed once on the tiny
-    # broadcast side instead of per (query, cell) pair)
+    # broadcast side instead of per (query, cell) pair); see
+    # _probe_cells for why this stays a centroid-ROW broadcast rather
+    # than sharing the assignment fold's array broadcast.
     qpred = (
         F.col("vec_id") % query_stride == 0
         if query_stride is not None
@@ -1537,18 +1564,12 @@ def ann_ivf(
     queries = emb.filter(qpred).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cent_n = cent.select("cell", "c_emb", V.norm("c_emb").alias("c_norm"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cent_n))
-        .withColumn("dist", -V.dot("q_emb", "c_emb") / F.col("c_norm"))
-        .withColumn("rnk", F.row_number().over(probe_w))
-        .filter(F.col("rnk") <= n_probe)
-        .select("query_id", "q_emb", "cell")
-    )
-    # search within probed cells only
+    probes = _probe_cells(queries, cent, n_probe)
+    # search within probed cells only; (query_id, vec_id) pairs are
+    # unique by construction — the assignment emits exactly one cell
+    # per vector and the probe list one row per (query, cell) — so no
+    # dedup exchange is needed (the r16 plan drops the former
+    # HashAggregate-distinct; output multiset unchanged)
     cand = probes.join(assigned, "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
@@ -1556,7 +1577,7 @@ def ann_ivf(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(V.cosine("q_emb", "embedding"), 6).alias("cosine_sim"),
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1624,16 +1645,8 @@ def ann_ivfpq(
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    cent_n = cent.select("cell", "c_emb", V.norm("c_emb").alias("c_norm"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("cell").asc()
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cent_n))
-        .withColumn("dist", -V.dot("q_emb", "c_emb") / F.col("c_norm"))
-        .withColumn("rnk", F.row_number().over(probe_w))
-        .filter(F.col("rnk") <= n_probe)
-        .select("query_id", "cell")
+    probes = _probe_cells(queries, cent, n_probe).select(
+        "query_id", "cell"
     )
     qsubs = queries.select(
         "query_id",
@@ -1652,11 +1665,14 @@ def ann_ivfpq(
         .cast("decimal(18,6)")
         .alias("dq"),
     )
+    # (query_id, vec_id) pairs are unique by construction — one cell
+    # per vector, one row per (query, cell) — so no dedup exchange is
+    # needed (r16 drops the former HashAggregate-distinct, same as
+    # ann_ivf; output multiset unchanged)
     cand = (
         probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
-        .distinct()
     )
     adc = (
         cand.join(codes, "vec_id")

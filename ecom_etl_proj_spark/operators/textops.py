@@ -628,40 +628,66 @@ def bm25_search(
     """BM25 relevance of every document against a fixed query — the
     retrieval primitive behind dedup-by-search and eval-set mining.
 
-    Only query-term token rows survive the first filter, so the tf
-    aggregation touches a |query|-bounded slice of the token stream;
-    doc length and corpus stats are separate partial aggregates; the
-    scoring join is per (doc, query-term). Scores round to 6dp before
-    the top-N cut (TakeOrdered, tie-broken by doc_id).
+    Scale shape (r16, guide §2.3/§2.4): the query is a FIXED handful of
+    terms, so per-doc term frequencies are row-local array folds over
+    the token array (``size(filter(tokens, x = term))``) instead of a
+    corpus-wide token explode — the previous shape exploded the full
+    token stream three times (doc-length groupBy + two query-term
+    consumers) and shuffled the (doc_id) and (doc_id, term) keyed
+    aggregations; this one never expands the corpus at all. Everything
+    reduces to ONE corpus scan, one bounded global aggregate
+    (avgdl, n_docs, per-term df — |query|+2 numbers, broadcast back),
+    and a row-local score. Values are identical: dl = token-array size
+    = exploded-token count (tokens('') is [''] — one token — in both
+    forms), tf_i = membership count, df_i = docs with tf_i > 0, and
+    docs containing NO query term are filtered out before the top-N cut
+    exactly as the join form dropped them. Scores round to 6dp before
+    the cut (TakeOrdered, tie-broken by doc_id).
     """
-    toks = t["documents"].select("doc_id", F.explode(X.tokens()).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
-    )
-    qt = toks.filter(F.col("term").isin(*query_terms))
-    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = qt.select("term", "doc_id").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
-    )
-    idf = F.log(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    score_term = idf * (
-        F.col("tf")
-        * (k1 + 1.0)
-        / (
-            F.col("tf")
-            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    # dedup query terms: each distinct term scores once per doc (the
+    # join form's (doc_id, term) grain dedups a repeated input term)
+    terms = list(dict.fromkeys(query_terms))
+    toks_arr = X.tokens()
+    tf_cols = [
+        F.size(F.filter(toks_arr, lambda x: x == F.lit(term))).alias(
+            f"tf_{i}"
         )
+        for i, term in enumerate(terms)
+    ]
+    d = t["documents"].select(
+        "doc_id", F.size(toks_arr).alias("dl"), *tf_cols
     )
+    stats = d.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count("*").alias("n_docs"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, True)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    def score_term(i: int) -> F.Column:
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        return idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + score_term(i)
+    any_tf = F.lit(0)
+    for i in range(len(terms)):
+        any_tf = any_tf + F.col(f"tf_{i}")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(score_term), 6).alias("bm25"))
+        d.crossJoin(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
     )
     top_docs = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(top)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
