@@ -1177,8 +1177,71 @@ def _reset_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+def _cc_materialize(pairs: DataFrame, _save):
+    """Materialize a pair plan ONCE into the three pieces every CC
+    strategy consumes: the checkpointed raw projection (``base``), the
+    deduped non-self edge list (``edges``, checkpointed), and its exact
+    row count. Shared by the local-solve gate and the star loop so the
+    gate's count is never paid twice (guide §1.2: don't recompute)."""
+    base = _save(pairs.select("doc_a", "doc_b"))
+    edges = _save(
+        base.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return base, edges, edges.count()
+
+
+def _cc_local(
+    base: DataFrame, edges: DataFrame, spark
+) -> DataFrame:
+    """Solve a BOUNDED component graph on the driver: one union-find
+    pass over the collected edge list, min-id roots, singleton
+    self-pair nodes appended — output identical to both distributed
+    algorithms. This is broadcast-class driver state (guide §3.1: the
+    small side of a broadcast join is collected the same way); the
+    caller gates on the exact edge count, so the collect is bounded by
+    ``local_max_edges`` (~16 bytes/edge — the default 100k cap is
+    ~2 MB) and the result frame is labels-only. The win is job count:
+    a 2-round star contraction over a 224-edge sf0.1 survivor graph
+    costs ~26 AQE jobs / 6.8s of pure orchestration; this path is one
+    collect + one tiny parallelize."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for a, b in edges.collect():
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root invariant: every component root is its min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    labels = [(n, find(n)) for n in sorted(nodes)]
+    singles = (
+        base.filter(F.col("doc_a") == F.col("doc_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .collect()
+    )
+    labels.extend((s.doc_id, s.doc_id) for s in singles if s.doc_id not in nodes)
+    return spark.createDataFrame(labels, "doc_id long, component_id long")
+
+
 def _cc_star(
-    pairs: DataFrame,
+    base: DataFrame,
+    edges: DataFrame,
+    n_edges: int,
     max_iterations: int,
     _save,
 ) -> DataFrame:
@@ -1212,34 +1275,20 @@ def _cc_star(
     nodes, contradicting the identical-output claim (no in-repo
     caller emits self-pairs — the guard is for the public API).
     """
-    # Materialize the incoming pair plan ONCE (r16, guide §5/§1.2):
-    # ``self_nodes`` and ``edges`` are two separate consumers of
-    # ``pairs``, and with only ``edges`` checkpointed the final
-    # leaves∪roots∪singles frame re-executed the ENTIRE upstream pair
-    # plan at action time just to look for self-pairs — for
-    # LSH-derived pairs that meant a second full candidate
-    # generation + Jaccard verification per connected_components
-    # call (measured: dedup_clusters' output plan carried the whole
-    # Scan-parquet→minhash→verify lineage in its anti-join branch;
-    # star CC over a 224-edge sf0.1 survivor graph cost 4.4s warm of
-    # which ~2.3s was this replay). One localCheckpoint of the raw
-    # (doc_a, doc_b) projection bounds every re-read to the
-    # materialized blocks. At 100 TB the checkpoint is edge-scale —
-    # the same storage class the per-round state already uses.
-    base = _save(pairs.select("doc_a", "doc_b"))
+    # ``base``/``edges``/``n_edges`` arrive pre-materialized from
+    # ``_cc_materialize`` (r16, guide §5/§1.2): the raw (doc_a, doc_b)
+    # projection is localCheckpointed ONCE and both ``self_nodes`` and
+    # ``edges`` derive from it — before r16 only ``edges`` was
+    # checkpointed and the final leaves∪roots∪singles frame re-executed
+    # the ENTIRE upstream pair plan (for LSH-derived pairs: a second
+    # full candidate generation + Jaccard verification; ~2.3s of the
+    # 4.4s warm star-CC cost at sf0.1). At 100 TB the checkpoint is
+    # edge-scale — the same storage class the per-round state uses.
     self_nodes = (
         base.filter(F.col("doc_a") == F.col("doc_b"))
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
-    edges = _save(
-        base.select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    n_edges = edges.count()
     converged = False
     for _ in range(max_iterations + 1):
         # large-star: symmetric explode, per-center min, re-attach
@@ -1315,11 +1364,25 @@ def connected_components(
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
     algorithm: str = "star",
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a pair list: (doc_id, component_id).
 
     Near-dup PAIRS aren't actionable until they become CLUSTERS (keep
     one representative per component, drop the rest).
+
+    ``local_max_edges`` (r16): graphs whose deduped non-self edge
+    count is at or below this bound are solved ON THE DRIVER with one
+    union-find pass (``_cc_local``) — identical output, one collect
+    instead of ~13 AQE jobs per contraction round (measured 6.8s → <1s
+    on the 224-edge sf0.1 survivor graph; near-dup graphs are sparse,
+    so even large corpora often land here). The bound gates DRIVER
+    MEMORY exactly like a broadcast-join threshold (~16 bytes/edge;
+    the 100k default is ~2 MB collected) and is data-derived — above
+    it the distributed algorithms below run unchanged, so 100 TB
+    worst-case graphs never touch the driver. Default from
+    ``$SPARK_GRAFT_CC_LOCAL_MAX_EDGES`` (100000); pass 0 to force the
+    distributed path (loop-mechanics tests do).
 
     ``algorithm="star"`` (default since r15): alternating large-star /
     small-star contraction — O(log^2 n) rounds on ANY graph shape, the
@@ -1404,9 +1467,7 @@ def connected_components(
         sc = pairs.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir(checkpoint_dir)
-    if algorithm == "star":
-        return _cc_star(pairs, max_iterations, _save)
-    if algorithm != "label":
+    if algorithm not in ("star", "label"):
         raise ValueError(
             f"unknown connected-components algorithm {algorithm!r}:"
             " expected 'label' (min-label propagation + path"
@@ -1415,12 +1476,31 @@ def connected_components(
             "small-star contraction — O(log^2 n) rounds on any graph,"
             " the scale-safe choice for long-diameter components)"
         )
+    if local_max_edges is None:
+        import os as _os
+
+        local_max_edges = int(
+            _os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "100000")
+        )
+    base = None
+    if local_max_edges:
+        base, star_edges, n_edges = _cc_materialize(pairs, _save)
+        if n_edges <= local_max_edges:
+            return _cc_local(base, star_edges, pairs.sparkSession)
+        if algorithm == "star":
+            return _cc_star(
+                base, star_edges, n_edges, max_iterations, _save
+            )
+    elif algorithm == "star":
+        return _cc_star(*_cc_materialize(pairs, _save), max_iterations, _save)
     # Symmetric edge expansion in ONE scan of the pair list (explode of
     # both orientations) — the union-of-two-selects form executed the
     # whole upstream pair plan TWICE on first materialization, which
     # for LSH-derived pairs meant a second full candidate generation.
+    # When the local gate already materialized ``base``, read from it
+    # instead of re-running the raw pair plan.
     edges = (
-        pairs.select(
+        (base if base is not None else pairs).select(
             F.explode(
                 F.array(
                     F.struct(

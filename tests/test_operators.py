@@ -518,7 +518,9 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     )
     got = {
         r["doc_id"]: r["component_id"]
-        for r in dedup.connected_components(pairs, checkpoint_dir=ckpt).collect()
+        for r in dedup.connected_components(
+            pairs, checkpoint_dir=ckpt, local_max_edges=0
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     written = [
@@ -1034,7 +1036,7 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
     )
-    comp = dedup.connected_components(pairs)
+    comp = dedup.connected_components(pairs, local_max_edges=0)
     rows = comp.collect()
     assert len(rows) == n + 1
     assert {r["component_id"] for r in rows} == {0}
@@ -1067,7 +1069,7 @@ def test_connected_components_raises_on_nonconvergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(
-            pairs, max_iterations=1, algorithm="label"
+            pairs, max_iterations=1, algorithm="label", local_max_edges=0
         )
 
 
@@ -1585,7 +1587,8 @@ def test_connected_components_converges_at_exact_budget(spark):
     for cand in range(1, 12):
         try:
             rows = dedup.connected_components(
-                pairs, max_iterations=cand, algorithm="label"
+                pairs, max_iterations=cand, algorithm="label",
+                local_max_edges=0,
             ).collect()
             k = cand
             break
@@ -1596,7 +1599,8 @@ def test_connected_components_converges_at_exact_budget(spark):
     assert {r["component_id"] for r in rows} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(
-            pairs, max_iterations=k - 1, algorithm="label"
+            pairs, max_iterations=k - 1, algorithm="label",
+            local_max_edges=0,
         )
 
 
@@ -4306,7 +4310,7 @@ def test_connected_components_stats_stay_bounded(spark):
     pairs = spark.createDataFrame(
         _CC_MULTI_ROUND_EDGES, "doc_a long, doc_b long"
     )
-    out = dedup.connected_components(pairs)
+    out = dedup.connected_components(pairs, local_max_edges=0)
     digits = len(
         str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
@@ -4500,16 +4504,82 @@ def test_connected_components_star_label_equivalence(spark):
         star = {
             (r["doc_id"], r["component_id"])
             for r in dedup.connected_components(
-                pairs, algorithm="star"
+                pairs, algorithm="star", local_max_edges=0
             ).collect()
         }
         label = {
             (r["doc_id"], r["component_id"])
             for r in dedup.connected_components(
-                pairs, algorithm="label"
+                pairs, algorithm="label", local_max_edges=0
             ).collect()
         }
         assert star == label, (name, sorted(star ^ label)[:6])
+
+
+def test_connected_components_local_gate_equivalence(spark):
+    """The r16 size-gated driver union-find (``local_max_edges``) must
+    return EXACTLY the distributed algorithms' labels on every graph
+    shape — including self-pair-only singletons — and the gate must
+    flip on the exact deduped-edge count: at the threshold the local
+    path runs, one below it the distributed loop runs, both identical.
+    (The default threshold comes from $SPARK_GRAFT_CC_LOCAL_MAX_EDGES;
+    the local path is broadcast-class driver state, so equivalence is
+    the whole contract.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ecom_etl_proj_spark.operators import dedup
+
+    graphs = {
+        "path": [(i, i + 1) for i in range(40)],
+        "two_comps": [(0, 1), (2, 3), (4, 5), (1, 2)],
+        "multi_basin": _CC_MULTI_ROUND_EDGES,
+        "self_loops": [(0, 1), (7, 7), (3, 3), (1, 3)],
+        "random": sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (_rng.randrange(120), _rng.randrange(120))
+                    for _rng in [random.Random(7)]
+                    for _ in range(160)
+                )
+                if a != b
+            }
+        ),
+    }
+    for name, rows in graphs.items():
+        pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+        local = {
+            (r["doc_id"], r["component_id"])
+            for r in dedup.connected_components(
+                pairs, local_max_edges=10**6
+            ).collect()
+        }
+        star = {
+            (r["doc_id"], r["component_id"])
+            for r in dedup.connected_components(
+                pairs, algorithm="star", local_max_edges=0
+            ).collect()
+        }
+        assert local == star, (name, sorted(local ^ star)[:6])
+    # exact threshold boundary on the last graph
+    n_edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b")).distinct().count()
+    )
+    at = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(
+            pairs, local_max_edges=n_edges
+        ).collect()
+    }
+    below = {
+        (r["doc_id"], r["component_id"])
+        for r in dedup.connected_components(
+            pairs, local_max_edges=n_edges - 1
+        ).collect()
+    }
+    assert at == star and below == star
 
 
 def test_connected_components_rejects_unknown_algorithm(spark):
