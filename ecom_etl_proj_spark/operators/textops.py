@@ -41,6 +41,24 @@ def lang_id(t: dict[str, DataFrame]) -> DataFrame:
     return scored.select("doc_id", pred.alias("pred_lang"), "en_score")
 
 
+def _quality_score_expr() -> F.Column:
+    """Heuristic quality in [0,1] over the ROUNDED feature columns
+    (n_tokens, punct_ratio, stop_ratio): long enough, low punctuation
+    noise, some natural-language glue words. Shared by
+    ``text_quality`` and ``curate_corpus`` so the one-scan curation
+    form (r16) scores bit-identically.
+
+    round-6: score terms are exact multiples of 1e-5, so 6-digit
+    rounding never lands on a half boundary (4-digit rounding does,
+    and Spark/DuckDB disagree on tie behavior there)."""
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+        + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.3
+    )
+    return F.round(score, 6)
+
+
 def text_quality(t: dict[str, DataFrame]) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + score."""
     d = t["documents"]
@@ -51,17 +69,7 @@ def text_quality(t: dict[str, DataFrame]) -> DataFrame:
         F.round(X.punct_ratio(), 4).alias("punct_ratio"),
         F.round(X.stopword_ratio("en"), 4).alias("stop_ratio"),
     )
-    # Heuristic quality in [0,1]: long enough, low punctuation noise,
-    # some natural-language glue words.
-    score = (
-        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0)) * 0.4
-        + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
-        + F.least(F.col("stop_ratio") * 5, F.lit(1.0)) * 0.3
-    )
-    # round-6: score terms are exact multiples of 1e-5, so 6-digit
-    # rounding never lands on a half boundary (4-digit rounding does,
-    # and Spark/DuckDB disagree on tie behavior there).
-    return feats.withColumn("quality_score", F.round(score, 6))
+    return feats.withColumn("quality_score", _quality_score_expr())
 
 
 def quality_threshold_sweep(t: dict[str, DataFrame]) -> DataFrame:
@@ -499,34 +507,43 @@ def curate_corpus(
     This is what the LLM-data operators exist FOR — one auditable pass
     that marks every document keep/drop: exact-duplicate losers drop
     first (keep-min rule from dedup_exact), then too-short, then
-    low-quality. All inputs are single-pass aggregations/projections
-    joined on doc_id; the verdict is a row-local CASE.
+    low-quality.
+
+    Scale shape (r16, guide §2.4/§2.3): every input is row-local per
+    document (fingerprint, lang, token count, quality features), so
+    the whole verdict is ONE corpus scan and ONE exchange — the
+    keep-min dedup rule is a min-over-fingerprint-partition window on
+    that single projection. The previous shape scanned the corpus
+    three times (fingerprint, lang, quality) and re-joined the pieces
+    on doc_id: a fingerprint groupBy+join plus two more doc_id
+    shuffles, all carrying what one projection already had. Rows are
+    identical: window-min == groupBy-min per fingerprint, and the
+    isNotNull guard reproduces the old inner join's drop of
+    NULL-fingerprint (NULL-text) docs.
     """
     d = t["documents"]
-    fp = d.select("doc_id", X.fingerprint().alias("fingerprint"))
-    keep_ids = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
-    is_dup = (
-        fp.join(keep_ids, "fingerprint")
-        .select("doc_id", (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"))
-    )
-    quality = text_quality(t).select("doc_id", "n_tokens", "quality_score")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        X.fingerprint().alias("fingerprint"),
+        X.token_count().alias("n_tokens"),
+        F.round(X.punct_ratio(), 4).alias("punct_ratio"),
+        F.round(X.stopword_ratio("en"), 4).alias("stop_ratio"),
+    ).withColumn("quality_score", _quality_score_expr())
+    w = Window.partitionBy("fingerprint")
+    is_dup = F.col("doc_id") != F.min("doc_id").over(w)
     verdict = (
-        F.when(F.col("is_duplicate"), "duplicate")
+        F.when(is_dup, "duplicate")
         .when(F.col("n_tokens") < min_tokens, "too_short")
         .when(F.col("quality_score") < min_quality, "low_quality")
     )
-    return (
-        d.select("doc_id", "lang")
-        .join(is_dup, "doc_id")
-        .join(quality, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "quality_score",
-            verdict.isNull().alias("kept"),
-            F.coalesce(verdict, F.lit("kept")).alias("status"),
-        )
+    return scored.filter(F.col("fingerprint").isNotNull()).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality_score",
+        verdict.isNull().alias("kept"),
+        F.coalesce(verdict, F.lit("kept")).alias("status"),
     )
 
 
