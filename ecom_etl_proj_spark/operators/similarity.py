@@ -2022,7 +2022,13 @@ def build_ann_state(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         for base in (warehouse, location):
             if base:
-                shutil.rmtree(f"{base}/{tbl}", ignore_errors=True)
+                # the catalog lowercases unquoted identifiers, so a
+                # managed table's warehouse dir is the LOWERCASED name;
+                # sweep both spellings or a crash-orphaned dir from a
+                # mixed-case prefix survives every cleanup and the next
+                # saveAsTable dies with LOCATION_ALREADY_EXISTS
+                for name in {tbl, tbl.lower()}:
+                    shutil.rmtree(f"{base}/{name}", ignore_errors=True)
     cent = emb.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )

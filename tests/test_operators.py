@@ -2423,8 +2423,10 @@ def test_ann_state_build_probe_matches_in_plan(spark, tables):
         for suffix in ("centroids", "cells"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
             if warehouse:
+                # warehouse dirs carry the catalog-LOWERCASED name
                 shutil.rmtree(
-                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                    f"{warehouse}/{prefix.lower()}_{suffix}",
+                    ignore_errors=True,
                 )
 
     queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
@@ -2473,11 +2475,13 @@ def test_ann_pq_state_build_probe_matches_in_plan(spark, tables):
     )
 
     def drop(prefix):
-        for suffix in ("centroids", "cells", "codebook", "pqcodes"):
+        for suffix in ("centroids", "cells", "codebook", "pqcodes", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
             if warehouse:
+                # warehouse dirs carry the catalog-LOWERCASED name
                 shutil.rmtree(
-                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                    f"{warehouse}/{prefix.lower()}_{suffix}",
+                    ignore_errors=True,
                 )
 
     queries = tables["embeddings"].filter(F.col("vec_id") < 10).select(
@@ -2762,8 +2766,10 @@ def test_append_ann_state_equals_full_build(spark, tables):
         for suffix in ("centroids", "cells", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
             if warehouse:
+                # warehouse dirs carry the catalog-LOWERCASED name
                 shutil.rmtree(
-                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                    f"{warehouse}/{prefix.lower()}_{suffix}",
+                    ignore_errors=True,
                 )
 
     emb = tables["embeddings"]
@@ -2837,8 +2843,10 @@ def test_append_soft_ann_state_equals_full_build(spark, tables):
         for suffix in ("centroids", "cells", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
             if warehouse:
+                # warehouse dirs carry the catalog-LOWERCASED name
                 shutil.rmtree(
-                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                    f"{warehouse}/{prefix.lower()}_{suffix}",
+                    ignore_errors=True,
                 )
 
     emb = tables["embeddings"]
@@ -2991,11 +2999,13 @@ def test_append_ann_pq_state_equals_full_build(spark, tables):
     )
 
     def drop(prefix):
-        for suffix in ("centroids", "cells", "codebook", "pqcodes"):
+        for suffix in ("centroids", "cells", "codebook", "pqcodes", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
             if warehouse:
+                # warehouse dirs carry the catalog-LOWERCASED name
                 shutil.rmtree(
-                    f"{warehouse}/{prefix}_{suffix}", ignore_errors=True
+                    f"{warehouse}/{prefix.lower()}_{suffix}",
+                    ignore_errors=True,
                 )
 
     emb = tables["embeddings"]
