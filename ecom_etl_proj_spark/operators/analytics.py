@@ -139,47 +139,94 @@ def rfm_scored(
     operators/sketches.py): one row per customer with recency/
     frequency/monetary, r/f/m scores against broadcast quartile
     boundaries, and the CASE-mapped segment name."""
-    snapshot = t["orders"].agg(
-        F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
+    per_cust_base = t["orders"].groupBy("o_custkey").agg(
+        F.to_date(F.max("o_orderdate")).alias("last_order"),
+        F.count_distinct("o_orderkey").alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("monetary"),
     )
-    per_cust = (
-        t["orders"]
-        .groupBy("o_custkey")
-        .agg(
-            F.to_date(F.max("o_orderdate")).alias("last_order"),
-            F.count_distinct("o_orderkey").alias("frequency"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("monetary"),
-        )
-        .crossJoin(F.broadcast(snapshot))
-        .withColumn("recency", F.datediff("snap", "last_order"))
-    )
+
     # Quartile BOUNDARIES (one scalar aggregate) broadcast back, score =
     # 1 + number of boundaries exceeded. A global NTILE window would
     # funnel every customer into a single task — unusable at 100 TB;
     # the boundary form is one tiny reduce + a row-local comparison,
     # and differs from rank-ntile only on boundary ties.
-    if approx:
-        pexpr = f"approx_percentile({{c}}, array(0.25, 0.5, 0.75), {accuracy})"
-    else:
-        pexpr = "percentile({c}, array(0.25, 0.5, 0.75))"
-    bounds = per_cust.agg(
-        F.expr(pexpr.format(c="recency")).alias("rq"),
-        F.expr(pexpr.format(c="frequency")).alias("fq"),
-        F.expr(pexpr.format(c="monetary")).alias("mq"),
-    )
-
-    def score(col: str, q: str):
+    def score(col, q: str):
+        col = F.col(col) if isinstance(col, str) else col
         s = F.lit(1)
         for i in range(3):
-            s = s + F.when(F.col(col) > F.col(q)[i], 1).otherwise(0)
+            s = s + F.when(col > F.col(q)[i], 1).otherwise(0)
         return s
 
-    scored = (
-        per_cust.crossJoin(F.broadcast(bounds))
-        .withColumn("r_score", F.lit(5) - score("recency", "rq"))
-        .withColumn("f_score", score("frequency", "fq"))
-        .withColumn("m_score", score("monetary", "mq"))
-    )
+    if approx:
+        # approx path (the audit twin's sketch side): snapshot reduce +
+        # sketch-boundary reduce, exactly the r15 shape — the mirrored
+        # single-reduce rewrite below does NOT apply because GK/KLL
+        # sketches return corpus ELEMENTS, for which the affine-mirror
+        # percentile identity does not hold element-for-element.
+        pexpr = f"approx_percentile({{c}}, array(0.25, 0.5, 0.75), {accuracy})"
+        snapshot = t["orders"].agg(
+            F.date_add(F.to_date(F.max("o_orderdate")), 1).alias("snap")
+        )
+        per_cust = per_cust_base.crossJoin(F.broadcast(snapshot)).withColumn(
+            "recency", F.datediff("snap", "last_order")
+        )
+        bounds = per_cust.agg(
+            F.expr(pexpr.format(c="recency")).alias("rq"),
+            F.expr(pexpr.format(c="frequency")).alias("fq"),
+            F.expr(pexpr.format(c="monetary")).alias("mq"),
+        )
+        scored = (
+            per_cust.crossJoin(F.broadcast(bounds))
+            .withColumn("r_score", F.lit(5) - score("recency", "rq"))
+            .withColumn("f_score", score("frequency", "fq"))
+            .withColumn("m_score", score("monetary", "mq"))
+        )
+    else:
+        # Exact path (the registered headline query): the r15 shape
+        # built the snapshot reduce, the quartile reduce and the scoring
+        # pass all from t["orders"], and per-branch column pruning makes
+        # each branch's Exchange different, so ReuseExchange never fires
+        # — 4 orders scans + 8 exchanges + TWO sequential broadcast
+        # barriers (bounds consumes recency, recency consumes snapshot;
+        # an r16 localCheckpoint experiment fixed the scans but measured
+        # SLOWER warm, 1.21 -> 1.66, pure barrier latency). This form
+        # folds snapshot AND all three quartile boundaries into ONE
+        # reduce over per_cust by scoring recency through its mirror:
+        #
+        #   recency = S - d  (S = days(snap), d = unix_date(last_order))
+        #   percentile(S - d, p) = S - percentile(d, 1 - p)
+        #
+        # The identity is EXACT here, not just algebraic: p and 1-p are
+        # dyadic (.25/.5/.75), so the interpolation fraction is an exact
+        # quarter, and d is integer days — every intermediate is an
+        # exact multiple of 0.25 in double, so  recency > rq[i]  flips
+        # bit-identically to  unix_date(last_order) < dq[i].  (snap =
+        # 1 + max(last_order) over per_cust equals the global-orders
+        # form because to_date is monotonic over timestamps.)
+        stats = per_cust_base.agg(
+            F.date_add(F.max("last_order"), 1).alias("snap"),
+            F.expr(
+                "percentile(unix_date(last_order), array(0.75, 0.5, 0.25))"
+            ).alias("dq"),
+            F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias(
+                "fq"
+            ),
+            F.expr("percentile(monetary, array(0.25, 0.5, 0.75))").alias(
+                "mq"
+            ),
+        )
+        r_exceed = F.lit(1)
+        for i in range(3):
+            r_exceed = r_exceed + F.when(
+                F.unix_date("last_order") < F.col("dq")[i], 1
+            ).otherwise(0)
+        scored = (
+            per_cust_base.crossJoin(F.broadcast(stats))
+            .withColumn("recency", F.datediff("snap", "last_order"))
+            .withColumn("r_score", F.lit(5) - r_exceed)
+            .withColumn("f_score", score("frequency", "fq"))
+            .withColumn("m_score", score("monetary", "mq"))
+        )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "Champions")
         .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "Loyal Customers")
@@ -724,6 +771,11 @@ def ltv_deciled(
     ``customer_value_deciles`` and the boundary-shift audit in
     operators/sketches.py. Decile boundaries come from one broadcast
     percentile reduce (exact or KLL/GK approx per ``approx``)."""
+    # (r16 note: a localCheckpoint here — to share the ltv aggregation
+    # between the bounds reduce and the scoring pass — measured SLOWER
+    # warm at sf0.1, 0.93 -> 1.05: the materialization barrier costs
+    # more than the saved duplicate scan+agg, which Spark runs as
+    # parallel branches of one job. Left as-is; see OPTIMIZATION_r16.md.)
     ltv = (
         t["orders"]
         .groupBy("o_custkey")
