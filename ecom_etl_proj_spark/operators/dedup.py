@@ -530,12 +530,16 @@ def minhash_recall_audit(
     Output: one row (n_exact_pairs, n_lsh_pairs, n_common_pairs,
     recall), recall NULL when the reference set is empty.
     """
+    # localCheckpoint both pair lists (bounded, verified-pair rows):
+    # each feeds its own scalar count AND the intersection join, and
+    # unmaterialized each full pipeline (inverted-index exact Jaccard /
+    # the whole LSH sketch+verify) executed twice
     exact = dedup_ngram_jaccard(t, n=n, threshold=threshold).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint()
     lsh = dedup_minhash_lsh(
         t, n=n, threshold=threshold, hash_mode=hash_mode
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint()
     ne = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
     nl = lsh.agg(F.count("*").cast("bigint").alias("n_lsh_pairs"))
     nc = exact.join(lsh, ["doc_a", "doc_b"]).agg(

@@ -3477,10 +3477,21 @@ def mutual_knn_clusters(
     """
     from ecom_etl_proj_spark.operators.dedup import connected_components
 
-    g = knn_graph(
-        t, k=k, n_centroids=n_centroids, corpus_size=corpus_size,
-        n_probe=n_probe,
-    ).filter(F.col("cosine_sim") >= min_cosine)
+    # localCheckpoint: the fwd and rev legs of the mutual intersect
+    # both consume g, and Catalyst does not reuse the (expensive,
+    # cell-join + per-pair cosine) subtree across the two branches —
+    # unmaterialized, the whole knn_graph ran TWICE (measured 2x
+    # knn_graph's own wall at sf0.1). The edge list is bounded at
+    # n x k rows of four scalars, the cheapest possible thing to
+    # materialize.
+    g = (
+        knn_graph(
+            t, k=k, n_centroids=n_centroids, corpus_size=corpus_size,
+            n_probe=n_probe,
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+        .localCheckpoint()
+    )
     fwd = g.select(
         F.col("vec_id").alias("doc_a"),
         F.col("neighbor_id").alias("doc_b"),
@@ -3638,6 +3649,12 @@ def knn_graph_recall(
         .withColumn("rn", F.row_number().over(ew))
         .filter(F.col("rn") <= k)
         .select(F.col("qid").alias("vec_id"), "neighbor_id")
+        # (r16 note: a localCheckpoint here — the exact edge set feeds
+        # both the n_exact scalar and the hits join — measured SLOWER:
+        # the duplicated corpus-x-sample scan runs in PARALLEL branches
+        # of one job, so materializing it trades free overlap for a
+        # barrier. Contrast mutual_knn_clusters, where the duplicated
+        # subtree was serialized and checkpointing won.)
     )
     n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
     hits = (
