@@ -2323,49 +2323,12 @@ def _classifier_features(
     )
 
 
-def _classifier_fit_steps(
-    spark,
-    feats: DataFrame,
-    n_steps: int,
-    lr: str = "128",
-):
-    """The shared full-batch gradient loop: yields, after every step,
-    the weight vector (bucket -> DECIMAL(18,6)) AND the corpus margins
-    frame under it — the margins are what the NEXT step's residuals
-    need anyway, so the curve emitter and the scorer evaluate each
-    model for free instead of re-joining per step.
-    Residuals are class-balanced (r = cw_y * (y - sigmoid(margin)),
-    cw_y = n/(2*n_y), the standard balanced-logistic reweighting) —
-    without it a 1:9 corpus like this one converges to the degenerate
-    all-negative model.
-
-    **Mean-normalized gradient (r16, r15 verdict item #4).** The
-    update is w += lr * round(g / n_docs, 6): through r15 it was
-    w += lr * g with g the RAW gradient sum over the corpus, so the
-    effective step size scaled linearly with corpus size — stable at
-    the 500-doc bench corpus, but at sf0.1 (5k docs) the loop
-    oscillated between the all-negative and all-positive models every
-    step (margins +-15 flipping sign), and at 100 TB it would diverge
-    on step one. Normalizing by n makes the step size scale-free (the
-    textbook full-batch mean gradient); lr re-tunes from 0.25 to 128
-    to keep per-example movement comparable at the bench corpus (the
-    r16 sweep: lr 128 is monotone at sf0.01 AND sf0.1; 256 begins to
-    oscillate). The mean divides in DOUBLE and rounds half-away at
-    1e-6 (the residual convention — DuckDB's decimal/int division
-    promotes to DOUBLE, so round(g / n, 6) is the exact oracle
-    mirror); every other sum stays exact DECIMAL with the driver
-    update quantizing HALF_UP at 1e-6 like the oracle's round.
-
-    Raises ValueError (at first iteration — this is a generator) when
-    n_steps < 1 or the corpus is single-class: the registered forms
-    never hit either, but the public train/score params allow them and
-    the unguarded loop would surface as UnboundLocalError /
-    ZeroDivisionError instead of a legible message."""
-    if n_steps < 1:
-        raise ValueError(
-            f"n_steps must be >= 1, got {n_steps} (a 0-step fit has no"
-            " weights to return)"
-        )
+def _classifier_class_stats(feats: DataFrame):
+    """ONE bounded collect shared by every fit entry point: corpus
+    size, class balance, and the derived balanced class weights
+    (cw_y = n/(2*n_y), quantized HALF_UP at 1e-6 like the oracle).
+    Raises on a single-class corpus — the unguarded loop would
+    surface as ZeroDivisionError instead of a legible message."""
     counts = (
         feats.select("doc_id", "y")
         .distinct()
@@ -2391,56 +2354,287 @@ def _classifier_fit_steps(
     neg_w = (Decimal(n_docs) / (2 * n_neg)).quantize(
         q6, rounding=ROUND_HALF_UP
     )
+    return n_docs, n_pos, pos_w, neg_w
 
-    w: dict[int, Decimal] = {}
-    margins = feats.groupBy("doc_id", "y").agg(
+
+# the exact decimal type of a bucket gradient (sum of DECIMAL(18,6) x
+# DECIMAL(18,6) products) — the counter sentinels cast to it so they
+# can ride the same collected column
+_CLS_VAL_T = "decimal(38,12)"
+
+
+def _classifier_ckpt(feats: DataFrame) -> DataFrame:
+    """Materialize a feature frame for the gradient loop,
+    PRE-PARTITIONED by doc_id (r16, guide §2.4): localCheckpoint
+    preserves the physical partitioning, and every per-step job
+    aggregates margins by doc and joins residuals back on doc_id — on
+    a doc_id-partitioned frame both are exchange-free, so each step
+    pays only the bounded bucket aggregate's shuffle. Measured 2.3x
+    per step-job at sf0.1 (1.30s -> 0.56s) for one up-front shuffle of
+    the narrow (doc_id, y, bucket, x) rows. Values are unaffected:
+    every sum in the loop is exact decimal (order-independent) and the
+    one rounding site is per-doc, after full aggregation."""
+    return feats.repartition("doc_id").localCheckpoint()
+
+
+def _classifier_zero_margins(feats: DataFrame) -> DataFrame:
+    """(doc_id, y, m=0): the untrained-model margins frame."""
+    return feats.groupBy("doc_id", "y").agg(
         F.lit(0).cast("decimal(38,12)").alias("m")
     )
-    lr_d = Decimal(lr)
-    for _ in range(n_steps):
-        # one rounding site: r = round(cw * (y - sigmoid), 6) with cw
-        # as a DOUBLE — the exact form the oracle's SQL mirrors (the
-        # decimal cast then pins every downstream sum exact)
-        cw = F.when(
-            F.col("y") == 1, F.lit(float(pos_w))
-        ).otherwise(F.lit(float(neg_w)))
-        resid = margins.select(
-            "doc_id",
-            F.round(
-                cw
-                * (
-                    F.col("y")
-                    - F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-F.col("m").cast("double")))
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("r"),
+
+
+def _classifier_resid(margins: DataFrame, pos_w, neg_w) -> DataFrame:
+    """(doc_id, r): class-balanced logistic residuals. One rounding
+    site: r = round(cw * (y - sigmoid), 6) with cw as a DOUBLE — the
+    exact form the oracle's SQL mirrors (the decimal cast then pins
+    every downstream sum exact)."""
+    cw = F.when(F.col("y") == 1, F.lit(float(pos_w))).otherwise(
+        F.lit(float(neg_w))
+    )
+    return margins.select(
+        "doc_id",
+        F.round(
+            cw
+            * (
+                F.col("y")
+                - F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.col("m").cast("double")))
+            ),
+            6,
         )
-        grad = (
+        .cast("decimal(18,6)")
+        .alias("r"),
+    )
+
+
+def _classifier_step_rows(
+    spark,
+    feats: DataFrame,
+    w: dict,
+    pos_w,
+    neg_w,
+    grad: bool = True,
+    stats: bool = False,
+    val_feats: DataFrame | None = None,
+) -> list:
+    """ONE Spark action per gradient step (r16, guide §1.2/§2.4 — the
+    loop's real cost at bench scale is per-action barrier latency, and
+    at 100 TB it is passes over the feature frame): the per-bucket
+    gradient under ``w`` and, when asked, the correctness counters
+    under the same ``w``, encoded as SENTINEL buckets riding the same
+    collected (bucket, v) column — feature buckets are pmod >= 0, so
+    negatives are free: -1 corpus n_correct, -2 corpus n_pos_correct,
+    -3 ``val_feats`` n_correct (LEFT margins — the eval convention),
+    -4 ``val_feats`` row count. Through r15 each step ran THREE
+    actions (margins localCheckpoint + gradient collect + accuracy
+    aggregate, plus a fourth for the val slice); margins now replan
+    from the checkpointed features x the broadcast driver-held
+    weights, so lineage stays constant-depth with no per-step
+    materialization and every per-step number arrives in one collect.
+    All values are exact: the gradient is the same DECIMAL sum as
+    before, the counters are integers."""
+    margins = (
+        _classifier_margins(spark, feats, w)
+        if w
+        else _classifier_zero_margins(feats)
+    )
+    correct = F.sum(
+        F.when((F.col("m") >= 0) == (F.col("y") == 1), 1).otherwise(0)
+    )
+    pos_correct = F.sum(
+        F.when((F.col("y") == 1) & (F.col("m") >= 0), 1).otherwise(0)
+    )
+
+    def _two_rows(frame, code_a, expr_a, code_b, expr_b):
+        return frame.groupBy().agg(
+            expr_a.alias("a"), expr_b.alias("b")
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(code_a).cast("bigint").alias("bucket"),
+                        F.coalesce(F.col("a"), F.lit(0))
+                        .cast(_CLS_VAL_T)
+                        .alias("v"),
+                    ),
+                    F.struct(
+                        F.lit(code_b).cast("bigint").alias("bucket"),
+                        F.coalesce(F.col("b"), F.lit(0))
+                        .cast(_CLS_VAL_T)
+                        .alias("v"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.bucket", "s.v")
+
+    parts = []
+    if grad:
+        resid = _classifier_resid(margins, pos_w, neg_w)
+        parts.append(
             feats.join(resid, "doc_id")
             .groupBy("bucket")
-            .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
-            .collect()
+            .agg(
+                F.sum(F.col("r") * F.col("x")).cast(_CLS_VAL_T).alias("v")
+            )
         )
-        for row in grad:
-            b = row["bucket"]
-            # mean gradient in DOUBLE + half-up round at 1e-6 of the
-            # SHORTEST decimal repr — the exact mirror of DuckDB's
-            # round(g / n, 6) (decimal/int division promotes to
-            # DOUBLE; DuckDB rounds the shortest representation, e.g.
-            # round(2.675, 2) = 2.68 where the exact binary value
-            # 2.67499...98 would give 2.67 — Python repr() is that
-            # same shortest form)
-            gm = Decimal(repr(float(row["g"]) / n_docs)).quantize(
-                q6, rounding=ROUND_HALF_UP
-            )
-            w[b] = (w.get(b, Decimal(0)) + lr_d * gm).quantize(
-                q6, rounding=ROUND_HALF_UP
-            )
-        margins = _classifier_margins(spark, feats, w).localCheckpoint()
-        yield dict(w), margins
+    if stats:
+        parts.append(_two_rows(margins, -1, correct, -2, pos_correct))
+    if stats and val_feats is not None:
+        vm = _classifier_margins_left(spark, val_feats, w)
+        parts.append(_two_rows(vm, -3, correct, -4, F.count("*")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.collect()
+
+
+def _classifier_apply_grad(
+    w: dict, rows: list, n_docs: int, lr_d: Decimal
+) -> None:
+    """Driver-side weight update from one step's collected rows —
+    w += lr * round(g / n_docs, 6), skipping sentinel buckets.
+
+    **Mean-normalized gradient (r16, r15 verdict item #4).** Through
+    r15 the update was w += lr * g with g the RAW gradient sum over
+    the corpus, so the effective step size scaled linearly with corpus
+    size — stable at the 500-doc bench corpus, but at sf0.1 (5k docs)
+    the loop oscillated between the all-negative and all-positive
+    models every step (margins +-15 flipping sign), and at 100 TB it
+    would diverge on step one. Normalizing by n makes the step size
+    scale-free (the textbook full-batch mean gradient); lr re-tunes
+    from 0.25 to 128 to keep per-example movement comparable at the
+    bench corpus (the r16 sweep: lr 128 is monotone at sf0.01 AND
+    sf0.1; 256 begins to oscillate). The mean divides in DOUBLE and
+    rounds half-away at 1e-6 of the SHORTEST decimal repr — the exact
+    mirror of DuckDB's round(g / n, 6) (decimal/int division promotes
+    to DOUBLE; DuckDB rounds the shortest representation, e.g.
+    round(2.675, 2) = 2.68 where the exact binary value 2.67499...98
+    would give 2.67 — Python repr() is that same shortest form); every
+    other sum stays exact DECIMAL with the update quantizing HALF_UP
+    at 1e-6 like the oracle's round."""
+    q6 = Decimal("0.000001")
+    for row in rows:
+        b = row["bucket"]
+        if b < 0:
+            continue
+        gm = Decimal(repr(float(row["v"]) / n_docs)).quantize(
+            q6, rounding=ROUND_HALF_UP
+        )
+        w[b] = (w.get(b, Decimal(0)) + lr_d * gm).quantize(
+            q6, rounding=ROUND_HALF_UP
+        )
+
+
+def _classifier_stats_dict(rows: list, n_docs: int) -> dict:
+    """Counter sentinels from one step's collected rows."""
+    st = {"n_docs": n_docs}
+    keys = {-1: "n_correct", -2: "n_pos_correct", -3: "val_correct",
+            -4: "n_val"}
+    for row in rows:
+        name = keys.get(row["bucket"])
+        if name is not None:
+            st[name] = int(row["v"])
+    return st
+
+
+def _classifier_fit_steps_stats(
+    spark,
+    feats: DataFrame,
+    n_steps: int,
+    lr: str = "128",
+    val_feats: DataFrame | None = None,
+):
+    """The fused full-batch gradient loop (r16): yields
+    (step, w_step, stats_step) for step = 1..n_steps, where stats are
+    the correctness counters of the corpus — and of the optional
+    held-out ``val_feats`` slice (LEFT margins) — under exactly
+    w_step. Residuals are class-balanced (see ``_classifier_resid``);
+    the update is the mean-normalized gradient (see
+    ``_classifier_apply_grad``); every value is bit-identical to the
+    pre-fusion three-actions-per-step shape, pytest- and
+    oracle-pinned.
+
+    Cost shape: n_steps + 1 Spark actions total — the step-s gradient
+    and the step-(s-1) counters share one job (the counters a step
+    needs are of the PREVIOUS update's weights, which is exactly the
+    model the next gradient's margins are computed under), plus one
+    closing counters-only job for the final model. Early-stopping
+    consumers (``quality_classifier_fit_auto``) abandon the generator
+    mid-loop: the break discards the not-yet-applied gradient that
+    rode the deciding counters' job.
+
+    Raises ValueError at first iteration (this is a generator) when
+    n_steps < 1 or the corpus is single-class."""
+    if n_steps < 1:
+        raise ValueError(
+            f"n_steps must be >= 1, got {n_steps} (a 0-step fit has no"
+            " weights to return)"
+        )
+    n_docs, _, pos_w, neg_w = _classifier_class_stats(feats)
+    lr_d = Decimal(lr)
+    w: dict[int, Decimal] = {}
+    prev_w: dict[int, Decimal] = {}
+    for s in range(1, n_steps + 1):
+        want_stats = s > 1
+        rows = _classifier_step_rows(
+            spark,
+            feats,
+            w,
+            pos_w,
+            neg_w,
+            grad=True,
+            stats=want_stats,
+            val_feats=val_feats if want_stats else None,
+        )
+        if want_stats:
+            yield s - 1, prev_w, _classifier_stats_dict(rows, n_docs)
+        _classifier_apply_grad(w, rows, n_docs, lr_d)
+        prev_w = dict(w)
+    rows = _classifier_step_rows(
+        spark,
+        feats,
+        w,
+        pos_w,
+        neg_w,
+        grad=False,
+        stats=True,
+        val_feats=val_feats,
+    )
+    yield n_steps, prev_w, _classifier_stats_dict(rows, n_docs)
+
+
+def _classifier_fit_steps(
+    spark,
+    feats: DataFrame,
+    n_steps: int,
+    lr: str = "128",
+):
+    """The plain full-batch gradient loop: yields, after every step,
+    the weight vector (bucket -> DECIMAL(18,6)) AND the corpus margins
+    frame under it. Since r16 each step is ONE gradient collect and
+    the yielded margins are the LAZY exact-decimal plan (checkpointed
+    features x broadcast driver-held weights — constant-depth lineage,
+    no per-step materialization); consumers that want per-step
+    counters too should use ``_classifier_fit_steps_stats``, which
+    fuses them into the gradient job instead of running extra actions
+    per step. Values are unchanged from the pre-r16 checkpointing
+    shape: margins are order-independent exact decimal sums.
+
+    Raises ValueError at first iteration (this is a generator) when
+    n_steps < 1 or the corpus is single-class."""
+    if n_steps < 1:
+        raise ValueError(
+            f"n_steps must be >= 1, got {n_steps} (a 0-step fit has no"
+            " weights to return)"
+        )
+    n_docs, _, pos_w, neg_w = _classifier_class_stats(feats)
+    lr_d = Decimal(lr)
+    w: dict[int, Decimal] = {}
+    for _ in range(n_steps):
+        rows = _classifier_step_rows(spark, feats, w, pos_w, neg_w)
+        _classifier_apply_grad(w, rows, n_docs, lr_d)
+        yield dict(w), _classifier_margins(spark, feats, w)
 
 
 def _classifier_fit(
@@ -2485,10 +2679,11 @@ def quality_classifier_train(
     Spark-first shape — the bpe_train_merges pattern for iterative
     algorithms: the (doc, bucket, x) feature frame is built ONCE and
     localCheckpoint-ed (loop-invariant; Catalyst does not reuse
-    exchanges across loop iterations); each step is one broadcast join
-    of the B-row weight vector onto the features, a per-doc margin
-    aggregate, and a bucket-keyed gradient aggregate — two bounded
-    shuffles per step, no corpus re-scan; the weight vector itself is
+    exchanges across loop iterations); each step is ONE fused action
+    (``_classifier_fit_steps_stats``, r16): the bucket-keyed gradient
+    aggregate and the previous model's correctness counters ride one
+    collect — two bounded shuffles per step, no corpus re-scan, no
+    per-step margins materialization; the weight vector itself is
     bounded driver state (B rows per step, like the BPE trainer's
     1-row merge collects).
 
@@ -2510,40 +2705,23 @@ def quality_classifier_train(
     prevents; weight_l1 is the exact decimal L1 norm.
     """
     spark = t["documents"].sparkSession
-    feats = _classifier_features(
-        t, target_sources, n_buckets, hash_mode
-    ).localCheckpoint()
-    n_docs = feats.select("doc_id").distinct().count()
+    feats = _classifier_ckpt(
+        _classifier_features(t, target_sources, n_buckets, hash_mode)
+    )
     rows = []
-    for step, (w, margins) in enumerate(
-        _classifier_fit_steps(spark, feats, n_steps), start=1
-    ):
-        ev = (
-            margins
-            .agg(
-                F.sum(
-                    F.when(
-                        (F.col("m") >= 0) == (F.col("y") == 1), 1
-                    ).otherwise(0)
-                ).alias("n_correct"),
-                F.sum(
-                    F.when(
-                        (F.col("y") == 1) & (F.col("m") >= 0), 1
-                    ).otherwise(0)
-                ).alias("n_pos_correct"),
-            )
-            .collect()[0]
-        )
+    for step, w, st in _classifier_fit_steps_stats(spark, feats, n_steps):
         rows.append(
             (
                 step,
-                int(ev["n_correct"]),
-                int(ev["n_pos_correct"]),
+                st["n_correct"],
+                st["n_pos_correct"],
                 # HALF_UP quantize of the exact ratio — mirrors the
                 # oracle's round(double, 6) (Python's float round is
                 # HALF_EVEN)
                 float(
-                    (Decimal(int(ev["n_correct"])) / n_docs).quantize(
+                    (
+                        Decimal(st["n_correct"]) / st["n_docs"]
+                    ).quantize(
                         Decimal("0.000001"), rounding=ROUND_HALF_UP
                     )
                 ),
@@ -2576,9 +2754,9 @@ def quality_classifier_score(
     Output: (doc_id, source, label, margin, predicted).
     """
     spark = t["documents"].sparkSession
-    feats = _classifier_features(
-        t, target_sources, n_buckets, hash_mode
-    ).localCheckpoint()
+    feats = _classifier_ckpt(
+        _classifier_features(t, target_sources, n_buckets, hash_mode)
+    )
     _, scored = _classifier_fit(spark, feats, n_steps)
     return (
         t["documents"]
@@ -2637,19 +2815,14 @@ def quality_classifier_eval(
     )
     feats_all = _classifier_features(t, target_sources, n_buckets, hash_mode)
     split = t["documents"].select("doc_id", is_train.alias("in_train"))
-    tr_feats = (
+    tr_feats = _classifier_ckpt(
         feats_all.join(split.filter("in_train").select("doc_id"), "doc_id")
-        .localCheckpoint()
     )
-    val_feats = (
+    val_feats = _classifier_ckpt(
         feats_all.join(
             split.filter(~F.col("in_train")).select("doc_id"), "doc_id"
         )
-        .localCheckpoint()
     )
-    n_train = tr_feats.select("doc_id").distinct().count()
-    n_val = val_feats.select("doc_id").distinct().count()
-
     def _q6_ratio(num: int, den: int) -> float:
         return float(
             (Decimal(num) / den).quantize(
@@ -2658,21 +2831,20 @@ def quality_classifier_eval(
         )
 
     rows = []
-    for step, (w, tr_margins) in enumerate(
-        _classifier_fit_steps(spark, tr_feats, n_steps), start=1
+    for step, w, st in _classifier_fit_steps_stats(
+        spark, tr_feats, n_steps, val_feats=val_feats
     ):
-        val_margins = _classifier_margins_left(spark, val_feats, w)
-        tr_correct = _n_correct(tr_margins)
-        val_correct = _n_correct(val_margins)
+        # n_train/n_val ride the fused step collect (r16): the class
+        # count the loop needs anyway, and the val margins row count
         rows.append(
             (
                 step,
-                n_train,
-                n_val,
-                tr_correct,
-                val_correct,
-                _q6_ratio(tr_correct, n_train),
-                _q6_ratio(val_correct, n_val),
+                st["n_docs"],
+                st["n_val"],
+                st["n_correct"],
+                st["val_correct"],
+                _q6_ratio(st["n_correct"], st["n_docs"]),
+                _q6_ratio(st["val_correct"], st["n_val"]),
                 # sum of 6dp decimals is exact 6dp — no rounding needed
                 float(sum(abs(v) for v in w.values())),
             )
@@ -2740,10 +2912,10 @@ def quality_classifier_fit_auto(
     per-step qvm counts). Returns (stop_step, weights)."""
     prev_vc: int | None = None
     prev_w: dict = {}
-    for step, (w, _) in enumerate(
-        _classifier_fit_steps(spark, tr_feats, max_steps, lr), start=1
+    for step, w, st in _classifier_fit_steps_stats(
+        spark, tr_feats, max_steps, lr, val_feats=val_feats
     ):
-        vc = _n_correct(_classifier_margins_left(spark, val_feats, w))
+        vc = st["val_correct"]
         if prev_vc is not None and vc <= prev_vc:
             return step - 1, prev_w
         prev_vc, prev_w = vc, w
@@ -2801,9 +2973,9 @@ def quality_classifier_calibration(
     lower margin edge, clamp bands pool everything beyond).
     """
     spark = t["documents"].sparkSession
-    feats = _classifier_features(
-        t, target_sources, n_buckets, hash_mode
-    ).localCheckpoint()
+    feats = _classifier_ckpt(
+        _classifier_features(t, target_sources, n_buckets, hash_mode)
+    )
     if n_steps == "auto":
         cut = format(int(256 * train_pct / 100), "02x")
         is_train = (
@@ -2811,12 +2983,14 @@ def quality_classifier_calibration(
             < F.lit(cut)
         )
         split = t["documents"].select("doc_id", is_train.alias("in_train"))
-        tr_feats = feats.join(
-            split.filter("in_train").select("doc_id"), "doc_id"
-        ).localCheckpoint()
-        val_feats = feats.join(
-            split.filter(~F.col("in_train")).select("doc_id"), "doc_id"
-        ).localCheckpoint()
+        tr_feats = _classifier_ckpt(
+            feats.join(split.filter("in_train").select("doc_id"), "doc_id")
+        )
+        val_feats = _classifier_ckpt(
+            feats.join(
+                split.filter(~F.col("in_train")).select("doc_id"), "doc_id"
+            )
+        )
         _, w = quality_classifier_fit_auto(
             spark, tr_feats, val_feats, max_steps
         )

@@ -4602,6 +4602,56 @@ def test_connected_components_rejects_unknown_algorithm(spark):
         dedup.connected_components(pairs, algorithm="hash2min")
 
 
+def test_classifier_fused_step_stats_match_recount(spark):
+    """The r16 fused gradient loop (`_classifier_fit_steps_stats`:
+    gradient + correctness counters riding ONE collect per step as
+    sentinel buckets) must yield, for every step, exactly the counters
+    an independent re-aggregation of the margins under the yielded
+    weights produces — and the same weights as the plain per-step
+    generator. Guards the sentinel encoding and the one-step-late
+    stats plumbing."""
+    from ecom_etl_proj_spark.operators import textops
+
+    rows = [
+        (i, "clean fluent prose sentence structure", "tgt", "x", 30)
+        for i in range(8)
+    ] + [
+        (i, f"spam{i % 7} junk{i % 5} noise{i % 3} blob", "web", "x", 30)
+        for i in range(8, 30)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    )
+    t = {"documents": docs}
+    feats = textops._classifier_ckpt(
+        textops._classifier_features(t, ("tgt",), 64, "md5")
+    )
+    val = textops._classifier_ckpt(
+        textops._classifier_features(t, ("tgt",), 64, "md5").filter(
+            "doc_id % 3 = 0"
+        )
+    )
+    n_steps = 3
+    plain = list(textops._classifier_fit_steps(spark, feats, n_steps))
+    fused = list(
+        textops._classifier_fit_steps_stats(
+            spark, feats, n_steps, val_feats=val
+        )
+    )
+    assert [s for s, _, _ in fused] == list(range(1, n_steps + 1))
+    n_val = val.select("doc_id").distinct().count()
+    for (w_plain, margins), (step, w_fused, st) in zip(plain, fused):
+        assert w_fused == w_plain, step
+        assert st["n_correct"] == textops._n_correct(margins), step
+        vm = textops._classifier_margins_left(spark, val, w_fused)
+        assert st["val_correct"] == textops._n_correct(vm), step
+        assert st["n_val"] == n_val, step
+        pos = margins.filter("y = 1 and m >= 0").count()
+        assert st["n_pos_correct"] == pos, step
+
+
 def test_quality_classifier_auto_early_stop(spark):
     """quality_classifier_fit_auto's contract (r16, r15 verdict item
     #4): patience-1 on the held-out val-correct count — the returned
