@@ -1019,9 +1019,10 @@ def embedding_near_dup(
     n_tables x bits = 64 interpreted hyperplane dot folds per vector
     are the plan's dominant per-row cost — unmaterialized, they ran
     once per consumer (r16 audit). One localCheckpoint computes them
-    once; interleaved A/B at sf0.1: med 13.3s -> 8.2s, identical pair
-    set. Consumers embedding_dedup_clusters / curated_pack_semantic
-    inherit.
+    once; interleaved A/B at sf0.1 (two rounds per arm, r17 retrofit):
+    cold 9.18/8.87 -> 7.85/6.59 (~1.25x), warm flat (7.26/6.66 ->
+    6.37/6.76), identical pair set. Consumers embedding_dedup_clusters /
+    curated_pack_semantic inherit.
     """
     b = _multi_table_buckets(t, n_tables, bits).localCheckpoint()
     # unpivot to (vec_id, tbl, bucket) — one row per table per vector
