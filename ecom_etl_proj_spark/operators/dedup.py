@@ -1197,8 +1197,8 @@ def _cc_materialize(pairs: DataFrame, _save):
 
 
 def _cc_local(
-    base: DataFrame, edges: DataFrame, spark
-) -> DataFrame:
+    base: DataFrame, edges: DataFrame, spark, max_singles: int
+) -> DataFrame | None:
     """Solve a BOUNDED component graph on the driver: one union-find
     pass over the collected edge list, min-id roots, singleton
     self-pair nodes appended — output identical to both distributed
@@ -1209,7 +1209,21 @@ def _cc_local(
     ~2 MB) and the result frame is labels-only. The win is job count:
     a 2-round star contraction over a 224-edge sf0.1 survivor graph
     costs ~26 AQE jobs / 6.8s of pure orchestration; this path is one
-    collect + one tiny parallelize."""
+    collect + one tiny parallelize.
+
+    Self-pair-only nodes (doc_a == doc_b, no real edge) are collected
+    under a ``max_singles`` LIMIT (r17, r16 verdict item #6): the gate
+    bounds the driver by EDGE count only, so the unlimited singles
+    collect this path ran in r16 let a caller with millions of
+    self-pairs and few edges pass the gate and OOM the driver. The
+    limit caps the collect at ``max_singles + 1`` rows regardless of
+    self-pair volume; when it overflows this returns ``None`` and the
+    caller falls through to the distributed algorithm, whose singles
+    branch never touches the driver. Keeping the in-bound singles ON
+    the driver (rather than a distributed anti-join union) keeps the
+    result a pure local table — CC consumers re-execute the labels
+    frame per action, and a measured distributed-singles variant paid
+    its exchange once per consumer (A/B in OPTIMIZATION_r17.md)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1236,8 +1250,11 @@ def _cc_local(
         base.filter(F.col("doc_a") == F.col("doc_b"))
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
+        .limit(max_singles + 1)
         .collect()
     )
+    if len(singles) > max_singles:
+        return None
     labels.extend((s.doc_id, s.doc_id) for s in singles if s.doc_id not in nodes)
     return spark.createDataFrame(labels, "doc_id long, component_id long")
 
@@ -1384,7 +1401,11 @@ def connected_components(
     MEMORY exactly like a broadcast-join threshold (~16 bytes/edge;
     the 100k default is ~2 MB collected) and is data-derived — above
     it the distributed algorithms below run unchanged, so 100 TB
-    worst-case graphs never touch the driver. Default from
+    worst-case graphs never touch the driver. The same bound caps the
+    self-pair singles collect via a LIMIT (r17): a graph whose
+    distinct self-pair-only node count exceeds it falls through to
+    the distributed path, so no input shape can pull more than
+    ~2 x local_max_edges rows onto the driver. Default from
     ``$SPARK_GRAFT_CC_LOCAL_MAX_EDGES`` (100000); pass 0 to force the
     distributed path (loop-mechanics tests do).
 
@@ -1490,7 +1511,14 @@ def connected_components(
     if local_max_edges:
         base, star_edges, n_edges = _cc_materialize(pairs, _save)
         if n_edges <= local_max_edges:
-            return _cc_local(base, star_edges, pairs.sparkSession)
+            # None = the self-pair singles overflowed the same bound
+            # (r17): fall through to the distributed path, which
+            # handles singles without driver state
+            local = _cc_local(
+                base, star_edges, pairs.sparkSession, local_max_edges
+            )
+            if local is not None:
+                return local
         if algorithm == "star":
             return _cc_star(
                 base, star_edges, n_edges, max_iterations, _save

@@ -2418,9 +2418,14 @@ def _classifier_step_rows(
     stats: bool = False,
     val_feats: DataFrame | None = None,
 ) -> list:
-    """ONE Spark action per gradient step (r16, guide §1.2/§2.4 — the
-    loop's real cost at bench scale is per-action barrier latency, and
-    at 100 TB it is passes over the feature frame): the per-bucket
+    """ONE Spark action/barrier per gradient step (r16, guide
+    §1.2/§2.4 — the loop's real cost at bench scale is per-action
+    barrier latency). Note the fusion wins ACTION count, not scan
+    count: the margins subtree appears in up to three union branches
+    (gradient residuals + corpus counters + val counters) with no
+    subtree reuse, so the checkpointed feature frame is still scanned
+    up to ~3x inside the single action — future tuning should not
+    assume a single pass over the features. It computes the per-bucket
     gradient under ``w`` and, when asked, the correctness counters
     under the same ``w``, encoded as SENTINEL buckets riding the same
     collected (bucket, v) column — feature buckets are pmod >= 0, so
@@ -2791,13 +2796,15 @@ def quality_classifier_eval(
 
     Split membership is ``train_val_split``'s md5-bucket draw — a pure
     function of doc_id, identical in any engine, so the oracle
-    reproduces the exact same partition. Training reuses
-    ``_classifier_fit_steps`` verbatim on the train-only feature
-    frame; val margins are ONE broadcast join of the B-row weight
-    vector per step with LEFT semantics (a val doc whose hashed
-    buckets never occurred in training scores 0 from those features
-    instead of silently dropping out — at 100 TB a disjoint-vocab val
-    doc is routine). All margins stay exact DECIMAL; accuracies are
+    reproduces the exact same partition. Training runs
+    ``_classifier_fit_steps_stats`` on the train-only feature frame —
+    the r16 FUSED step (one action/barrier per step; the train and val
+    correctness counters ride the gradient collect as sentinel
+    buckets). Val margins use LEFT semantics
+    (``_classifier_margins_left``: a val doc whose hashed buckets
+    never occurred in training scores 0 from those features instead of
+    silently dropping out — at 100 TB a disjoint-vocab val doc is
+    routine). All margins stay exact DECIMAL; accuracies are
     HALF_UP quantizes of exact ratios, mirroring the oracle's rounds.
 
     Scale shape: the split predicate is row-local (no shuffle added);
@@ -2835,7 +2842,22 @@ def quality_classifier_eval(
         spark, tr_feats, n_steps, val_feats=val_feats
     ):
         # n_train/n_val ride the fused step collect (r16): the class
-        # count the loop needs anyway, and the val margins row count
+        # count the loop needs anyway, and the val margins row count.
+        # Guard the ratios' denominators with a legible error (the
+        # fused path would otherwise surface an opaque decimal
+        # DivisionUndefined): an empty val split happens at
+        # train_pct=100 or on a tiny corpus where every doc hashes
+        # into the train bucket. n_docs == 0 cannot reach here — the
+        # class-stats check inside the fit loop raises first — but is
+        # guarded for symmetry.
+        if st["n_val"] == 0 or st["n_docs"] == 0:
+            raise ValueError(
+                "quality_classifier_eval needs a non-empty train AND"
+                f" val split: got n_train={st['n_docs']},"
+                f" n_val={st['n_val']} (train_pct={train_pct} — lower"
+                " it, or grow the corpus, so the md5 bucket draw"
+                " assigns at least one doc to each side)"
+            )
         rows.append(
             (
                 step,

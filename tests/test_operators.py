@@ -4248,6 +4248,48 @@ def test_quality_classifier_eval_exposes_memorization(spark):
     assert last["val_correct"] <= last["n_val"]
 
 
+def test_quality_classifier_eval_empty_val_split_is_legible(spark):
+    """A tiny corpus whose every doc hashes into the train bucket
+    makes the val split empty; the fused-step path would otherwise
+    surface an opaque decimal DivisionUndefined from the accuracy
+    ratio (r16 ADVICE) — it must raise a legible ValueError instead.
+    doc_ids are chosen so every md5 2-prefix falls below the
+    train_pct=90 cut ("e6"); both classes stay present so the
+    single-class check does not fire first."""
+    import pytest
+
+    from ecom_etl_proj_spark.operators import textops
+
+    # every listed id hashes into the train bucket at train_pct=90
+    # (md5(str(i))[:2] < "e6" — verified offline, deterministic; e.g.
+    # 3 is excluded: md5("3") starts "ec")
+    train_ids = [
+        0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+        13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+    ]
+    rows = [
+        (
+            i,
+            f"u{i}a u{i}b u{i}c u{i}d",
+            "tgt" if i % 2 == 0 else "web",
+            "x",
+            20,
+        )
+        for i in train_ids
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    )
+    with pytest.raises(ValueError, match="non-empty train AND val"):
+        textops.quality_classifier_eval(
+            {"documents": docs},
+            target_sources=("tgt",),
+            hash_mode="md5",
+        ).collect()
+
+
 def test_ccnet_buckets_approx_production_path(spark):
     """The production assignment (percentile_approx thresholds +
     row-local compare) must put the same clear-cut docs in head/tail
@@ -4590,6 +4632,56 @@ def test_connected_components_local_gate_equivalence(spark):
         ).collect()
     }
     assert at == star and below == star
+
+
+def test_connected_components_local_gate_self_pairs_bounded(spark):
+    """r17 (r16 verdict item #6): the local-solve gate bounds the
+    driver by EDGE count only, so the singles collect must be capped
+    too — a graph whose distinct self-pair-only nodes exceed the bound
+    has to fall through to the distributed path instead of pulling
+    them all onto the driver. Direct bound check: ``_cc_local``
+    returns None on overflow (its collect is LIMIT-capped at
+    max_singles + 1 rows, never proportional to the self-pair
+    volume); end to end: the fallback's output is correct, and a
+    within-bound self-pair graph stays on the local path with
+    identical labels."""
+    from ecom_etl_proj_spark.operators import dedup
+
+    n_self = 5000
+    cap = 10  # far below the self-pair count
+    rows = [(i, i) for i in range(100, 100 + n_self)]
+    rows += [(0, 1), (1, 2), (3, 3), (0, 0)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    # direct: the gated local solver refuses (bounded LIMIT collect)
+    def _save(df):
+        return df.localCheckpoint()
+
+    base, edges, n_edges = dedup._cc_materialize(pairs, _save)
+    assert n_edges == 2 <= cap
+    assert dedup._cc_local(base, edges, spark, cap) is None
+
+    # end to end: falls through to the distributed path, output correct
+    out = dedup.connected_components(pairs, local_max_edges=cap)
+    got = {(r["doc_id"], r["component_id"]) for r in out.collect()}
+    expect = {(0, 0), (1, 0), (2, 0), (3, 3)} | {
+        (i, i) for i in range(100, 100 + n_self)
+    }
+    assert got == expect
+
+    # within-bound self-pairs stay on the local path, identical labels
+    small = spark.createDataFrame(
+        [(0, 1), (7, 7), (3, 3)], "doc_a long, doc_b long"
+    )
+    local_out = dedup.connected_components(small, local_max_edges=10)
+    # driver-built frame: one local scan, no joins/exchanges
+    plan = local_out._sc._jvm.PythonSQLUtils.explainString(
+        local_out._jdf.queryExecution(), "simple"
+    )
+    assert "Scan ExistingRDD" in plan and "Join" not in plan, plan
+    assert {(r["doc_id"], r["component_id"]) for r in local_out.collect()} == {
+        (0, 0), (1, 0), (7, 7), (3, 3)
+    }
 
 
 def test_connected_components_rejects_unknown_algorithm(spark):
