@@ -188,6 +188,21 @@ def _llm_prod_queries():
         "embedding_knn_arrow": lambda spark, sf_dir: similarity.embedding_knn(
             tables_for(spark, sf_dir), impl="arrow"
         ),
+        # Additive r17 keys (r16 verdict item #3): Arrow/BLAS twins for
+        # the two remaining interpreted-HOF retrieval paths. Same
+        # series contract as ann_ivf_arrow — the oracle-pinned registry
+        # rows keep the expression form; these measure the production
+        # (recall-bound) implementations at the SAME seeded
+        # configuration as the retrieval ring's registry entries, so
+        # the ring number minus this number is the HOF-vs-BLAS delta.
+        "ann_ivfpq_arrow": lambda spark, sf_dir: similarity.ann_ivfpq(
+            tables_for(spark, sf_dir), assign_impl="arrow"
+        ),
+        "embedding_knn_classify_arrow": (
+            lambda spark, sf_dir: similarity.embedding_knn_classify(
+                tables_for(spark, sf_dir), impl="arrow"
+            )
+        ),
         # Additive r8 key: the steady-state curation pack. The first
         # call per bench process drops + rebuilds the persisted
         # curation/dedup state (that one-time build lands in the p0

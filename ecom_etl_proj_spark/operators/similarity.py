@@ -189,7 +189,8 @@ def _embedding_knn_arrow(
 
 
 def embedding_knn_classify(
-    t: dict[str, DataFrame], n_queries: int = 50, k: int = 5
+    t: dict[str, DataFrame], n_queries: int = 50, k: int = 5,
+    impl: str = "expr",
 ) -> DataFrame:
     """kNN majority-vote classification over the embedding space: the
     first ``n_queries`` vectors are the held-out queries, everything
@@ -209,28 +210,43 @@ def embedding_knn_classify(
     neighbor stage for ``probe_ann_state`` — the vote stage is
     unchanged.
 
+    ``impl='arrow'`` (r17, r16 verdict item #3): the per-(corpus row,
+    query) cosine — the query's interpreted-HOF fold and the measured
+    hot stage — runs as one (batch x dim) @ (dim x queries) BLAS
+    matmul per Arrow batch, exactly ``_embedding_knn_arrow``'s
+    vectorization with the label columns carried through; the top-k
+    window and the vote stages are unchanged. Production mode
+    (A/B-tested identical on this corpus; last-ulp BLAS divergence can
+    in principle flip a near-tied neighbor, so the oracle-pinned
+    registry row keeps the expression form).
+
     Output: (query_id, predicted_label, votes, true_label, correct).
     """
     emb = t["embeddings"]
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        V.norm("embedding").alias("q_norm"),
-        F.col("label").alias("true_label"),
-    )
-    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
-        "vec_id", "embedding", "label", V.norm("embedding").alias("c_norm")
-    )
-    sim = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id",
-        "true_label",
-        F.col("label").alias("n_label"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            V.dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ).alias("cosine_sim"),
-    )
+    if impl == "arrow":
+        sim = _embedding_knn_classify_arrow_sim(emb, n_queries)
+    else:
+        queries = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            V.norm("embedding").alias("q_norm"),
+            F.col("label").alias("true_label"),
+        )
+        corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+            "vec_id", "embedding", "label",
+            V.norm("embedding").alias("c_norm"),
+        )
+        sim = corpus.crossJoin(F.broadcast(queries)).select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                V.dot("q_emb", "embedding")
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -255,6 +271,69 @@ def embedding_knn_classify(
         F.when(-F.col("b.neg") == F.col("true_label"), 1)
         .otherwise(0)
         .alias("correct"),
+    )
+
+
+def _embedding_knn_classify_arrow_sim(
+    emb: DataFrame, n_queries: int
+) -> DataFrame:
+    """(query_id, true_label, n_label, neighbor_id, cosine_sim): the
+    classify twin's neighbor-similarity frame, computed like
+    ``_embedding_knn_arrow`` — the bounded labeled query block
+    (n_queries x dim floats) collected once and closure-captured, each
+    corpus Arrow batch emitting its rows from one BLAS matmul with the
+    neighbor label tiled alongside. Row volume and rounding (HALF_UP
+    at 1e-6, matching F.round) are identical to the expression form —
+    only the per-pair dot/norm arithmetic moves to C."""
+    q_rows = emb.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    q_labels = [int(r["label"]) for r in q_rows]
+    q_mat = [[float(x) for x in r["embedding"]] for r in q_rows]
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        q = np.asarray(q_mat, dtype=np.float64)
+        qn = (q / np.linalg.norm(q, axis=1)[:, None]).T  # dim x queries
+        ids = np.asarray(q_ids, dtype=np.int64)
+        labels = np.asarray(q_labels, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            cos = (v / np.linalg.norm(v, axis=1)[:, None]) @ qn
+            n_rows, n_q = cos.shape
+            flat = cos.ravel()
+            # Half-UP rounding (away from zero on exact .5), matching
+            # F.round's BigDecimal HALF_UP — same note as
+            # _embedding_knn_arrow
+            rounded = np.sign(flat) * np.floor(np.abs(flat) * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(ids, n_rows),
+                    "true_label": np.tile(labels, n_rows),
+                    "n_label": np.repeat(
+                        pdf["label"].to_numpy(), n_q
+                    ),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), n_q
+                    ),
+                    "cosine_sim": rounded,
+                }
+            )
+
+    return emb.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding", "label"
+    ).mapInPandas(
+        batches,
+        schema="query_id long, true_label int, n_label int,"
+        " neighbor_id long, cosine_sim double",
     )
 
 
@@ -1610,6 +1689,7 @@ def ann_ivfpq(
     lloyd_iters: int = 0,
     pq_iters: int = 0,
     cache_registry: list[DataFrame] | None = None,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """IVF-PQ: the composition that actually serves billion-scale ANN
     — IVF cell pruning (``ann_ivf``) to touch only the probed cells'
@@ -1627,6 +1707,18 @@ def ann_ivfpq(
     candidate set; ADC sums are exact, so rankings are
     engine-deterministic (ties -> smaller neighbor_id).
 
+    ``assign_impl='arrow'`` (r17, r16 verdict item #3): the two
+    corpus-scale interpreted-HOF stages — the cell-assignment argmin
+    fold and the per-subspace PQ encode — run as Arrow-batched BLAS
+    matmuls (``_assign_cells_arrow`` / ``_pq_assign_arrow``) instead
+    of Catalyst's CodegenFallback lambda machinery; the probe,
+    distance-table and ADC stages are unchanged. Same trade as
+    ``ann_ivf``'s arrow twin: eager bounded collects (centroids +
+    codebook — KBs), last-ulp BLAS divergence can flip a
+    near-equidistant cell/code, so it is the PRODUCTION serving form
+    (recall-bound, A/B-tested identical on this corpus) and never the
+    oracle-pinned registry entry.
+
     Output: (query_id, neighbor_id, adc_dist, rank).
     """
     import math
@@ -1640,17 +1732,28 @@ def ann_ivfpq(
     )
     if lloyd_iters:
         cent = lloyd_refine(
-            emb, cent, lloyd_iters, cache_registry=cache_registry
+            emb, cent, lloyd_iters, assign_impl=assign_impl,
+            cache_registry=cache_registry,
         )
-    assigned = _assign_cells(emb, cent).select("vec_id", "cell")
+    assigned = (
+        _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
+    )(emb, cent).select("vec_id", "cell")
     cb = (
-        pq_train_codebook(emb, m, n_codes, d_sub, pq_iters, cache_registry)
+        pq_train_codebook(
+            emb, m, n_codes, d_sub, pq_iters, cache_registry,
+            assign_impl=assign_impl,
+        )
         if pq_iters
         else _pq_codebook(emb, m, n_codes, d_sub)
     )
-    codes = _pq_codes(emb, m, n_codes, d_sub, cb=cb).select(
-        "vec_id", "sub", "code"
-    )
+    if assign_impl == "arrow":
+        codes = _pq_assign_arrow(emb, cb.collect(), m, d_sub).select(
+            "vec_id", "sub", "code"
+        )
+    else:
+        codes = _pq_codes(emb, m, n_codes, d_sub, cb=cb).select(
+            "vec_id", "sub", "code"
+        )
 
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

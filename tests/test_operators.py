@@ -2137,6 +2137,56 @@ def test_embedding_knn_arrow_matches_expr(spark, tables):
     assert a == b and len(a) > 0
 
 
+def test_ann_ivfpq_arrow_matches_expr(spark, tables):
+    """The r17 arrow twin (BLAS cell assignment + BLAS PQ encode) must
+    return exactly the expression form's IVF-PQ rankings — seeded
+    config (the retrieval-ring comparison point) and production config
+    (lloyd_iters/pq_iters) both."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    a = sorted(map(tuple, sim.ann_ivfpq(tables).collect()))
+    b = sorted(
+        map(tuple, sim.ann_ivfpq(tables, assign_impl="arrow").collect())
+    )
+    assert a == b and len(a) > 0
+    reg: list = []
+    p_e = sorted(
+        map(
+            tuple,
+            sim.ann_ivfpq(
+                tables, lloyd_iters=2, pq_iters=1, cache_registry=reg
+            ).collect(),
+        )
+    )
+    sim.release_lloyd_caches(reg)
+    p_a = sorted(
+        map(
+            tuple,
+            sim.ann_ivfpq(
+                tables, lloyd_iters=2, pq_iters=1, assign_impl="arrow",
+                cache_registry=reg,
+            ).collect(),
+        )
+    )
+    sim.release_lloyd_caches(reg)
+    assert p_e == p_a and len(p_e) > 0
+
+
+def test_embedding_knn_classify_arrow_matches_expr(spark, tables):
+    """The r17 arrow twin of the kNN label vote must return exactly
+    the expression form's predictions, votes, and correctness flags."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    a = sorted(map(tuple, sim.embedding_knn_classify(tables).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sim.embedding_knn_classify(tables, impl="arrow").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_covisitation_pairs_hand_sessions(spark):
     """Two sessions for one user (gap > 30 min splits them): products
     co-visited within a session pair up; across sessions they don't."""
