@@ -60,6 +60,14 @@ load on identical code):
     across hosts. "calibration_sec" keeps its legacy semantics (min
     of the END pass's xxhash64 runs) so the r6+ series is unbroken;
     "hof_normalized_*" twins are comparable r14+.
+  - "x10_<query>" entries in "queries" (round 17, additive): the scale
+    probe's factor-10 timings for the three most compute-bound
+    headline queries, surfaced so the driver's low-core re-run has
+    rows where an 8-vs-32-core ratio is interpretable (the sf0.1
+    headline ring is orchestration-bound and reads ~1 at any core
+    count — PERF_r16's suspect_cpus_ignored misfire). Existing keys
+    and "value" keep their exact semantics; the x10 rows are already
+    timed by the probe, so the bench runs no extra work.
 """
 
 from __future__ import annotations
@@ -672,6 +680,31 @@ def main() -> None:
             )
         except Exception as exc:  # probe is attribution, never a bench fail
             scale_probe = {"error": str(exc)[:300]}
+
+    # Scaling-legibility rows (r17, r16 verdict item #2): the driver
+    # re-runs this bench at a lower core count and compares per-query
+    # seconds to measure scaling — but the 0.2-2.5s sf0.1 headline ring
+    # is orchestration-bound (per-job driver + barrier latency), so its
+    # 8-vs-32-core ratios all read ~1 and the driver's
+    # suspect_cpus_ignored heuristic misfires (PERF_r16). Surface the
+    # scale probe's factor-10 rows for the three most compute-bound
+    # headline queries as ADDITIVE "x10_*" keys in the compact
+    # "queries" dict: at 10x the data the same queries are
+    # compute-dominated, so the low-core run's ratio can actually
+    # separate parallel work from driver-bound work. Zero extra bench
+    # cost (the probe already timed them); "value" stays the sum of
+    # the original headline ring, existing keys keep their exact
+    # semantics.
+    # Row choice is measured, not guessed (OPTIMIZATION_r17.md): at
+    # factor-10 these read 2.1x / 1.5x / 1.6x slower at 8 cores vs 32
+    # (warm-min, quiet host), while e.g. revenue_by_nation still reads
+    # ~1.0 even at 10x data — group-count-bound, not row-bound.
+    SCALE_SURFACE = ["dedup_minhash_lsh", "curated_pack", "ann_ivf"]
+    if isinstance(scale_probe, dict):
+        for name in SCALE_SURFACE:
+            sec = (scale_probe.get("scaled_queries") or {}).get(name)
+            if sec is not None:
+                cold_times[f"x10_{name}"] = sec
 
     def norm(x: float) -> float:
         return round(x * CALIBRATION_REF / calibration, 3)
