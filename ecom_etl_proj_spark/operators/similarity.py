@@ -529,20 +529,34 @@ def pq_train_codebook(
                 .withColumn("code", nearest)
                 .select("sub", "code", "subvec")
             )
-        means = assigned.groupBy("sub", "code").agg(
-            *[
-                F.avg(
-                    F.element_at("subvec", i + 1).cast("decimal(27,12)")
-                ).alias(f"d{i}")
-                for i in range(d_sub)
-            ]
+        # ONE narrow decimal avg keyed by (sub, code, dim) over the
+        # posexploded subvectors instead of d_sub independent avg
+        # expressions (r17) — the same bit-exact reshape as
+        # lloyd_refine's means (decimal avg is exact and
+        # order-independent, so regrouping cannot move a bit; asserted
+        # in test_lloyd_narrow_means_match_wide); (sub, code, dim)
+        # groups stay bounded at m x k x d_sub.
+        means = (
+            assigned.select(
+                "sub", "code", F.posexplode("subvec").alias("dm", "v")
+            )
+            .groupBy("sub", "code", "dm")
+            .agg(F.avg(F.col("v").cast("decimal(27,12)")).alias("mean"))
         )
-        cb = means.select(
-            "sub",
-            "code",
-            F.array(
-                *[F.col(f"d{i}").cast("double") for i in range(d_sub)]
-            ).alias("cvec"),
+        cb = (
+            means.groupBy("sub", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dm", "mean"))
+                ).alias("s")
+            )
+            .select(
+                "sub",
+                "code",
+                F.expr("transform(s, x -> CAST(x.mean AS DOUBLE))").alias(
+                    "cvec"
+                ),
+            )
         )
         # cache=False: EAGER localCheckpoint instead of persist — the
         # REGISTERED pq_recall_floor path, where nothing downstream can
@@ -1531,13 +1545,19 @@ def lloyd_refine(
 
     Each iteration is exactly the scale-audited IVF machinery run once
     more: row-local broadcast argmin assignment (one corpus scan, zero
-    shuffle) followed by ONE groupBy(cell) mean — map-side partial
-    aggregation keeps the shuffle at cells x dim values. Per-dimension
-    means accumulate in DECIMAL, so the result is bit-identical
-    regardless of partitioning or aggregation order (double summation
-    is order-dependent; decimal is associative) — "trained" centroids
-    stay reproducible run to run. Cells that lose every member simply
-    drop out (k shrinks), matching standard k-means behavior.
+    shuffle) followed by ONE narrow groupBy(cell, dim) mean over the
+    posexploded vectors (r17 — the previous dim-wide aggregate
+    compiled into 2 x dim buffer updates per row and measured 3x the
+    cost; shuffle stays at cells x dim values either way) plus a
+    bounded (cells x dim)-row reassembly groupBy. Per-dimension means
+    accumulate in DECIMAL, so the result is bit-identical regardless
+    of partitioning, aggregation order, or this regrouping (double
+    summation is order-dependent; decimal is associative) — "trained"
+    centroids stay reproducible run to run, asserted wide-vs-narrow in
+    test_lloyd_narrow_means_match_wide. Cells that lose every member
+    simply drop out (k shrinks), matching standard k-means behavior.
+    ``dim`` is retained for API stability; the posexplode form no
+    longer needs it.
 
     Centroid QUALITY is what IVF recall actually depends on at 100 TB:
     seeded centroids (first sqrt(n) vectors) make cells of uneven
@@ -1548,13 +1568,25 @@ def lloyd_refine(
     assign = _assign_cells_arrow if assign_impl == "arrow" else _assign_cells
     for _ in range(iters):
         assigned = assign(emb, cent)
-        means = assigned.groupBy("cell").agg(
-            *[
-                F.avg(
-                    F.element_at("embedding", i + 1).cast("decimal(27,12)")
-                ).alias(f"d{i}")
-                for i in range(dim)
-            ]
+        # Means via ONE narrow decimal avg keyed by (cell, dim) over
+        # the posexploded vectors instead of ``dim`` independent avg
+        # expressions keyed by cell (r17, r16 verdict item #5): the
+        # 64-wide aggregate compiled into a 128-buffer update per row
+        # and measured 1.05s/iteration steady-state at sf0.1 vs 0.33s
+        # for this shape (plus ~2s of one-time codegen on first use) —
+        # identical trained centroids, since decimal avg is exact and
+        # order-independent, so regrouping by (cell, dim) cannot move
+        # a bit (asserted cell-for-cell in
+        # test_lloyd_narrow_means_match_wide). The (cell, dim) groups
+        # number cells x dim (bounded, ~sqrt(n) x 64), and the explode
+        # ships (8B key + 16B decimal) x dim per row — the same bytes
+        # per row the wide form's 64 partial buffers shuffled.
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("dm", "v")
+            )
+            .groupBy("cell", "dm")
+            .agg(F.avg(F.col("v").cast("decimal(27,12)")).alias("mean"))
         )
         # Cache each iteration's centroids (a tiny ~sqrt(n)-row frame):
         # without this, iteration k's means re-execute iterations
@@ -1579,12 +1611,21 @@ def lloyd_refine(
         # CacheManager matches by logical plan), which both grows
         # session storage and fakes warm timings — bench releases
         # between passes for exactly that reason.
-        cent = means.select(
-            "cell",
-            F.array(
-                *[F.col(f"d{i}").cast("double") for i in range(dim)]
-            ).alias("c_emb"),
-        ).persist()
+        cent = (
+            means.groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dm", "mean"))
+                ).alias("s")
+            )
+            .select(
+                "cell",
+                F.expr("transform(s, x -> CAST(x.mean AS DOUBLE))").alias(
+                    "c_emb"
+                ),
+            )
+            .persist()
+        )
         (_lloyd_caches if cache_registry is None else cache_registry).append(
             cent
         )

@@ -2095,6 +2095,74 @@ def test_assign_cells_arrow_matches_expr(spark, tables):
     assert got_e == got_a
 
 
+def test_lloyd_narrow_means_match_wide(spark, tables):
+    """r17 reshaped both Lloyd mean aggregations (lloyd_refine /
+    pq_train_codebook) from dim-wide independent decimal avgs keyed by
+    cell to ONE narrow decimal avg keyed by (cell, dim) over the
+    posexploded vectors (measured 3.5x on the means stage at sf0.1).
+    Decimal avg is exact and order-independent, so the trained
+    centroids must be BIT-identical to the wide form — asserted here
+    cell-for-cell against the wide aggregation reconstructed inline,
+    and code-for-code for the PQ trainer."""
+    from ecom_etl_proj_spark.operators import similarity as sim
+
+    emb = tables["embeddings"]
+    nc = max(16, int(emb.count() ** 0.5))
+    cent0 = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    reg: list = []
+    got = {
+        r["cell"]: r["c_emb"]
+        for r in sim.lloyd_refine(
+            emb, cent0, 1, cache_registry=reg
+        ).collect()
+    }
+    sim.release_lloyd_caches(reg)
+    assigned = sim._assign_cells(emb, cent0)
+    wide = assigned.groupBy("cell").agg(
+        *[
+            F.avg(
+                F.element_at("embedding", i + 1).cast("decimal(27,12)")
+            ).alias(f"d{i}")
+            for i in range(64)
+        ]
+    )
+    want = {
+        r["cell"]: [float(r[f"d{i}"]) for i in range(64)]
+        for r in wide.collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(got[c] == want[c] for c in want)
+
+    # PQ trainer: one iteration, wide vs the shipped narrow form
+    m, k, d_sub = 8, 16, 8
+    cb = {
+        (r["sub"], r["code"]): r["cvec"]
+        for r in sim.pq_train_codebook(
+            emb, m, k, d_sub, 1, cache_registry=reg
+        ).collect()
+    }
+    sim.release_lloyd_caches(reg)
+    pq_assigned = sim._pq_codes(emb, m, k, d_sub).join(
+        sim._pq_subvectors(emb, m, d_sub), ["vec_id", "sub"]
+    )
+    pq_wide = pq_assigned.groupBy("sub", "code").agg(
+        *[
+            F.avg(
+                F.element_at("subvec", i + 1).cast("decimal(27,12)")
+            ).alias(f"d{i}")
+            for i in range(d_sub)
+        ]
+    )
+    pq_want = {
+        (r["sub"], r["code"]): [float(r[f"d{i}"]) for i in range(d_sub)]
+        for r in pq_wide.collect()
+    }
+    assert cb.keys() == pq_want.keys()
+    assert all(cb[sc] == pq_want[sc] for sc in pq_want)
+
+
 def test_lloyd_cache_release_hook(spark, tables):
     """lloyd_refine registers its per-iteration centroid caches and
     release_lloyd_caches() drops them: after an ann_ivf(lloyd_iters=2)
