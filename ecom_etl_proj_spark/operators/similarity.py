@@ -775,6 +775,21 @@ def pq_search(
     (m exact terms), so rankings are engine-deterministic (ties break
     on vec_id).
 
+    Scale shape (r17 rewrite, r16 verdict item #4): the encode and the
+    ADC sum are ROW-LOCAL. The per-sub codebook arrays gain the
+    query's distance-table entry (code, cvec, dq) via one broadcast
+    hash join, fold into ONE bounded row (m x n_codes structs, KBs),
+    and broadcast onto the corpus scan; each vector then picks its
+    per-sub nearest code with the same (d asc, code asc) struct-min
+    fold as ``_pq_codes`` and sums the winners' dq entries in DECIMAL
+    in place. The previous form shuffled corpus x m rows through the
+    encode's partial-min exchange and corpus rows again through the
+    ADC groupBy — at 100 TB those were the plan's only corpus-scale
+    exchanges; now the only post-scan operator is the bounded
+    TakeOrdered (measured: 6 jobs -> 4, two corpus Exchanges -> zero,
+    per-vector arithmetic unchanged — same L2 folds, same dq values,
+    same decimal sum, so the oracle hash is unchanged).
+
     Output: (vec_id, adc_dist, rank) — top ``top`` ascending.
     """
     emb = t["embeddings"]
@@ -795,20 +810,53 @@ def pq_search(
             "qsub"
         ),
     )
-    dt = q.join(F.broadcast(cb), "sub").select(
-        "sub",
-        "code",
-        F.round(F.expr(_SQ_L2.format(a="qsub", b="cvec")), 6)
-        .cast("decimal(18,6)")
-        .alias("dq"),
+    # flat (sub, code, cvec, dq) structs: the codebook entry plus the
+    # query's rounded distance-table cell, exactly the dt values the
+    # join form broadcast; ONE global collect_list folds them into a
+    # single row, and the per-sub regrouping runs ONCE on that row
+    # (a filter over m*k structs per sub) instead of paying a
+    # groupBy(sub) exchange
+    dts_flat = q.join(F.broadcast(cb), "sub").select(
+        F.struct(
+            F.col("sub"),
+            F.col("code"),
+            F.col("cvec"),
+            F.round(F.expr(_SQ_L2.format(a="qsub", b="cvec")), 6)
+            .cast("decimal(18,6)")
+            .alias("dq"),
+        ).alias("e")
     )
-    codes = _pq_codes(emb, m, n_codes, d_sub, cb=cb).filter(
-        F.col("vec_id") != query_vec_id
+    dtab = dts_flat.agg(F.collect_list("e").alias("flat")).select(
+        F.expr(
+            f"transform(sequence(0, {m - 1}), s -> struct("
+            "s AS sub, filter(flat, x -> x.sub = s) AS dts))"
+        ).alias("dtab"),
+        F.size("flat").alias("n_dt"),
+    )
+    # row-local encode + ADC: per sub, struct-min over (d, code) picks
+    # the nearest code (the _pq_codes tie-break) and its dq rides the
+    # struct; the m winners sum exactly like the join form's SUM(dq)
+    best_dq = (
+        "transform(dtab, e -> array_min(transform(e.dts, c -> struct("
+        + _SQ_L2.format(
+            a=f"slice(embedding, e.sub * {d_sub} + 1, {d_sub})",
+            b="c.cvec",
+        )
+        + " AS d, c.code AS code, c.dq AS dq))).dq)"
     )
     adc = (
-        codes.join(F.broadcast(dt), ["sub", "code"])
-        .groupBy("vec_id")
-        .agg(F.sum("dq").cast("double").alias("adc_dist"))
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(dtab))
+        # n_dt = 0 when query_vec_id does not exist: the old inner
+        # join produced an empty result there, so mirror it
+        .filter(F.col("n_dt") > 0)
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST(aggregate({best_dq}, CAST(0 AS DECIMAL(18,6)),"
+                " (acc, v) -> CAST(acc + v AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("adc_dist"),
+        )
     )
     w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
     return (
@@ -2682,22 +2730,25 @@ def probe_ann_pq_state(
         .cast("decimal(18,6)")
         .alias("dq"),
     )
-    per_sub = dt.groupBy("query_id", "sub").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("code", "dq")))
-        ).alias("mp")
-    )
-    by_sub = F.array_sort(
-        F.collect_list(F.struct("sub", "mp")),
-        lambda left, right: F.when(left["sub"] < right["sub"], -1)
-        .when(left["sub"] > right["sub"], 1)
-        .otherwise(0),
-    )
+    # ONE groupBy(query_id) folds the whole table (r17, was a
+    # groupBy(query_id, sub) maps pass THEN a groupBy(query_id)
+    # assembly — two bounded exchanges where one suffices); the
+    # per-sub regrouping runs row-locally on the single per-query row
+    # (m filter passes over m x n_codes structs, once per query). Map
+    # entries are identical: per sub, (code, dq) pairs sorted by code
+    # (codes are unique within a sub), exactly the old
+    # map_from_entries(array_sort(collect_list(...))) contents.
     dtab = (
-        per_sub.groupBy("query_id")
-        .agg(by_sub.alias("s"))
+        dt.groupBy("query_id")
+        .agg(F.collect_list(F.struct("sub", "code", "dq")).alias("flat"))
         .select(
-            "query_id", F.expr("transform(s, x -> x.mp)").alias("dtab")
+            "query_id",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), s ->"
+                " map_from_entries(array_sort(transform("
+                "filter(flat, x -> x.sub = s),"
+                " x -> struct(x.code AS code, x.dq AS dq)))))"
+            ).alias("dtab"),
         )
     )
     # state side LEFT and streamed; both bounded frames broadcast — the
