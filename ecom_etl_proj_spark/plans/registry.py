@@ -7938,70 +7938,39 @@ register(
 # lloyd_iters=0 registered form, full-value oracle). After those 7,
 # continue with the 28 remaining r12 rows below.
 _DRIVER_PRIORITY: list[str] = [
-    # --- head-50 part 1: the 5 rows registered after the r15 head
+    # --- head-50 part 1: the 4 rows registered after the r16 head
     # froze (never driver-verified; judge-verified at sf0.01) ---
-    "quality_classifier_eval",
-    "ccnet_buckets_approx",
-    "soft_assign_profile",
-    "quality_classifier_calibration",
-    "knn_graph_state",
-    # --- head-50 part 2: the 4 rows whose engine+oracle changed in
-    # r15 (soft candidate side + star-contraction CC) ---
-    "knn_graph",
-    "knn_graph_recall",
-    "mutual_knn_clusters",
-    "curated_pack_semantic",
-    # --- head-50 part 3: the 21 remaining r11-verified rows (stale
-    # 5 rounds) ---
-    "part_size_histogram",
-    "pq_quantize",
-    "pq_recall_audit",
+    "knn_graph_capped",
+    "knn_graph_cap_profile",
+    "knn_graph_capped_recall",
+    "knn_graph_state_recall",
+    # --- head-50 part 2: the 4 rows whose engine changed in r17
+    # (row-local PQ distance table + narrow Lloyd means) ---
     "pq_search",
-    "pricing_summary",
-    "recent_events",
-    "revenue_by_nation",
-    "rfm_segments",
-    "running_totals",
-    "running_totals_scalable",
-    "sales_by_geography",
-    "sessionization",
-    "text_quality",
-    "token_count",
-    "tokenizer_fertility",
-    "top_categories_by_revenue",
-    "top_customers",
-    "top_revenue_orders",
-    "top_seller_nations",
-    "topic_counters",
-    "unigram_logprob",
-    # --- head-50 part 4: the first 20 r12-verified rows ---
-    "ann_ivf",
-    "ann_ivfpq_refined",
     "ann_ivfpq_state",
-    "ann_rp_refined",
-    "bigram_logprob",
-    "category_avg_discount",
-    "copurchase_pairs",
-    "curated_pack",
-    "customer_value_deciles_approx",
-    "daily_sales_7d_ma",
-    "dedup_minhash_lsh",
+    "ann_ivfpq_state_refined",
+    "pq_recall_floor",
+    # --- head-50 part 3: the 12 rows whose engine changed in r16
+    # (driver evidence stale per the r16 verdict) ---
+    "bm25_search",
+    "hybrid_search",
+    "curate_corpus",
+    "ann_ivfpq",
+    "ann_ivfpq_refined",
+    "embedding_near_dup",
+    "embedding_dedup_clusters",
+    "dedup_clusters",
     "dedup_savings_report",
-    "delivery_delay_percentiles",
-    "delivery_performance",
-    "doc_length_stats",
-    "dominant_suppliers",
-    "embedding_rp",
-    "events_minutely",
-    "hourly_activity",
-    "idle_high_balance_customers",
-    # --- remaining 28 r12-verified rows (lead the r17 head) ---
+    "minhash_recall_audit",
+    "quality_classifier_train",
+    "quality_classifier_score",
+    # --- head-50 part 4: the 27 remaining r12-verified rows
+    # (stale 5 rounds; pq_recall_floor moved to part 2) ---
     "important_parts",
     "ivf_cell_balance",
     "kpi_overview_approx",
     "market_share_by_nation",
     "oov_rate_by_source",
-    "pq_recall_floor",
     "price_band_stats",
     "promo_revenue_share",
     "quantity_distribution",
@@ -8024,17 +7993,16 @@ _DRIVER_PRIORITY: list[str] = [
     "try_timestamp_parse",
     "user_activity",
     "weekly_sales_pattern",
-    # --- r13-verified block (minus the two pulled into part 2) ---
+    # --- head-50 part 5: fill from the stalest r13 rows ---
     "ingest_quarantine_report",
-    "bm25_search",
     "brand_supplier_counts",
     "category_counters",
+    # --- r13-verified block (minus rows pulled into the head) ---
     "char_entropy",
     "chunk_documents",
     "cohort_retention",
     "contamination_check",
     "corpus_mix_report",
-    "curate_corpus",
     "customer_order_distribution",
     "customer_snapshot_diff",
     "data_profile_customer",
@@ -8073,13 +8041,12 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "token_count_bpe",
     "train_val_split",
-    # --- r14-verified block ---
+    # --- r14-verified block (minus rows pulled into the head) ---
     "sq8_encode",
     "sq8_search",
     "sq8_recall_audit",
     "ann_sq8_state",
     "ann_sq8_state_refined",
-    "ann_ivfpq_state_refined",
     "dsir_weights",
     "dsir_select",
     "nation_profit",
@@ -8100,11 +8067,9 @@ _DRIVER_PRIORITY: list[str] = [
     "curation_funnel",
     "customer_value_deciles",
     "daily_sales",
-    "dedup_clusters",
     "dedup_simhash",
     "dedup_spans_removal",
     "dwh_audit_load",
-    "embedding_dedup_clusters",
     "event_transition_matrix",
     "incremental_dedup",
     "incremental_dedup_state",
@@ -8113,7 +8078,6 @@ _DRIVER_PRIORITY: list[str] = [
     "langid_confusion",
     "lsh_band_planner",
     "lsh_bucket_profile",
-    "minhash_recall_audit",
     "mixture_epochs",
     "mixture_sample",
     "ods_typed_load",
@@ -8124,14 +8088,12 @@ _DRIVER_PRIORITY: list[str] = [
     "sales_geolocation",
     "sales_master_join",
     "seller_performance",
-    # --- r15-verified block (freshest: the old r15 head-50) ---
+    # --- r15-verified block (minus rows pulled into the head) ---
     "dsir_weights_hashed",
     "dsir_select_hashed",
     "prototype_outliers",
     "bpe_tokenize",
     "ccnet_buckets",
-    "quality_classifier_train",
-    "quality_classifier_score",
     "semantic_dedup_state",
     "session_duration_histogram",
     "shard_manifest",
@@ -8146,7 +8108,6 @@ _DRIVER_PRIORITY: list[str] = [
     "top_event_paths",
     "training_order",
     "yoy_nation_revenue",
-    "ann_ivfpq",
     "ann_lsh",
     "bpe_train_merges",
     "category_translation",
@@ -8160,11 +8121,9 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_fingerprint",
     "embedding_knn",
     "embedding_knn_classify",
-    "embedding_near_dup",
     "embedding_outliers",
     "event_value_stats",
     "geo_fallback_join",
-    "hybrid_search",
     "lang_id",
     "market_segment_share",
     "monthly_sales",
@@ -8175,6 +8134,53 @@ _DRIVER_PRIORITY: list[str] = [
     "order_priority_counts",
     "pack_sequences",
     "packing_efficiency",
+    # --- the old r16 head-50 (freshest: driver-verified in r16) ---
+    "quality_classifier_eval",
+    "ccnet_buckets_approx",
+    "soft_assign_profile",
+    "quality_classifier_calibration",
+    "knn_graph_state",
+    "knn_graph",
+    "knn_graph_recall",
+    "mutual_knn_clusters",
+    "curated_pack_semantic",
+    "part_size_histogram",
+    "pq_quantize",
+    "pq_recall_audit",
+    "pricing_summary",
+    "recent_events",
+    "revenue_by_nation",
+    "rfm_segments",
+    "running_totals",
+    "running_totals_scalable",
+    "sales_by_geography",
+    "sessionization",
+    "text_quality",
+    "token_count",
+    "tokenizer_fertility",
+    "top_categories_by_revenue",
+    "top_customers",
+    "top_revenue_orders",
+    "top_seller_nations",
+    "topic_counters",
+    "unigram_logprob",
+    "ann_ivf",
+    "ann_rp_refined",
+    "bigram_logprob",
+    "category_avg_discount",
+    "copurchase_pairs",
+    "curated_pack",
+    "customer_value_deciles_approx",
+    "daily_sales_7d_ma",
+    "dedup_minhash_lsh",
+    "delivery_delay_percentiles",
+    "delivery_performance",
+    "doc_length_stats",
+    "dominant_suppliers",
+    "embedding_rp",
+    "events_minutely",
+    "hourly_activity",
+    "idle_high_balance_customers",
 ]
 
 
