@@ -1182,11 +1182,12 @@ def _reset_stats(df: DataFrame) -> DataFrame:
 
 
 def _cc_materialize(pairs: DataFrame, _save):
-    """Materialize a pair plan ONCE into the three pieces every CC
-    strategy consumes: the checkpointed raw projection (``base``), the
-    deduped non-self edge list (``edges``, checkpointed), and its exact
-    row count. Shared by the local-solve gate and the star loop so the
-    gate's count is never paid twice (guide §1.2: don't recompute)."""
+    """Materialize a pair plan ONCE into the three pieces the star
+    loop consumes: the checkpointed raw projection (``base``), the
+    deduped non-self edge list (``edges``, checkpointed), and its
+    exact row count (guide §1.2: don't recompute). Used by the
+    gate-disabled star path only since r17 — the gated path derives
+    these lazily on refusal (see connected_components)."""
     base = _save(pairs.select("doc_a", "doc_b"))
     edges = _save(
         base.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -1197,33 +1198,45 @@ def _cc_materialize(pairs: DataFrame, _save):
 
 
 def _cc_local(
-    base: DataFrame, edges: DataFrame, spark, max_singles: int
+    base: DataFrame, spark, max_edges: int, max_singles: int
 ) -> DataFrame | None:
     """Solve a BOUNDED component graph on the driver: one union-find
     pass over the collected edge list, min-id roots, singleton
     self-pair nodes appended — output identical to both distributed
     algorithms. This is broadcast-class driver state (guide §3.1: the
-    small side of a broadcast join is collected the same way); the
-    caller gates on the exact edge count, so the collect is bounded by
-    ``local_max_edges`` (~16 bytes/edge — the default 100k cap is
-    ~2 MB) and the result frame is labels-only. The win is job count:
-    a 2-round star contraction over a 224-edge sf0.1 survivor graph
-    costs ~26 AQE jobs / 6.8s of pure orchestration; this path is one
-    collect + one tiny parallelize.
+    small side of a broadcast join is collected the same way), and the
+    collect is bounded by LIMIT regardless of input shape (~16
+    bytes/row — the default 100k caps are ~3 MB) with the result frame
+    labels-only. The win is job count: a 2-round star contraction over
+    a 224-edge sf0.1 survivor graph costs ~26 AQE jobs / 6.8s of pure
+    orchestration; this path is one collect + one tiny parallelize.
 
-    Self-pair-only nodes (doc_a == doc_b, no real edge) are collected
-    under a ``max_singles`` LIMIT (r17, r16 verdict item #6): the gate
-    bounds the driver by EDGE count only, so the unlimited singles
-    collect this path ran in r16 let a caller with millions of
-    self-pairs and few edges pass the gate and OOM the driver. The
-    limit caps the collect at ``max_singles + 1`` rows regardless of
-    self-pair volume; when it overflows this returns ``None`` and the
-    caller falls through to the distributed algorithm, whose singles
-    branch never touches the driver. Keeping the in-bound singles ON
-    the driver (rather than a distributed anti-join union) keeps the
-    result a pure local table — CC consumers re-execute the labels
-    frame per action, and a measured distributed-singles variant paid
-    its exchange once per consumer (A/B in OPTIMIZATION_r17.md)."""
+    ONE action serves gate and solve (r17, guide §1.2): the deduped
+    pair rows — real edges (doc_a != doc_b) and self-pair singles
+    (doc_a == doc_b) in the same distinct — come back in a single
+    LIMIT-capped collect and are classified client-side, replacing the
+    r16 shape's three actions over the same checkpointed base (exact
+    edge count, edge collect, capped singles collect — each a full
+    driver/scheduler round-trip priced like the per-job latencies in
+    OPTIMIZATION_r16 §1.1). The cap is ``max_edges + max_singles + 1``
+    rows: a truncated collect proves (pigeonhole) that one class
+    exceeds its bound, and an untruncated one yields exact per-class
+    counts, so the gate decision is identical to counting each class
+    separately. On refusal this returns ``None`` and the caller falls
+    through to the distributed algorithm, whose singles branch never
+    touches the driver. Keeping the in-bound singles ON the driver
+    (rather than a distributed anti-join union) keeps the result a
+    pure local table — CC consumers re-execute the labels frame per
+    action, and a measured distributed-singles variant paid its
+    exchange once per consumer (A/B in OPTIMIZATION_r16.md)."""
+    cap = max_edges + max_singles + 1
+    rows = base.distinct().limit(cap).collect()
+    if len(rows) >= cap:
+        return None
+    edge_rows = [(r[0], r[1]) for r in rows if r[0] != r[1]]
+    single_ids = [r[0] for r in rows if r[0] == r[1]]
+    if len(edge_rows) > max_edges or len(single_ids) > max_singles:
+        return None
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -1235,7 +1248,7 @@ def _cc_local(
         return root
 
     nodes: set[int] = set()
-    for a, b in edges.collect():
+    for a, b in edge_rows:
         nodes.add(a)
         nodes.add(b)
         ra, rb = find(a), find(b)
@@ -1246,16 +1259,7 @@ def _cc_local(
             else:
                 parent[ra] = rb
     labels = [(n, find(n)) for n in sorted(nodes)]
-    singles = (
-        base.filter(F.col("doc_a") == F.col("doc_b"))
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .limit(max_singles + 1)
-        .collect()
-    )
-    if len(singles) > max_singles:
-        return None
-    labels.extend((s.doc_id, s.doc_id) for s in singles if s.doc_id not in nodes)
+    labels.extend((s, s) for s in sorted(single_ids) if s not in nodes)
     return spark.createDataFrame(labels, "doc_id long, component_id long")
 
 
@@ -1402,10 +1406,10 @@ def connected_components(
     the 100k default is ~2 MB collected) and is data-derived — above
     it the distributed algorithms below run unchanged, so 100 TB
     worst-case graphs never touch the driver. The same bound caps the
-    self-pair singles collect via a LIMIT (r17): a graph whose
-    distinct self-pair-only node count exceeds it falls through to
-    the distributed path, so no input shape can pull more than
-    ~2 x local_max_edges rows onto the driver. Default from
+    self-pair singles class inside the gate's ONE LIMIT-capped collect
+    (r17): no input shape can pull more than ~2 x local_max_edges + 1
+    rows onto the driver, and a graph over either bound falls through
+    to the distributed path. Default from
     ``$SPARK_GRAFT_CC_LOCAL_MAX_EDGES`` (100000); pass 0 to force the
     distributed path (loop-mechanics tests do).
 
@@ -1509,19 +1513,31 @@ def connected_components(
         )
     base = None
     if local_max_edges:
-        base, star_edges, n_edges = _cc_materialize(pairs, _save)
-        if n_edges <= local_max_edges:
-            # None = the self-pair singles overflowed the same bound
-            # (r17): fall through to the distributed path, which
-            # handles singles without driver state
-            local = _cc_local(
-                base, star_edges, pairs.sparkSession, local_max_edges
-            )
-            if local is not None:
-                return local
+        # Checkpoint the raw pair projection once; the gate's single
+        # bounded collect (see _cc_local) both sizes the graph and
+        # solves it when within bounds — the hot path is exactly TWO
+        # actions (checkpoint + collect). Only the refusal path — a
+        # graph over the bound, where distributed work dominates
+        # anyway — re-derives the edge list for the star loop.
+        base = _save(pairs.select("doc_a", "doc_b"))
+        # None = edges or self-pair singles overflowed the bound:
+        # fall through to the distributed path, which handles both
+        # without driver state
+        local = _cc_local(
+            base, pairs.sparkSession, local_max_edges, local_max_edges
+        )
+        if local is not None:
+            return local
         if algorithm == "star":
+            star_edges = _save(
+                base.select(
+                    F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
             return _cc_star(
-                base, star_edges, n_edges, max_iterations, _save
+                base, star_edges, star_edges.count(), max_iterations, _save
             )
     elif algorithm == "star":
         return _cc_star(*_cc_materialize(pairs, _save), max_iterations, _save)

@@ -4758,11 +4758,13 @@ def test_connected_components_local_gate_self_pairs_bounded(spark):
     too — a graph whose distinct self-pair-only nodes exceed the bound
     has to fall through to the distributed path instead of pulling
     them all onto the driver. Direct bound check: ``_cc_local``
-    returns None on overflow (its collect is LIMIT-capped at
-    max_singles + 1 rows, never proportional to the self-pair
-    volume); end to end: the fallback's output is correct, and a
-    within-bound self-pair graph stays on the local path with
-    identical labels."""
+    returns None on overflow (its single gate+solve collect is
+    LIMIT-capped at max_edges + max_singles + 1 rows, never
+    proportional to the self-pair volume); end to end: the fallback's
+    output is correct, and a within-bound self-pair graph stays on
+    the local path with identical labels."""
+    from pyspark.sql import functions as F
+
     from ecom_etl_proj_spark.operators import dedup
 
     n_self = 5000
@@ -4772,12 +4774,10 @@ def test_connected_components_local_gate_self_pairs_bounded(spark):
     pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
 
     # direct: the gated local solver refuses (bounded LIMIT collect)
-    def _save(df):
-        return df.localCheckpoint()
-
-    base, edges, n_edges = dedup._cc_materialize(pairs, _save)
+    base = pairs.select("doc_a", "doc_b").localCheckpoint()
+    n_edges = base.filter(F.col("doc_a") != F.col("doc_b")).distinct().count()
     assert n_edges == 2 <= cap
-    assert dedup._cc_local(base, edges, spark, cap) is None
+    assert dedup._cc_local(base, spark, cap, cap) is None
 
     # end to end: falls through to the distributed path, output correct
     out = dedup.connected_components(pairs, local_max_edges=cap)
